@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared SparkSession builder with the engine's standard configuration.
+  *
+  * Notable settings:
+  *  - `spark.sql.icu.caseMappings.enabled=false`: Spark 4 defaults to ICU
+  *    case mappings for UTF8_BINARY; the first non-ASCII `lower()` then
+  *    triggers `CollationAwareUTF8String` static init, which loads ICU's CJK
+  *    break dictionaries — a measured 10–80 s one-time JVM stall (seen as a
+  *    40 s q6 in Bench). JVM case mapping is also what our pure-Scala oracle
+  *    (`String.toLowerCase`) and DuckDB's simple casemap compute, so this
+  *    setting is both the fast AND the correct-parity choice.
+  *  - shuffle.partitions sized to cores (local mode), AQE + skew join on —
+  *    at cluster scale AQE coalesces/reshapes these at runtime anyway.
+  */
+object GraftSession {
+
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.icu.caseMappings.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+
+  def local(cores: Int): SparkSession = {
+    val s = builder(s"local[$cores]", cores).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

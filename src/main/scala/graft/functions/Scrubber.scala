@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** PII / toxicity scrubber, compiled to a chain of `regexp_replace` Columns
+  * (codegen-friendly — no UDF), mirroring the reference's regex→pure-SQL
+  * compiler philosophy (`FastDataGenerator.scala:21-128`,
+  * `provider/regex/RegexNode.scala:9-197`): UDFs only when SQL can't express
+  * the transform; here it can.
+  *
+  * Scrub order is CANONICAL (email → ssn → phone → lexicon) and part of the
+  * correctness contract with the oracle: patterns can overlap, so both sides
+  * must apply them in the same sequence with leftmost matching. Patterns are
+  * restricted to syntax that means the same thing in java.util.regex (Spark),
+  * RE2 (DuckDB oracle), and scala (the pure oracle) — no backreferences, no
+  * lookaround.
+  */
+object Scrubber {
+
+  /** (name, pattern, replacement) in canonical order. */
+  val patterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "[SSN]"),
+    ("phone", "\\+?[0-9]{0,2}[ .-]?\\([0-9]{3}\\)[ .-]?[0-9]{3}[ .-]?[0-9]{4}|\\+[0-9]{1,2}[ .-]?[0-9]{3}[ .-]?[0-9]{3}[ .-]?[0-9]{4}|\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b", "[PHONE]"),
+  )
+
+  /** Deterministic in-repo toxicity lexicon (stand-in tokens — the real
+    * deployment would broadcast a curated list; the mechanism is what
+    * matters). Matched case-insensitively on word boundaries.
+    */
+  val lexicon: Seq[String] = Seq("badword", "slurx", "cursez", "vulgarq")
+
+  private val lexiconPattern: String =
+    "(?i)\\b(" + lexicon.mkString("|") + ")\\b"
+
+  /** All (name, pattern, replacement) including the lexicon pass. */
+  val allPatterns: Seq[(String, String, String)] =
+    patterns :+ ("lexicon", lexiconPattern, "[CENSORED]")
+
+  /** Scrubbed text: canonical-order regexp_replace chain. NULL-safe (NULL in
+    * → NULL out, as regexp_replace already is).
+    */
+  def scrub(text: Column): Column =
+    allPatterns.foldLeft(text) { case (c, (_, pat, rep)) => regexp_replace(c, pat, rep) }
+
+  /** Per-category match counts as MAP<STRING,INT>. Counted BEFORE any
+    * replacement of the same category, but AFTER prior categories' scrubs —
+    * identical staging to [[scrub]] so counts agree with what was replaced.
+    */
+  def scrubCounts(text: Column): Column = {
+    // stage i = text after scrubbing categories < i
+    val staged = allPatterns.scanLeft(text) { case (c, (_, pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
+    val counts = allPatterns.zip(staged).map { case ((_, pat, _), stage) =>
+      coalesce(regexp_count(stage, lit(pat)), lit(0))
+    }
+    map_from_arrays(
+      array(allPatterns.map(p => lit(p._1)): _*),
+      array(counts: _*))
+  }
+
+  /** Total scrubbed-entity count (int) — cheaper column for metrics. */
+  def scrubTotal(text: Column): Column = {
+    val staged = allPatterns.scanLeft(text) { case (c, (_, pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
+    allPatterns.zip(staged)
+      .map { case ((_, pat, _), stage) => coalesce(regexp_count(stage, lit(pat)), lit(0)) }
+      .reduce(_ + _)
+  }
+
+  // ---- pure-Scala twin (the oracle path; java.util.regex == Spark's
+  //      engine, so behavior is identical by construction) ----
+
+  private lazy val compiled = allPatterns.map { case (n, p, r) =>
+    (n, java.util.regex.Pattern.compile(p), r)
+  }
+
+  def scrubScala(text: String): String =
+    if (text == null) null
+    else compiled.foldLeft(text) { case (t, (_, p, r)) =>
+      p.matcher(t).replaceAll(java.util.regex.Matcher.quoteReplacement(r))
+    }
+
+  def scrubCountsScala(text: String): Map[String, Int] =
+    if (text == null) compiled.map { case (n, _, _) => n -> 0 }.toMap
+    else {
+      var t = text
+      compiled.map { case (n, p, r) =>
+        val m = p.matcher(t)
+        var c = 0
+        while (m.find()) c += 1
+        t = p.matcher(t).replaceAll(java.util.regex.Matcher.quoteReplacement(r))
+        n -> c
+      }.toMap
+    }
+}

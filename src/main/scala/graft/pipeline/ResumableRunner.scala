@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import graft.corpus.ImageRow
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+
+/** Resumable, bucketed execution of the quality-filter stage (north rule:
+  * "resumable from checkpoint with per-partition lineage + metrics").
+  *
+  * The work unit is a BUCKET = `pmod(xxhash64(image_id), numBuckets)` — row-
+  * identity-keyed, so bucket membership is independent of input partitioning
+  * (the reference's determinism trick, `provider/DataGenerator.scala:44-52`).
+  * Per bucket: filter → pipeline → write data dir → write metrics → append
+  * the bucket to the manifest, in that order (write-audit-publish: a crash
+  * between data write and manifest append re-runs the bucket into the same
+  * overwritten directory — idempotent, no duplicates; SURVEY §7.4.5). On an
+  * Iceberg deployment each append is one snapshot commit and the manifest is
+  * the snapshot summary property; here (no Iceberg jars in the sandbox) the
+  * same protocol runs over parquet dirs + a manifest file, behind this one
+  * class so the swap is local.
+  *
+  * At 100 TB the bucket predicate would be pushed into the table scan
+  * (Iceberg partition pruning on a bucket-partitioned table); the mechanism —
+  * idempotent per-bucket commit + manifest skip — is identical.
+  */
+final class ResumableRunner(
+    spark: SparkSession,
+    outDir: String,
+    numBuckets: Int,
+    cfg: FilterConfig = FilterConfig()) {
+
+  private val manifestPath = Paths.get(outDir, "_manifest")
+
+  def completedBuckets: Set[Int] =
+    if (!Files.exists(manifestPath)) Set.empty
+    else Files.readAllLines(manifestPath).asScala.filter(_.nonEmpty).map(_.toInt).toSet
+
+  private def markDone(bucket: Int): Unit = {
+    Files.createDirectories(manifestPath.getParent)
+    Files.write(manifestPath, s"$bucket\n".getBytes,
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  /** Runs all not-yet-completed buckets; returns the number processed this
+    * invocation. `failAfter` aborts after that many buckets (test hook for
+    * crash-resume semantics).
+    */
+  def run(input: Dataset[ImageRow], runId: String, failAfter: Int = Int.MaxValue): Int = {
+    val done = completedBuckets
+    val todo = (0 until numBuckets).filterNot(done)
+    var processed = 0
+    todo.foreach { bucket =>
+      if (processed >= failAfter) return processed
+      val bucketed = input.where(
+        pmod(xxhash64(col("image_id")), lit(numBuckets)) === bucket)
+      val result = QualityFilter.run(spark, bucketed, cfg)
+      // cache: the annotated frame feeds both the data write and the
+      // metrics aggregation (reference's caching discipline, SURVEY §4)
+      result.persist()
+      try {
+        result.write.mode(SaveMode.Overwrite).parquet(s"$outDir/data/bucket=$bucket")
+        Metrics.partitionMetrics(result, runId)
+          .withColumn("bucket", lit(bucket))
+          .write.mode(SaveMode.Overwrite).parquet(s"$outDir/metrics/bucket=$bucket")
+      } finally result.unpersist()
+      markDone(bucket)
+      processed += 1
+    }
+    processed
+  }
+
+  def readOutput(): DataFrame = spark.read.parquet(s"$outDir/data")
+  def readMetrics(): DataFrame = spark.read.parquet(s"$outDir/metrics")
+}

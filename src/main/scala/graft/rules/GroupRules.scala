@@ -1,0 +1,124 @@
+package graft.rules
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Aggregate- and dataset-level validations from the reference vocabulary:
+  * groupBy aggregations with a boolean check over the aggregate
+  * (`ValidationOperations.scala:164-179`, builder
+  * `ValidationBuilder.scala:1020-1102`), uniqueness (`:198-201`),
+  * distinct-set checks (`:615-678`), proportions (`:923-932`), quantiles
+  * (`:944-975`), and monotonicity (`:818-844`).
+  *
+  * Each helper returns the VIOLATING rows/groups as a DataFrame (empty =
+  * validation passes) so callers can count, sample, or anti-join them away —
+  * same information as the reference's error count + sample rows, but
+  * composable.
+  */
+object GroupRules {
+
+  /** `df.groupBy(keys).agg(aggExpr)` then keep groups violating `check`.
+    * aggType ∈ sum|count|min|max|avg|stddev (Constants.scala:523-528).
+    */
+  def groupByValidation(
+      df: DataFrame,
+      keys: Seq[String],
+      field: String,
+      aggType: String,
+      check: Column => Column): DataFrame = {
+    val aggCol = aggType.toLowerCase match {
+      case "sum" => sum(col(field))
+      case "count" => count(col(field))
+      case "min" => min(col(field))
+      case "max" => max(col(field))
+      case "avg" | "mean" => avg(col(field))
+      case "stddev" => stddev(col(field))
+      case other => throw new IllegalArgumentException(s"unknown aggType $other")
+    }
+    val name = s"${aggType}_$field"
+    df.groupBy(keys.map(col): _*)
+      .agg(aggCol.as(name))
+      .where(!coalesce(check(col(name)), lit(false)))
+  }
+
+  /** unique(fields…): groups with count > 1 (ValidationBuilder.scala:198-201).
+    * Hash-aggregate with map-side partial counts — scales; never collects.
+    */
+  def duplicateGroups(df: DataFrame, fields: Seq[String]): DataFrame =
+    df.groupBy(fields.map(col): _*)
+      .agg(count(lit(1)).as("group_count"))
+      .where(col("group_count") > 1)
+
+  /** Drop rows whose group exceeds maxPerGroup — the reference's per-field
+    * count overflow anti-join (`core/util/UniqueFieldsUtil.scala:69-85`).
+    */
+  def dropOverflowGroups(df: DataFrame, keys: Seq[String], maxPerGroup: Long): DataFrame = {
+    val over = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("group_count"))
+      .where(col("group_count") > maxPerGroup)
+      .select(keys.map(col): _*)
+    df.join(over, keys, "left_anti")
+  }
+
+  /** distinctInSet: true iff every distinct value of `field` is in `allowed`
+    * (ValidationBuilder.scala:615-624). One hash-agg, no collect_set on the
+    * driver: count distinct values outside the set.
+    */
+  def distinctInSet(df: DataFrame, field: String, allowed: Seq[Any]): Boolean =
+    df.where(!col(field).isin(allowed: _*))
+      .agg(count_distinct(col(field)).as("bad"))
+      .head().getLong(0) == 0
+
+  /** uniqueValuesProportionBetween (:923-932). Exact by default; set
+    * approx=true for `approx_count_distinct` (HLL) at 10^12-row scale where
+    * the exact distinct shuffle is the bottleneck.
+    */
+  def uniqueValuesProportion(df: DataFrame, field: String, approx: Boolean = false): Double = {
+    val d = if (approx) approx_count_distinct(col(field)) else count_distinct(col(field))
+    val row = df.agg(d.cast("double").as("d"), count(lit(1)).cast("double").as("n")).head()
+    if (row.getDouble(1) == 0) 0.0 else row.getDouble(0) / row.getDouble(1)
+  }
+
+  /** quantileValuesBetween (:944-975): percentile per quantile in one agg.
+    * `approx` uses percentile_approx (t-digest) — the scale path.
+    */
+  def quantiles(df: DataFrame, field: String, qs: Seq[Double], approx: Boolean = false): Seq[Double] = {
+    val aggs = qs.map { q =>
+      if (approx) percentile_approx(col(field), lit(q), lit(10000)).cast("double").as(s"q$q")
+      else expr(s"percentile($field, $q)").cast("double").as(s"q$q")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    qs.indices.map(row.getDouble)
+  }
+
+  /** isIncreasing/isDecreasing (:818-844). The reference orders by
+    * MONOTONICALLY_INCREASING_ID() over an unpartitioned window — a
+    * single-partition shuffle of the whole dataset (SURVEY §4 anti-pattern).
+    * We require an explicit ordering column and partition keys so the window
+    * stays distributed; violations = rows breaking monotonicity within their
+    * partition group.
+    */
+  def monotonicityViolations(
+      df: DataFrame,
+      field: String,
+      orderBy: String,
+      partitionBy: Seq[String],
+      increasing: Boolean = true,
+      strictly: Boolean = false): DataFrame = {
+    val w =
+      if (partitionBy.isEmpty) Window.orderBy(col(orderBy))
+      else Window.partitionBy(partitionBy.map(col): _*).orderBy(col(orderBy))
+    val prev = lag(col(field), 1).over(w)
+    val ok =
+      (increasing, strictly) match {
+        case (true, true) => col(field) > prev
+        case (true, false) => col(field) >= prev
+        case (false, true) => col(field) < prev
+        case (false, false) => col(field) <= prev
+      }
+    df.withColumn("__prev", prev)
+      .where(col("__prev").isNotNull && !ok)
+      .drop("__prev")
+  }
+}

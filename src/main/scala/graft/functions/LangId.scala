@@ -79,24 +79,31 @@ object LangId extends Serializable {
     e
   }
 
-  private def charNgrams(text: String): Iterator[String] = {
-    val t = "^" + text.toLowerCase + "$"
+  /** Char n-grams are taken PER TOKEN with `^`/`$` word-boundary padding
+    * (fastText's subword convention): the n-grams of the word "the" inside a
+    * sentence are then identical to the n-grams of the anchor word "the",
+    * which is what makes the hash-anchored prototypes discriminative.
+    */
+  private def charNgrams(token: String): Iterator[String] = {
+    val t = "^" + token + "$"
     (minNgram to maxNgram).iterator.flatMap { n =>
       if (t.length < n) Iterator.empty
       else (0 to t.length - n).iterator.map(i => t.substring(i, i + n))
     }
   }
 
-  /** Mean hashed-n-gram embedding of a text; zero vector for empty input. */
+  /** Mean hashed-n-gram embedding over all tokens; zero vector for empty. */
   def embed(text: String): Array[Double] = {
     val acc = new Array[Double](dims)
     var n = 0
-    charNgrams(text).foreach { g =>
-      val b = java.lang.Math.floorMod(fnv1a(g), buckets.toLong).toInt
-      val row = embeddings(b)
-      var j = 0
-      while (j < dims) { acc(j) += row(j); j += 1 }
-      n += 1
+    text.toLowerCase.split("\\s+").iterator.filter(_.nonEmpty).foreach { tok =>
+      charNgrams(tok).foreach { g =>
+        val b = java.lang.Math.floorMod(fnv1a(g), buckets.toLong).toInt
+        val row = embeddings(b)
+        var j = 0
+        while (j < dims) { acc(j) += row(j); j += 1 }
+        n += 1
+      }
     }
     if (n > 0) { var j = 0; while (j < dims) { acc(j) /= n; j += 1 } }
     acc

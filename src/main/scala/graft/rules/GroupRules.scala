@@ -109,7 +109,7 @@ object GroupRules {
     val w =
       if (partitionBy.isEmpty) Window.orderBy(col(orderBy))
       else Window.partitionBy(partitionBy.map(col): _*).orderBy(col(orderBy))
-    val prev = lag(col(field), 1).over(w)
+    val prev = col("__prev")
     val ok =
       (increasing, strictly) match {
         case (true, true) => col(field) > prev
@@ -117,8 +117,9 @@ object GroupRules {
         case (false, true) => col(field) < prev
         case (false, false) => col(field) <= prev
       }
-    df.withColumn("__prev", prev)
-      .where(col("__prev").isNotNull && !ok)
+    // window expr must be projected before the filter (not legal in WHERE)
+    df.withColumn("__prev", lag(col(field), 1).over(w))
+      .where(prev.isNotNull && !ok)
       .drop("__prev")
   }
 }

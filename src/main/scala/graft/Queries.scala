@@ -273,6 +273,222 @@ object Queries {
       |      FROM p)
       |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 10""".stripMargin
 
+  // DuckDB twin of TF.normalized → token list
+  private val duckToks =
+    "list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), x -> len(x) > 0)"
+
+  // ---- q11: MinHash + LSH near-dup candidates (banded join — the O(n²)
+  //          all-pairs never materializes) ----
+  private def q11(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.minhashCandidates(
+      t(s, dir, "documents"), "text", "doc_id", k = 8, shingleN = 2, bands = 4, minEqual = 2)
+
+  private val q11Sql =
+    s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+       |sh AS (SELECT doc_id,
+       |         list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1]) AS s
+       |       FROM toks WHERE len(t) >= 2),
+       |sig AS (SELECT doc_id,
+       |          list_transform(generate_series(0, 7),
+       |            i -> list_min(list_transform(s, x -> md5(cast(i AS varchar) || '|' || x)))) AS sg
+       |        FROM sh),
+       |banded AS (SELECT doc_id, sg, r.b AS band, md5(sg[2*r.b+1] || '|' || sg[2*r.b+2]) AS bkey
+       |           FROM sig CROSS JOIN range(0, 4) r(b)),
+       |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.sg AS a_sg, b.sg AS b_sg
+       |          FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+       |          WHERE a.doc_id < b.doc_id)
+       |SELECT a_id, b_id,
+       |  cast(list_sum(list_transform(generate_series(1, 8),
+       |    i -> CASE WHEN a_sg[i] = b_sg[i] THEN 1 ELSE 0 END)) AS int) AS n_equal
+       |FROM pairs
+       |WHERE list_sum(list_transform(generate_series(1, 8),
+       |    i -> CASE WHEN a_sg[i] = b_sg[i] THEN 1 ELSE 0 END)) >= 2""".stripMargin
+
+  // ---- q12: SimHash fingerprint (portable 16-bit variant) ----
+  private def q12(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      graft.dedup.Dedup.simhash16(col("text")).cast("int").as("simhash"))
+
+  private val q12Sql =
+    s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+       |h AS (SELECT doc_id, t,
+       |  list_transform(t, x ->
+       |    (CASE WHEN ascii(substring(md5(x),1,1)) <= 57 THEN ascii(substring(md5(x),1,1)) - 48 ELSE ascii(substring(md5(x),1,1)) - 87 END) * 4096 +
+       |    (CASE WHEN ascii(substring(md5(x),2,1)) <= 57 THEN ascii(substring(md5(x),2,1)) - 48 ELSE ascii(substring(md5(x),2,1)) - 87 END) * 256 +
+       |    (CASE WHEN ascii(substring(md5(x),3,1)) <= 57 THEN ascii(substring(md5(x),3,1)) - 48 ELSE ascii(substring(md5(x),3,1)) - 87 END) * 16 +
+       |    (CASE WHEN ascii(substring(md5(x),4,1)) <= 57 THEN ascii(substring(md5(x),4,1)) - 48 ELSE ascii(substring(md5(x),4,1)) - 87 END)) AS hs
+       |  FROM toks)
+       |SELECT doc_id,
+       |  CASE WHEN len(t) > 0 THEN cast(list_sum(list_transform(generate_series(0, 15), b ->
+       |    CASE WHEN list_sum(list_transform(hs, v ->
+       |      CASE WHEN cast(floor(v / power(2, b)) AS bigint) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+       |    THEN cast(power(2, b) AS int) ELSE 0 END)) AS int) END AS simhash
+       |FROM h""".stripMargin
+
+  // ---- q13: blocked n-gram Jaccard pairs ----
+  private def q13(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.jaccardPairs(
+      t(s, dir, "documents"), "text", "doc_id",
+      floor(col("doc_id") / 40.0).cast("int"))
+      .where(col("n_inter") >= 1)
+
+  private val q13Sql =
+    s"""WITH base AS (SELECT doc_id, cast(floor(doc_id / 40.0) AS int) AS block,
+       |                list_distinct($duckToks) AS toks
+       |              FROM documents)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS n_inter,
+       |  len(list_distinct(list_concat(a.toks, b.toks))) AS n_union
+       |FROM base a JOIN base b ON a.block = b.block AND a.doc_id < b.doc_id
+       |WHERE len(list_filter(a.toks, x -> list_contains(b.toks, x))) >= 1""".stripMargin
+
+  // ---- q14: embedding-cosine near-dup pairs (blocked by label) ----
+  private def q14(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label").as("block"))
+    graft.similarity.Similarity.nearDupPairs(e, threshold = 0.25)
+      .select(col("a_id"), col("b_id"))
+  }
+
+  private val q14Sql =
+    """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec, label AS block FROM embeddings)
+      |SELECT a.id AS a_id, b.id AS b_id
+      |FROM e a JOIN e b ON a.block = b.block AND a.id < b.id
+      |WHERE list_inner_product(a.vec, b.vec) /
+      |      sqrt(list_inner_product(a.vec, a.vec) * list_inner_product(b.vec, b.vec)) >= 0.25""".stripMargin
+
+  // ---- q15: groupBy validation — violating groups (SURVEY §2.5) ----
+  private def q15(s: SparkSession, dir: String): DataFrame =
+    graft.rules.GroupRules.groupByValidation(
+      t(s, dir, "lineitem").withColumn("qty_dec", col("l_quantity").cast("decimal(18,2)")),
+      Seq("l_orderkey"), "qty_dec", "sum", _ <= 150)
+      .withColumnRenamed("sum_qty_dec", "sum_qty")
+
+  private val q15Sql =
+    """SELECT l_orderkey, sum(cast(l_quantity AS decimal(18,2))) AS sum_qty
+      |FROM lineitem GROUP BY l_orderkey
+      |HAVING NOT coalesce(sum(cast(l_quantity AS decimal(18,2))) <= 150, FALSE)""".stripMargin
+
+  // ---- q16: uniqueness validation — duplicate groups ----
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    graft.rules.GroupRules.duplicateGroups(t(s, dir, "orders"), Seq("o_custkey"))
+
+  private val q16Sql =
+    """SELECT o_custkey, count(*) AS group_count
+      |FROM orders GROUP BY o_custkey HAVING count(*) > 1""".stripMargin
+
+  // ---- q17: per-group overflow anti-join (UniqueFieldsUtil.scala:69-85) ----
+  private def q17(s: SparkSession, dir: String): DataFrame =
+    graft.rules.GroupRules.dropOverflowGroups(t(s, dir, "lineitem"), Seq("l_orderkey"), 3)
+      .select(col("l_orderkey"), col("l_linenumber"))
+
+  private val q17Sql =
+    """SELECT l_orderkey, l_linenumber FROM lineitem
+      |WHERE l_orderkey NOT IN
+      |  (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING count(*) > 3)""".stripMargin
+
+  // ---- q18: FK distributed-sampling join: broadcast indexed lookup,
+  //          row-identity-keyed assignment (DistributedSamplingStrategy) ----
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cust = t(s, dir, "customer").select(col("c_custkey")).distinct()
+    // global row_number on the SMALL (lookup) side only — bounded by design;
+    // the big side gets its index from row identity, never a global window
+    val lookup = cust.withColumn("idx",
+      row_number().over(Window.orderBy(col("c_custkey"))).cast("long") - 1)
+    val n = cust.count()
+    t(s, dir, "orders")
+      .withColumn("idx", pmod(col("o_orderkey"), lit(n)))
+      .join(broadcast(lookup), Seq("idx"))
+      .select(col("o_orderkey"), col("c_custkey").as("assigned_custkey"))
+  }
+
+  private val q18Sql =
+    """WITH ck AS (SELECT DISTINCT c_custkey FROM customer),
+      |l AS (SELECT c_custkey, row_number() OVER (ORDER BY c_custkey) - 1 AS idx FROM ck),
+      |n AS (SELECT count(*) AS cnt FROM ck)
+      |SELECT o_orderkey, l.c_custkey AS assigned_custkey
+      |FROM orders CROSS JOIN n JOIN l ON (o_orderkey % n.cnt) = l.idx""".stripMargin
+
+  // ---- q19: per-field-count fan-out via explode(sequence) ----
+  private def q19(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      explode(sequence(lit(1L), lit(1L) + pmod(col("o_orderkey"), lit(3L)))).as("seq_idx"))
+
+  private val q19Sql =
+    """SELECT o_orderkey, unnest(generate_series(1, 1 + o_orderkey % 3)) AS seq_idx
+      |FROM orders""".stripMargin
+
+  // ---- q20: all-combinations cross join (DataGeneratorFactory:102-127) ----
+  private def q20(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(col("l_returnflag")).distinct()
+      .crossJoin(t(s, dir, "lineitem").select(col("l_linestatus")).distinct())
+      .crossJoin(t(s, dir, "region").select(col("r_name")).distinct())
+
+  private val q20Sql =
+    """SELECT l_returnflag, l_linestatus, r_name
+      |FROM (SELECT DISTINCT l_returnflag FROM lineitem)
+      |CROSS JOIN (SELECT DISTINCT l_linestatus FROM lineitem)
+      |CROSS JOIN (SELECT DISTINCT r_name FROM region)""".stripMargin
+
+  // ---- q21: upstream validation anti-join (customers with no urgent
+  //          orders — ValidationOperations.scala:181-224 join validation) ----
+  private def q21(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"))
+
+  private val q21Sql =
+    """SELECT c_custkey FROM customer
+      |WHERE c_custkey NOT IN
+      |  (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin
+
+  // ---- q22: dataset-level stats — quantiles + distinct proportion ----
+  private def q22(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").agg(
+      round(expr("percentile(p_size, 0.25)"), 6).as("p25"),
+      round(expr("percentile(p_size, 0.5)"), 6).as("p50"),
+      round(expr("percentile(p_size, 0.75)"), 6).as("p75"),
+      count_distinct(col("p_brand")).as("n_brands"),
+      count(lit(1)).as("n_rows"))
+
+  private val q22Sql =
+    """SELECT round(quantile_cont(p_size, 0.25), 6) AS p25,
+      |  round(quantile_cont(p_size, 0.5), 6) AS p50,
+      |  round(quantile_cont(p_size, 0.75), 6) AS p75,
+      |  count(DISTINCT p_brand) AS n_brands,
+      |  count(*) AS n_rows
+      |FROM part""".stripMargin
+
+  // ---- q23: sessionization (gap > 30 min) — distributed window per user ----
+  private def q23(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("prev_ts", lag(unix_timestamp(col("ts")), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || unix_timestamp(col("ts")) - col("prev_ts") > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("event_id"), col("user_id"), col("session_seq"))
+  }
+
+  private val q23Sql =
+    """SELECT event_id, user_id,
+      |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |FROM (
+      |  SELECT event_id, user_id, ts,
+      |    CASE WHEN lag(epoch(ts)::BIGINT) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |           OR epoch(ts)::BIGINT - lag(epoch(ts)::BIGINT) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events)""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1 _),
     "q2_quality_rules" -> (q2 _),
@@ -284,6 +500,19 @@ object Queries {
     "q8_fingerprint" -> (q8 _),
     "q9_langid_markers" -> (q9 _),
     "q10_similarity_topk" -> (q10 _),
+    "q11_minhash_lsh" -> (q11 _),
+    "q12_simhash" -> (q12 _),
+    "q13_jaccard_pairs" -> (q13 _),
+    "q14_embedding_neardup" -> (q14 _),
+    "q15_groupby_validation" -> (q15 _),
+    "q16_unique_violations" -> (q16 _),
+    "q17_overflow_antijoin" -> (q17 _),
+    "q18_fk_sample_join" -> (q18 _),
+    "q19_explode_fanout" -> (q19 _),
+    "q20_all_combinations" -> (q20 _),
+    "q21_upstream_antijoin" -> (q21 _),
+    "q22_dataset_stats" -> (q22 _),
+    "q23_sessionize" -> (q23 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -297,5 +526,18 @@ object Queries {
     "q8_fingerprint" -> q8Sql,
     "q9_langid_markers" -> q9Sql,
     "q10_similarity_topk" -> q10Sql,
+    "q11_minhash_lsh" -> q11Sql,
+    "q12_simhash" -> q12Sql,
+    "q13_jaccard_pairs" -> q13Sql,
+    "q14_embedding_neardup" -> q14Sql,
+    "q15_groupby_validation" -> q15Sql,
+    "q16_unique_violations" -> q16Sql,
+    "q17_overflow_antijoin" -> q17Sql,
+    "q18_fk_sample_join" -> q18Sql,
+    "q19_explode_fanout" -> q19Sql,
+    "q20_all_combinations" -> q20Sql,
+    "q21_upstream_antijoin" -> q21Sql,
+    "q22_dataset_stats" -> q22Sql,
+    "q23_sessionize" -> q23Sql,
   )
 }

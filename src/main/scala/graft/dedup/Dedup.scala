@@ -1,0 +1,276 @@
+package graft.dedup
+
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for web-scale corpora: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, and Bloom-filter assisted — the training-data
+  * pipeline staples. All are expressed as DataFrame transformations (shuffle
+  * only where semantically required: the LSH band join and the group-bys).
+  *
+  * Reference lineage: the reference dedups per-batch with `dropDuplicates` +
+  * a cross-batch broadcast BloomFilter (`core/util/UniqueFieldsUtil.scala:
+  * 21-110`); we keep both and add the near-dup family it lacks.
+  *
+  * Portability: where an operator is also exposed as a driver-checked oracle
+  * query, hashes are md5-derived ([[TF.portableHash]]) so DuckDB computes the
+  * same values. Spark-only paths (Bloom) use xxhash64 — faster, codegen'd.
+  */
+object Dedup {
+
+  // ---------- exact ----------
+
+  /** Exact dedup on a normalized-text fingerprint: keeps the row with the
+    * minimal `idCol` per group. Aggregate-based (map-side partial min) —
+    * never a window over the whole dataset.
+    */
+  def exactSurvivors(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(TF.normalized(col(textCol))).as("fp"))
+      .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("dup_count"))
+
+  /** dropDuplicates-style: keep one row per normalized text (arbitrary
+    * winner — cheaper than survivors when the choice doesn't matter).
+    */
+  def dropExact(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("__fp", md5(TF.normalized(col(textCol))))
+      .dropDuplicates("__fp")
+      .drop("__fp")
+
+  // ---------- MinHash + LSH ----------
+
+  /** K md5-derived min-hash values over word n-gram shingles (portable:
+    * lexicographic min over md5 hex strings — same result in DuckDB/any
+    * engine). Empty shingle set → null signature.
+    */
+  def minhashSignature(text: Column, k: Int, shingleN: Int): Column = {
+    val sh = TF.shingles(text, shingleN)
+    when(size(sh) > 0,
+      transform(sequence(lit(0), lit(k - 1)),
+        i => array_min(transform(sh, s => md5(concat(i.cast("string"), lit("|"), s))))))
+  }
+
+  /** Candidate near-duplicate pairs via banded LSH over the minhash
+    * signature: rows sharing any band hash become candidates; candidates are
+    * scored by the fraction of equal signature components (the unbiased
+    * Jaccard estimate). Only candidate pairs are scored — the
+    * all-pairs O(n²) never materializes; the band join is the shuffle.
+    *
+    * Returns (a_id, b_id, n_equal) with a_id < b_id, n_equal ∈ [minEqual, k].
+    */
+  def minhashCandidates(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 8,
+      shingleN: Int = 2,
+      bands: Int = 4,
+      minEqual: Int = 4): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val sigs = df.select(col(idCol).as("id"), minhashSignature(col(textCol), k, shingleN).as("sig"))
+      .where(col("sig").isNotNull)
+    // band key = md5 over the band's slice of the signature
+    val banded = sigs.select(
+      col("id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          md5(concat_ws("|", slice(col("sig"), b * r + 1, lit(r)))).as("bkey")))).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.bkey"))
+    val a = banded.select(col("band"), col("bkey"), col("id").as("a_id"), col("sig").as("a_sig"))
+    val b = banded.select(col("band"), col("bkey"), col("id").as("b_id"), col("sig").as("b_sig"))
+    val nEqual = size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y), p => p))
+    a.join(b, Seq("band", "bkey"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_sig"), col("b_sig"))
+      .distinct() // a pair may collide in several bands
+      .withColumn("n_equal", nEqual)
+      .where(col("n_equal") >= minEqual)
+      .select(col("a_id"), col("b_id"), col("n_equal"))
+  }
+
+  // ---------- SimHash ----------
+
+  /** 16-bit SimHash over whitespace tokens, built PORTABLY: per-token hash =
+    * first 4 hex digits of md5 decoded by character position arithmetic (no
+    * engine-specific hex cast), per-bit ±1 voting, sign → bit. Small width
+    * keeps the oracle SQL tractable; the Spark-only 64-bit variant is
+    * [[simhash64]].
+    */
+  def simhash16(text: Column): Column = {
+    val toks = TF.tokens(TF.normalized(text))
+    // hex digit value from its ascii code ('0'..'9' → 0..9, 'a'..'f' → 10..15)
+    // — pure arithmetic, identical in DuckDB
+    val hexv = (c: Column) =>
+      when(ascii(c) <= 57, ascii(c) - 48).otherwise(ascii(c) - 87)
+    // token hash value in [0, 65535]
+    val tokHash = (t: Column) => {
+      val h = md5(t)
+      hexv(substring(h, 1, 1)) * 4096 + hexv(substring(h, 2, 1)) * 256 +
+        hexv(substring(h, 3, 1)) * 16 + hexv(substring(h, 4, 1))
+    }
+    val hashes = transform(toks, tokHash)
+    // bit extraction by division arithmetic (no engine-specific shift ops —
+    // identical in DuckDB: floor(v / 2^b) % 2); values are < 2^16 so double
+    // arithmetic is exact
+    val bits = transform(sequence(lit(0), lit(15)), b => {
+      val p = pow(lit(2.0), b.cast("double"))
+      val vote = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(pmod(floor(h / p).cast("long"), lit(2)) === 1, 1).otherwise(-1))
+      when(vote > 0, p.cast("int")).otherwise(lit(0))
+    })
+    when(size(toks) > 0, aggregate(bits, lit(0), (acc, x) => acc + x))
+  }
+
+  /** 64-bit SimHash via xxhash64 (Spark-native fast path; not portable to
+    * the DuckDB oracle — verified by ScalaTest against a Scala reference
+    * implementation instead).
+    */
+  def simhash64(text: Column): Column = {
+    val toks = TF.tokens(TF.normalized(text))
+    val hashes = transform(toks, t => xxhash64(t))
+    val bits = transform(sequence(lit(0), lit(63)), b => {
+      val vote = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(call_function("getbit", h, b) === 1, 1).otherwise(-1))
+      when(vote > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))
+    })
+    when(size(toks) > 0, aggregate(bits, lit(0L), (acc, x) => acc.bitwiseOR(x)))
+  }
+
+  /** Scala reference for simhash64 (test oracle). */
+  def simhash64Scala(text: String): Long = {
+    val toks = text.toLowerCase.replaceAll("\\s+", " ").trim
+      .split("\\s+").filter(_.nonEmpty)
+    if (toks.isEmpty) return 0L // matches SQL NULL→caller handles
+    val votes = new Array[Int](64)
+    toks.foreach { t =>
+      val h = XxHash.hashString(t)
+      var b = 0
+      while (b < 64) { votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1); b += 1 }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Hamming distance between two 64-bit simhashes as a Column. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ---------- n-gram Jaccard ----------
+
+  /** Pairwise Jaccard similarity of distinct-token sets within a blocking
+    * key (never all-pairs: the block join is the only shuffle; blocks must
+    * be chosen so |block|² stays bounded — at 10^12 rows that means LSH
+    * ([[minhashCandidates]]) supersedes this exact variant).
+    * Returns (a_id, b_id, n_inter, n_union).
+    */
+  def jaccardPairs(df: DataFrame, textCol: String, idCol: String, blockCol: Column): DataFrame = {
+    val toks = array_distinct(TF.tokens(TF.normalized(col(textCol))))
+    val base = df.select(blockCol.as("block"), col(idCol).as("id"), toks.as("toks"))
+    val a = base.select(col("block"), col("id").as("a_id"), col("toks").as("a_toks"))
+    val b = base.select(col("block"), col("id").as("b_id"), col("toks").as("b_toks"))
+    a.join(b, Seq("block"))
+      .where(col("a_id") < col("b_id"))
+      .select(
+        col("a_id"), col("b_id"),
+        size(array_intersect(col("a_toks"), col("b_toks"))).as("n_inter"),
+        size(array_union(col("a_toks"), col("b_toks"))).as("n_union"))
+  }
+
+  // ---------- Bloom-filter assisted (reference UniqueFieldsUtil pattern) ----------
+
+  /** Cross-batch dedup assist: builds a BloomFilter over `keyCol` of
+    * `previous` (driver-side sketch, broadcast to executors — the
+    * reference's `UniqueFieldsUtil.scala:87-110` pattern), then filters
+    * `current` to rows whose key is definitely-new. False positives drop a
+    * few new rows (tunable fpp), never duplicate — the right tradeoff for
+    * dedup.
+    */
+  def bloomNewRows(
+      current: DataFrame,
+      previous: DataFrame,
+      keyCol: String,
+      expectedItems: Long,
+      fpp: Double = 0.01): DataFrame = {
+    val bf = previous.stat.bloomFilter(keyCol, math.max(expectedItems, 1L), fpp)
+    val spark = current.sparkSession
+    val bfB = spark.sparkContext.broadcast(bf)
+    val notSeen = udf((k: String) => k != null && !bfB.value.mightContainString(k))
+    current.where(notSeen(col(keyCol).cast("string")))
+  }
+}
+
+/** Minimal xxhash64 (seed 42) matching Spark's `xxhash64` on UTF-8 string
+  * input — used by Scala-side test oracles so Spark-only hash paths are
+  * still independently checked.
+  */
+object XxHash {
+  private final val P1 = -7046029288634856825L
+  private final val P2 = -4417276706812531889L
+  private final val P3 = 1609587929392839161L
+  private final val P4 = -8796714831421723037L
+  private final val P5 = 2870177450012600261L
+
+  def hashString(s: String): Long =
+    hashBytes(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), 42L)
+
+  def hashBytes(data: Array[Byte], seed: Long): Long = {
+    val length = data.length
+    var offset = 0
+    var hash: Long =
+      if (length >= 32) {
+        var v1 = seed + P1 + P2
+        var v2 = seed + P2
+        var v3 = seed
+        var v4 = seed - P1
+        while (offset + 32 <= length) {
+          v1 = round(v1, getLong(data, offset))
+          v2 = round(v2, getLong(data, offset + 8))
+          v3 = round(v3, getLong(data, offset + 16))
+          v4 = round(v4, getLong(data, offset + 24))
+          offset += 32
+        }
+        var h = java.lang.Long.rotateLeft(v1, 1) + java.lang.Long.rotateLeft(v2, 7) +
+          java.lang.Long.rotateLeft(v3, 12) + java.lang.Long.rotateLeft(v4, 18)
+        h = mergeRound(h, v1); h = mergeRound(h, v2)
+        h = mergeRound(h, v3); h = mergeRound(h, v4)
+        h
+      } else seed + P5
+    hash += length
+    while (offset + 8 <= length) {
+      hash ^= round(0L, getLong(data, offset))
+      hash = java.lang.Long.rotateLeft(hash, 27) * P1 + P4
+      offset += 8
+    }
+    if (offset + 4 <= length) {
+      hash ^= (getInt(data, offset) & 0xffffffffL) * P1
+      hash = java.lang.Long.rotateLeft(hash, 23) * P2 + P3
+      offset += 4
+    }
+    while (offset < length) {
+      hash ^= (data(offset) & 0xffL) * P5
+      hash = java.lang.Long.rotateLeft(hash, 11) * P1
+      offset += 1
+    }
+    hash ^= hash >>> 33
+    hash *= P2
+    hash ^= hash >>> 29
+    hash *= P3
+    hash ^ (hash >>> 32)
+  }
+
+  private def round(acc: Long, input: Long): Long =
+    java.lang.Long.rotateLeft(acc + input * P2, 31) * P1
+
+  private def mergeRound(h0: Long, v: Long): Long =
+    (h0 ^ round(0L, v)) * P1 + P4
+
+  private def getLong(d: Array[Byte], i: Int): Long =
+    (d(i) & 0xffL) | ((d(i + 1) & 0xffL) << 8) | ((d(i + 2) & 0xffL) << 16) |
+      ((d(i + 3) & 0xffL) << 24) | ((d(i + 4) & 0xffL) << 32) |
+      ((d(i + 5) & 0xffL) << 40) | ((d(i + 6) & 0xffL) << 48) | ((d(i + 7) & 0xffL) << 56)
+
+  private def getInt(d: Array[Byte], i: Int): Int =
+    (d(i) & 0xff) | ((d(i + 1) & 0xff) << 8) | ((d(i + 2) & 0xff) << 16) | ((d(i + 3) & 0xff) << 24)
+}

@@ -1,0 +1,121 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`): brute-force cosine top-k as the exact baseline, and a
+  * random-hyperplane-LSH bucketed variant as the scale path (bounded
+  * candidate sets instead of the full cross product).
+  *
+  * All math is done in double via `zip_with`/`aggregate` higher-order
+  * functions — codegen'd Catalyst expressions, no UDFs (SURVEY §7.3
+  * philosophy). Deterministic: hyperplanes derive from a seed via the same
+  * splitmix64 stream the corpus generator uses.
+  */
+object Similarity {
+
+  /** dot(a, b) in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, z) => acc + z)
+
+  def norm2(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / sqrt(norm2(a) * norm2(b))
+
+  /** Exact brute-force top-k: queries × candidates with the (small) query
+    * side BROADCAST, ranked per query. Cost O(|Q|·|C|) — the baseline; use
+    * [[annTopK]] when |Q| is large.
+    */
+  def bruteForceTopK(
+      queries: DataFrame, // (query_id, qe)
+      candidates: DataFrame, // (neighbor_id, ce)
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    candidates.crossJoin(broadcast(queries))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("qe"), col("ce")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("sim"))
+  }
+
+  /** Deterministic random hyperplane (unit-free; sign only matters). */
+  private def hyperplane(seed: Long, plane: Int, dims: Int): Array[Double] = {
+    def splitmix64(s: Long): Long = {
+      var z = s + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Array.tabulate(dims) { j =>
+      val r = splitmix64(seed * 1315423911L + plane.toLong * 2654435761L + j)
+      (r >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+  }
+
+  /** Sign-LSH bucket id: `planes`-bit signature from random hyperplanes.
+    * Vectors with high cosine land in the same bucket with high probability.
+    */
+  def lshBucket(vec: Column, dims: Int, planes: Int, seed: Long): Column = {
+    val bits = (0 until planes).map { p =>
+      val hp = hyperplane(seed, p, dims)
+      val proj = aggregate(
+        zip_with(vec, lit(hp), (x, h) => x.cast("double") * h),
+        lit(0.0), (acc, z) => acc + z)
+      when(proj >= 0, lit(1 << p)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN top-k: bucket both sides with sign-LSH, join within bucket (plus
+    * optional multi-probe via XOR-adjacent buckets), rank within candidates.
+    * Recall < 1 by construction; scale path for large query sets — the
+    * shuffle is a hash join on bucket id, never a cross product.
+    */
+  def annTopK(
+      queries: DataFrame, // (query_id, qe)
+      candidates: DataFrame, // (neighbor_id, ce)
+      dims: Int,
+      k: Int,
+      planes: Int = 8,
+      seed: Long = 42L,
+      multiProbe: Int = 1): DataFrame = {
+    val qb = queries.withColumn("bucket0", lshBucket(col("qe"), dims, planes, seed))
+    // multi-probe: also search buckets at hamming distance 1 on lowest bits
+    val probes = (0 until math.max(1, multiProbe)).map {
+      case 0 => col("bucket0")
+      case i => col("bucket0").bitwiseXOR(lit(1 << (i - 1)))
+    }
+    val qexp = qb.withColumn("bucket", explode(array(probes: _*)))
+      .select(col("query_id"), col("qe"), col("bucket"))
+    val cb = candidates.withColumn("bucket", lshBucket(col("ce"), dims, planes, seed))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    qexp.join(cb, Seq("bucket"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qe"), col("ce"))
+      .distinct() // multi-probe may produce the same pair twice
+      .withColumn("sim", cosine(col("qe"), col("ce")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs within a blocking key (training-
+    * data dedup by semantic similarity). Exact within block.
+    */
+  def nearDupPairs(
+      df: DataFrame, // (id, vec, block)
+      threshold: Double): DataFrame = {
+    val a = df.select(col("block"), col("id").as("a_id"), col("vec").as("a_vec"))
+    val b = df.select(col("block"), col("id").as("b_id"), col("vec").as("b_vec"))
+    a.join(b, Seq("block"))
+      .where(col("a_id") < col("b_id"))
+      .withColumn("sim", cosine(col("a_vec"), col("b_vec")))
+      .where(col("sim") >= threshold)
+      .select(col("a_id"), col("b_id"), col("sim"))
+  }
+}

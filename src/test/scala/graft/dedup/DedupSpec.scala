@@ -1,0 +1,78 @@
+package graft.dedup
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSuite {
+  import graft.SharedSpark.spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "The  Quick Brown Fox jumps over the lazy dog"), // exact dup of 1 after normalization
+    (4L, "completely different text about spark and catalyst engines"),
+    (5L, "short"),
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: normalization-equal rows collapse, min id survives") {
+    val surv = Dedup.exactSurvivors(docs, "text", "doc_id")
+    assert(surv.count() == 4)
+    val r = surv.where(col("dup_count") === 2).head()
+    assert(r.getLong(1) == 1L) // survivor_id = min(1, 3)
+    assert(Dedup.dropExact(docs, "text").count() == 4)
+  }
+
+  test("minhash LSH: near-dups are candidates with high n_equal; unrelated are not") {
+    val cands = Dedup.minhashCandidates(docs, "text", "doc_id",
+      k = 8, shingleN = 2, bands = 4, minEqual = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // exact dup pair (1,3) must have a full signature match
+    assert(cands.exists { case (a, b, n) => a == 1L && b == 3L && n == 8 })
+    // near-dup (1,2): 8/9 shared shingles → high component agreement
+    assert(cands.exists { case (a, b, _) => a == 1L && b == 2L })
+    // doc 4 shares nothing
+    assert(!cands.exists { case (a, b, _) => a == 4L || b == 4L })
+  }
+
+  test("simhash64 matches the Scala reference implementation (xxhash parity)") {
+    val got = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs.collect().foreach { r =>
+      val id = r.getLong(0)
+      val expected = Dedup.simhash64Scala(r.getString(1))
+      assert(got(id) == expected, s"simhash mismatch for doc $id")
+    }
+  }
+
+  test("simhash: near-dups within small hamming distance, unrelated far") {
+    val sh = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sh"))
+    val a = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    val d = a.crossJoin(b).where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), Dedup.hamming64(col("a_sh"), col("b_sh")).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Number](2).longValue()).toMap
+    assert(d((1L, 3L)) == 0) // normalization-identical
+    assert(d((1L, 2L)) <= 12) // near-dup
+    assert(d((1L, 4L)) > 12) // unrelated
+  }
+
+  test("xxhash64 Scala impl matches Spark's xxhash64 exactly") {
+    val strs = Seq("", "a", "abc", "the quick brown fox", "ünïcøde 猫 text",
+      "0123456789012345678901234567890123456789")
+    val sparkHashes = strs.toDF("s").select(xxhash64(col("s"))).collect().map(_.getLong(0))
+    strs.zip(sparkHashes).foreach { case (s, exp) =>
+      assert(XxHash.hashString(s) == exp, s"xxhash mismatch for '$s'")
+    }
+  }
+
+  test("bloom-filter dedup: previously-seen keys filtered, new keys pass") {
+    val previous = (1 to 1000).map(i => s"key$i").toDF("k")
+    val current = (900 to 1100).map(i => s"key$i").toDF("k")
+    val fresh = Dedup.bloomNewRows(current, previous, "k", expectedItems = 1000, fpp = 0.001)
+      .as[String].collect().toSet
+    // no previously-seen key survives (bloom has no false negatives)
+    assert(fresh.forall(k => k.drop(3).toInt > 1000))
+    // almost all genuinely-new keys survive (fpp bounded)
+    assert(fresh.size >= 95)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.similarity
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSuite {
+  import graft.SharedSpark.spark.implicits._
+
+  private def unit(xs: Double*): Array[Float] = {
+    val n = math.sqrt(xs.map(x => x * x).sum)
+    xs.map(x => (x / n).toFloat).toArray
+  }
+
+  // deterministic pseudo-random vectors, clustered around two poles
+  private def randVec(seed: Int, dims: Int, pole: Int): Array[Float] = {
+    val rng = new scala.util.Random(seed)
+    val base = Array.tabulate(dims)(j => if (pole == 0) math.sin(j * 0.7) else math.cos(j * 0.9))
+    base.map(x => (x + rng.nextGaussian() * 0.15).toFloat)
+  }
+
+  private val dims = 16
+  private lazy val vectors = (0 until 40).map { i =>
+    (i.toLong, randVec(i, dims, i % 2), i % 2)
+  }.toDF("id", "vec", "pole")
+
+  test("brute-force topK: nearest neighbors share the pole") {
+    val qs = vectors.where(col("id") < 2)
+      .select(col("id").as("query_id"), col("vec").as("qe"))
+    val cs = vectors.select(col("id").as("neighbor_id"), col("vec").as("ce"))
+    val top = Similarity.bruteForceTopK(qs, cs, k = 5).collect()
+    assert(top.length == 10)
+    top.foreach { r =>
+      val q = r.getLong(0); val n = r.getLong(1)
+      assert(q % 2 == n % 2, s"query $q got cross-pole neighbor $n")
+      assert(r.getDouble(3) > 0.8)
+    }
+  }
+
+  test("ANN topK: recall vs brute force is high on clustered data") {
+    val qs = vectors.where(col("id") < 8)
+      .select(col("id").as("query_id"), col("vec").as("qe"))
+    val cs = vectors.select(col("id").as("neighbor_id"), col("vec").as("ce"))
+    val exact = Similarity.bruteForceTopK(qs, cs, k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.annTopK(qs, cs, dims, k = 3, planes = 4, multiProbe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    info(s"ANN recall = $recall (${ann.size} returned)")
+    assert(recall >= 0.5) // sign-LSH with 4 planes on tightly clustered data
+  }
+
+  test("lshBucket: identical vectors get identical buckets; opposite vectors differ") {
+    val d = Seq(
+      (1L, unit(1, 0, 0, 1)), (2L, unit(1, 0, 0, 1)), (3L, unit(-1, 0, 0, -1))
+    ).toDF("id", "vec")
+    val b = d.select(col("id"), Similarity.lshBucket(col("vec"), 4, 8, 42L).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(b(1L) == b(2L))
+    assert(b(1L) != b(3L))
+  }
+
+  test("cosine column math is exact") {
+    val d = Seq((unit(1, 0), unit(0, 1)), (unit(1, 1), unit(1, 1))).toDF("a", "b")
+    val sims = d.select(Similarity.cosine(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(math.abs(sims(0)) < 1e-7)
+    assert(math.abs(sims(1) - 1.0) < 1e-7)
+  }
+}

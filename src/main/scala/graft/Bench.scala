@@ -1,20 +1,41 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 object Bench {
+  /** Pipeline throughput benchmark: full quality-filter over a synthesized
+    * corpus of `n` rows; returns (seconds, rows kept). Corpus generation is
+    * part of the measured work (it is the "scan" of this workload).
+    */
+  def pipelineRun(spark: org.apache.spark.sql.SparkSession, n: Long, partitions: Int): (Double, Long) = {
+    val t0 = System.nanoTime()
+    val corpus = corpus_gen(spark, n, partitions)
+    val kept = pipeline.QualityFilter.run(spark, corpus)
+      .where(col(rules.RuleEngine.KeepCol)).count()
+    ((System.nanoTime() - t0) / 1e9, kept)
+  }
+  private def corpus_gen(spark: org.apache.spark.sql.SparkSession, n: Long, p: Int) =
+    corpus.SyntheticImages.generate(spark, n, seed = 42L, partitions = p)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val pipelineRows = sys.env.getOrElse("SPARK_GRAFT_PIPELINE_ROWS", "500000").toLong
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // warmup: JVM/codegen/shuffle paths, so per-query numbers are marginal cost
+    SparkEntry.queries.get("q1_agg").foreach(fn => fn(spark, sfDir).count())
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      results(name) = (System.nanoTime() - t0) / 1e9
     }
+    val (pipeSec, _) = pipelineRun(spark, pipelineRows, cpus * 4)
+    results("pipeline_synth") = pipeSec
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.sum
+    val imgsPerSec = (pipelineRows / pipeSec).toLong
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_rows":$pipelineRows,"pipeline_images_per_sec":$imgsPerSec}""")
     spark.stop()
   }
 }

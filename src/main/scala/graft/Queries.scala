@@ -281,7 +281,8 @@ object Queries {
   //          all-pairs never materializes) ----
   private def q11(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.minhashCandidates(
-      t(s, dir, "documents"), "text", "doc_id", k = 8, shingleN = 2, bands = 4, minEqual = 2)
+      t(s, dir, "documents"), "text", "doc_id",
+      k = 16, shingleN = 2, bands = 4, minEqual = 8, maxBucket = 500)
 
   private val q11Sql =
     s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
@@ -289,20 +290,24 @@ object Queries {
        |         list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1]) AS s
        |       FROM toks WHERE len(t) >= 2),
        |sig AS (SELECT doc_id,
-       |          list_transform(generate_series(0, 7),
+       |          list_transform(generate_series(0, 15),
        |            i -> list_min(list_transform(s, x -> md5(cast(i AS varchar) || '|' || x)))) AS sg
        |        FROM sh),
-       |banded AS (SELECT doc_id, sg, r.b AS band, md5(sg[2*r.b+1] || '|' || sg[2*r.b+2]) AS bkey
+       |banded AS (SELECT doc_id, sg, r.b AS band,
+       |             md5(sg[4*r.b+1] || '|' || sg[4*r.b+2] || '|' || sg[4*r.b+3] || '|' || sg[4*r.b+4]) AS bkey
        |           FROM sig CROSS JOIN range(0, 4) r(b)),
-       |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.sg AS a_sg, b.sg AS b_sg
-       |          FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
-       |          WHERE a.doc_id < b.doc_id)
+       |capped AS (SELECT * FROM banded QUALIFY count(*) OVER (PARTITION BY band, bkey) <= 500),
+       |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |          FROM capped a JOIN capped b ON a.band = b.band AND a.bkey = b.bkey
+       |          WHERE a.doc_id < b.doc_id),
+       |j AS (SELECT a_id, b_id, sa.sg AS a_sg, sb.sg AS b_sg
+       |      FROM pairs JOIN sig sa ON sa.doc_id = a_id JOIN sig sb ON sb.doc_id = b_id)
        |SELECT a_id, b_id,
-       |  cast(list_sum(list_transform(generate_series(1, 8),
+       |  cast(list_sum(list_transform(generate_series(1, 16),
        |    i -> CASE WHEN a_sg[i] = b_sg[i] THEN 1 ELSE 0 END)) AS int) AS n_equal
-       |FROM pairs
-       |WHERE list_sum(list_transform(generate_series(1, 8),
-       |    i -> CASE WHEN a_sg[i] = b_sg[i] THEN 1 ELSE 0 END)) >= 2""".stripMargin
+       |FROM j
+       |WHERE list_sum(list_transform(generate_series(1, 16),
+       |    i -> CASE WHEN a_sg[i] = b_sg[i] THEN 1 ELSE 0 END)) >= 8""".stripMargin
 
   // ---- q12: SimHash fingerprint (portable 16-bit variant) ----
   private def q12(s: SparkSession, dir: String): DataFrame =

@@ -83,10 +83,13 @@ object SyntheticImages {
     magic ++ payload
   }
 
-  private def makeCaption(rng: Rng): String = {
+  /** (caption, language) — language is null for null/empty/soup captions.
+    * Exposed so specs can measure langid accuracy against the true label.
+    */
+  private def makeCaption(rng: Rng): (String, String) = {
     val roll = rng.nextDouble()
-    if (roll < 0.03) return null
-    if (roll < 0.05) return ""
+    if (roll < 0.03) return (null, null)
+    if (roll < 0.05) return ("", null)
     val lang = {
       val r = rng.nextDouble() // skewed: en-heavy (hot-language skew, SURVEY §7.4.4)
       if (r < 0.55) "en" else if (r < 0.70) "es" else if (r < 0.82) "fr" else if (r < 0.93) "de" else "zh"
@@ -94,30 +97,35 @@ object SyntheticImages {
     val words = wordlists(lang)
     if (roll < 0.09) { // high repetition
       val w = words(rng.nextInt(words.length))
-      return Array.fill(20 + rng.nextInt(20))(w).mkString(" ")
+      return (Array.fill(20 + rng.nextInt(20))(w).mkString(" "), lang)
     }
     if (roll < 0.12) { // symbol soup
       val syms = "$#@!%^&*()=+~"
-      return Array.fill(15 + rng.nextInt(20))(syms(rng.nextInt(syms.length))).mkString(" ")
+      return (Array.fill(15 + rng.nextInt(20))(syms(rng.nextInt(syms.length))).mkString(" "), null)
     }
-    if (roll < 0.14) return words(rng.nextInt(words.length)) // too few words
-    if (roll < 0.15) return "a" * (8 + rng.nextInt(10)) + " run of chars here" // char run
+    if (roll < 0.14) return (words(rng.nextInt(words.length)), lang) // too few words
+    if (roll < 0.15) return ("a" * (8 + rng.nextInt(10)) + " run of chars here", "en") // char run
     val n = 6 + rng.nextInt(15)
     val base = (0 until n).map(_ => words(rng.nextInt(words.length))).mkString(" ")
     val plant = rng.nextDouble()
-    if (plant < 0.05) s"$base contact me at user${rng.nextInt(999)}@example.com please"
-    else if (plant < 0.08) s"$base call +1 555-${100 + rng.nextInt(900)}-${1000 + rng.nextInt(9000)} now"
-    else if (plant < 0.10) s"$base ssn ${100 + rng.nextInt(900)}-${10 + rng.nextInt(90)}-${1000 + rng.nextInt(9000)} leaked"
-    else if (plant < 0.12) s"$base ${graft.functions.Scrubber.lexicon(rng.nextInt(graft.functions.Scrubber.lexicon.size))} content"
-    else base
+    val cap =
+      if (plant < 0.05) s"$base contact me at user${rng.nextInt(999)}@example.com please"
+      else if (plant < 0.08) s"$base call +1 555-${100 + rng.nextInt(900)}-${1000 + rng.nextInt(9000)} now"
+      else if (plant < 0.10) s"$base ssn ${100 + rng.nextInt(900)}-${10 + rng.nextInt(90)}-${1000 + rng.nextInt(9000)} leaked"
+      else if (plant < 0.12) s"$base ${graft.functions.Scrubber.lexicon(rng.nextInt(graft.functions.Scrubber.lexicon.size))} content"
+      else base
+    (cap, lang)
   }
 
   /** Pure row generator — the single source of truth shared by the Spark
     * generator and any driver-side check.
     */
-  def row(i: Long, seed: Long): ImageRow = {
+  def row(i: Long, seed: Long): ImageRow = rowWithLang(i, seed)._1
+
+  /** Row plus its true caption language (null when corrupted) — spec use. */
+  def rowWithLang(i: Long, seed: Long): (ImageRow, String) = {
     val rng = new Rng(seed, i)
-    val caption = makeCaption(rng)
+    val (caption, trueLang) = makeCaption(rng)
     val dimRoll = rng.nextDouble()
     val (w, h) =
       if (dimRoll < 0.02) (Seq(0, -1, 1000000)(rng.nextInt(3)), 64 + rng.nextInt(512))
@@ -134,7 +142,7 @@ object SyntheticImages {
       else if (cRoll < 0.30) 1L + rng.nextInt(4)
       else 5L + java.lang.Math.floorMod(rng.nextLong(), 100000L)
     val phash = cluster * 64L + rng.nextInt(4) // near-duplicates share high bits
-    ImageRow(f"IMG$i%012d", makeBytes(fmt, rng), w, h, fmt, caption, phash)
+    (ImageRow(f"IMG$i%012d", makeBytes(fmt, rng), w, h, fmt, caption, phash), trueLang)
   }
 
   /** Distributed generator: `spark.range` (Catalyst Range — splittable,

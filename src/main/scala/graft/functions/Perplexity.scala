@@ -68,17 +68,28 @@ object Perplexity extends Serializable {
     * avoided — null/empty returns NaN, callers treat it via their null rules
     * first.
     */
+  // Hot path: log((ct+k)/(cb+kV)) = logTri(kt) - logBi(kb) with the logs
+  // PRECOMPUTED per table entry - score() then does two hash lookups and a
+  // subtraction per character, zero Math.log calls at scoring time.
+  private lazy val logTables: (mutable.LongMap[Double], mutable.LongMap[Double], Double, Double) = {
+    val lt = new mutable.LongMap[Double](tri.size * 2)
+    tri.foreach { case (k, c) => lt.update(k, math.log(c + addK)) }
+    val lb = new mutable.LongMap[Double](bi.size * 2)
+    bi.foreach { case (k, c) => lb.update(k, math.log(c + addK * vocab)) }
+    (lt, lb, math.log(addK), math.log(addK * vocab))
+  }
+
   def score(text: String): Double = {
     if (text == null || text.isEmpty) return Double.NaN
-    val (t, b) = (tri, bi)
-    val s = "" + text.toLowerCase + ""
+    val (lt, lb, ltDef, lbDef) = logTables
+    val s = text.toLowerCase
     var logSum = 0.0
     var n = 0
     var i = 2
     while (i < s.length) {
-      val ct = t.getOrElse(key(s.charAt(i - 2), s.charAt(i - 1), s.charAt(i)), 0)
-      val cb = b.getOrElse(key2(s.charAt(i - 2), s.charAt(i - 1)), 0)
-      logSum += math.log((ct + addK) / (cb + addK * vocab))
+      val kt = key(s.charAt(i - 2), s.charAt(i - 1), s.charAt(i))
+      val kb = key2(s.charAt(i - 2), s.charAt(i - 1))
+      logSum += lt.getOrElse(kt, ltDef) - lb.getOrElse(kb, lbDef)
       n += 1
       i += 1
     }

@@ -96,4 +96,36 @@ object Scrubber {
         n -> c
       }.toMap
     }
+
+  /** FUSED single-pass scrub+count — the pipeline hot path. One matcher
+    * sweep per category (find + appendReplacement counts and replaces in
+    * the same pass), ~2× fewer regex passes than scrubScala +
+    * scrubCountsScala and ~3× fewer than the staged Column chain. Output is
+    * IDENTICAL to (scrubScala, scrubCountsScala) — fuzz-verified by
+    * ScrubberSpec.
+    */
+  def scrubWithCounts(text: String): (String, Array[Int]) = {
+    if (text == null) return (null, new Array[Int](compiled.size))
+    val counts = new Array[Int](compiled.size)
+    var t = text
+    var i = 0
+    compiled.foreach { case (_, p, r) =>
+      val m = p.matcher(t)
+      if (m.find()) {
+        val sb = new java.lang.StringBuilder(t.length + 16)
+        var c = 0
+        do {
+          c += 1
+          m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(r))
+        } while (m.find())
+        m.appendTail(sb)
+        counts(i) = c
+        t = sb.toString
+      }
+      i += 1
+    }
+    (t, counts)
+  }
+
+  val categoryNames: Array[String] = allPatterns.map(_._1).toArray
 }

@@ -34,7 +34,9 @@ object Oracle {
     */
   def dropReason(r: ImageRow, cfg: FilterConfig): Option[String] = {
     val cap = r.caption
-    val capBlank = cap == null || cap.trim.isEmpty
+    // missing = null or tokenless (only \s chars) — token-based so the
+    // definition is identical across engine paths and the oracle
+    val capBlank = cap == null || tokens(cap).isEmpty
     if (capBlank) return Some("caption_missing")
     if (!(cap.length >= cfg.minCaptionLen && cap.length <= cfg.maxCaptionLen))
       return Some("caption_length")

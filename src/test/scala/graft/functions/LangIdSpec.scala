@@ -28,6 +28,23 @@ class LangIdSpec extends AnyFunSuite {
     val en = "the photo of the cat with the dog and this light for the sky"
     assert(LangId.predict(en + " " + en)._1 == "en")
   }
+
+  test("accuracy on the synthetic corpus's true caption languages") {
+    var total = 0
+    var correct = 0
+    (0L until 3000L).foreach { i =>
+      val (row, trueLang) = graft.corpus.SyntheticImages.rowWithLang(i, 42L)
+      // judge only clean multi-word captions (the realistic langid regime)
+      if (trueLang != null && row.caption != null &&
+          row.caption.split("\\s+").count(_.nonEmpty) >= 6) {
+        total += 1
+        if (LangId.predict(row.caption)._1 == trueLang) correct += 1
+      }
+    }
+    val acc = correct.toDouble / total
+    info(s"langid accuracy on $total clean captions: $acc")
+    assert(acc >= 0.85, s"accuracy $acc below 0.85")
+  }
 }
 
 class PerplexitySpec extends AnyFunSuite {

@@ -77,6 +77,23 @@ class QualityFilterSpec extends SparkSuite {
     assert(r.contains("[EMAIL]"))
   }
 
+  test("mapPartitions scoring and columnar UDF scoring produce identical results") {
+    val ds = SyntheticImages.generate(spark, 800L, seed = 3L, partitions = 5)
+    val viaMp = QualityFilter.score(spark, ds).toDF()
+      .select("image_id", "lang", "lang_conf", "ppl")
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val viaCols = QualityFilter.scoreCols(spark, ds.toDF())
+      .select("image_id", "lang", "lang_conf", "ppl")
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getDouble(2), r.getDouble(3))))
+    assert(viaCols.length == 800)
+    viaCols.foreach { case (id, v) =>
+      val m = viaMp(id)
+      // NaN-safe exact comparison (null captions → NaN ppl on both paths)
+      assert(m._1 == v._1 && m._2 == v._2 &&
+        (m._3 == v._3 || (m._3.isNaN && v._3.isNaN)), s"scoring mismatch for $id: $m vs $v")
+    }
+  }
+
   test("parallelism invariance: identical output at different partition counts") {
     val a = QualityFilter.run(spark, SyntheticImages.generate(spark, 1000L, 42L, partitions = 3))
       .select("image_id", "keep", "drop_reason", "scrubbed_caption")

@@ -122,8 +122,14 @@ object LangId extends Serializable {
   }
 
   /** Mean hashed-n-gram embedding over all tokens; zero vector for empty. */
-  def embed(text: String): Array[Double] = {
-    val acc = new Array[Double](dims)
+  def embed(text: String): Array[Double] = embedInto(text, new Array[Double](dims))
+
+  /** Allocation-free variant for the scoring hot path (buffer reused via
+    * ThreadLocal in [[predict]]; at 32 executor threads per-row garbage is a
+    * measurable GC-synchronization tax).
+    */
+  private def embedInto(text: String, acc: Array[Double]): Array[Double] = {
+    java.util.Arrays.fill(acc, 0.0)
     var n = 0
     val lower = text.toLowerCase
     val len = lower.length
@@ -253,26 +259,40 @@ object LangId extends Serializable {
     w
   }
 
+  private val embedBuf: ThreadLocal[Array[Double]] =
+    ThreadLocal.withInitial(() => new Array[Double](dims))
+  private val logitBuf: ThreadLocal[Array[Double]] =
+    ThreadLocal.withInitial(() => new Array[Double](languages.length))
+
   /** (language, confidence): softmax over scaled cosine similarities.
     * Deterministic pure function; ties broken by language order (stable).
     */
   def predict(text: String): (String, Double) = {
     if (text == null || text.isEmpty) return ("und", 0.0)
-    val e = embed(text)
-    val norm = math.sqrt(e.map(x => x * x).sum)
-    if (norm == 0) return ("und", 0.0)
-    val logits = weights.map { w =>
-      var dot = 0.0
-      var j = 0
-      while (j < dims) { dot += w(j) * e(j); j += 1 }
-      scale * dot / norm
-    }
-    val mx = logits.max
-    val exps = logits.map(l => math.exp(l - mx))
-    val z = exps.sum
+    val e = embedInto(text, embedBuf.get())
+    var norm2 = 0.0
+    var j = 0
+    while (j < dims) { norm2 += e(j) * e(j); j += 1 }
+    if (norm2 == 0) return ("und", 0.0)
+    val norm = math.sqrt(norm2)
+    val L = languages.length
+    val logits = logitBuf.get()
+    var l = 0
+    var mx = Double.NegativeInfinity
     var best = 0
-    var i = 1
-    while (i < logits.length) { if (logits(i) > logits(best)) best = i; i += 1 }
-    (languages(best), exps(best) / z)
+    while (l < L) {
+      val w = weights(l)
+      var dot = 0.0
+      j = 0
+      while (j < dims) { dot += w(j) * e(j); j += 1 }
+      val lg = scale * dot / norm
+      logits(l) = lg
+      if (lg > mx) { mx = lg; best = l }
+      l += 1
+    }
+    var z = 0.0
+    l = 0
+    while (l < L) { z += math.exp(logits(l) - mx); l += 1 }
+    (languages(best), math.exp(logits(best) - mx) / z)
   }
 }

@@ -103,20 +103,31 @@ object Scrubber {
     * scrubCountsScala and ~3× fewer than the staged Column chain. Output is
     * IDENTICAL to (scrubScala, scrubCountsScala) — fuzz-verified by
     * ScrubberSpec.
+    *
+    * Matchers are ThreadLocal-reused and replacements pre-quoted: at 32
+    * executor threads the per-row Matcher/String garbage was a measurable
+    * scaling tax (GC pause synchronization scales with thread count).
     */
+  private lazy val quotedReplacements: Array[String] =
+    allPatterns.map(p => java.util.regex.Matcher.quoteReplacement(p._3)).toArray
+
+  private val matchersLocal: ThreadLocal[Array[java.util.regex.Matcher]] =
+    ThreadLocal.withInitial(() => compiled.map(_._2.matcher("")).toArray)
+
   def scrubWithCounts(text: String): (String, Array[Int]) = {
     if (text == null) return (null, new Array[Int](compiled.size))
     val counts = new Array[Int](compiled.size)
+    val ms = matchersLocal.get()
     var t = text
     var i = 0
-    compiled.foreach { case (_, p, r) =>
-      val m = p.matcher(t)
+    while (i < ms.length) {
+      val m = ms(i).reset(t)
       if (m.find()) {
         val sb = new java.lang.StringBuilder(t.length + 16)
         var c = 0
         do {
           c += 1
-          m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(r))
+          m.appendReplacement(sb, quotedReplacements(i))
         } while (m.find())
         m.appendTail(sb)
         counts(i) = c

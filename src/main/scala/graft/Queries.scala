@@ -494,6 +494,38 @@ object Queries {
       |         THEN 1 ELSE 0 END AS new_session
       |  FROM events)""".stripMargin
 
+  // ---- q24: declarative data generation (the reference's PRIMARY function:
+  //          range → one projection of field specs; DataGeneratorFactory) —
+  //          portable md5-derived uniforms so DuckDB generates identical data ----
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    import graft.generator._
+    val specs = Seq(
+      SequentialField("row_id", "R", 8),
+      IntField("qty", 1, 100),
+      OneOfField("category", Seq(("alpha", 0.5), ("beta", 0.3), ("gamma", 0.2))),
+      SqlField("total", "qty * 3"))
+    Generator.generate(s, 10000L, specs, seed = 7L, uniform = Generator.portableUniform)
+  }
+
+  private val q24Sql = {
+    def hex4(arg: String) = {
+      def hv(i: Int) =
+        s"(CASE WHEN ascii(substring(md5($arg),$i,1)) <= 57 THEN ascii(substring(md5($arg),$i,1)) - 48 ELSE ascii(substring(md5($arg),$i,1)) - 87 END)"
+      s"(${hv(1)} * 4096 + ${hv(2)} * 256 + ${hv(3)} * 16 + ${hv(4)})"
+    }
+    val uQty = hex4("'7|qty|' || cast(i AS varchar)")
+    val uCat = hex4("'7|category|' || cast(i AS varchar)")
+    s"""WITH r AS (SELECT i FROM range(0, 10000) t(i)),
+       |g AS (SELECT
+       |  'R' || lpad(cast(i AS varchar), 8, '0') AS row_id,
+       |  cast(1 + floor($uQty / 65536.0 * 100) AS bigint) AS qty,
+       |  CASE WHEN $uCat / 65536.0 * 1.0 < 0.5 THEN 'alpha'
+       |       WHEN $uCat / 65536.0 * 1.0 < 0.8 THEN 'beta'
+       |       ELSE 'gamma' END AS category
+       |FROM r)
+       |SELECT row_id, qty, category, qty * 3 AS total FROM g""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1 _),
     "q2_quality_rules" -> (q2 _),
@@ -518,6 +550,7 @@ object Queries {
     "q21_upstream_antijoin" -> (q21 _),
     "q22_dataset_stats" -> (q22 _),
     "q23_sessionize" -> (q23 _),
+    "q24_generator" -> (q24 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -544,5 +577,6 @@ object Queries {
     "q21_upstream_antijoin" -> q21Sql,
     "q22_dataset_stats" -> q22Sql,
     "q23_sessionize" -> q23Sql,
+    "q24_generator" -> q24Sql,
   )
 }

@@ -1,0 +1,76 @@
+package graft.generator
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Foreign-key relationship maintenance, recast from the reference's FK
+  * processor (`core/foreignkey/ForeignKeyProcessor.scala:42-145`):
+  *  - [[assignKeys]]: the distributed-sampling strategy — index the distinct
+  *    source keys (row_number on the SMALL lookup side only), give every
+  *    target row a deterministic index from its own identity, broadcast-join
+  *    (`strategy/DistributedSamplingStrategy.scala:34-119`)
+  *  - [[insertOrder]] / [[deleteOrder]]: topological order over the FK graph
+  *    (`util/InsertOrderCalculator.scala`) — driver-side, no Spark op
+  */
+object ForeignKeys {
+
+  /** Replace/assign `targetCol` in `target` with values sampled uniformly
+    * (and deterministically, keyed on `identityCol`) from the distinct
+    * values of `source.sourceCol`. The lookup side is broadcast — the big
+    * side never shuffles.
+    */
+  def assignKeys(
+      target: DataFrame,
+      identityCol: String,
+      targetCol: String,
+      source: DataFrame,
+      sourceCol: String,
+      seed: Long = 42L): DataFrame = {
+    val keys = source.select(col(sourceCol)).distinct()
+    // global row_number on the lookup side only: bounded by the distinct key
+    // count, the reference does the same (single-partition hazard noted in
+    // SURVEY §4 — acceptable on the SMALL side, never on the fact side)
+    val lookup = keys.withColumn("__idx",
+      row_number().over(Window.orderBy(col(sourceCol))).cast("long") - 1)
+    val n = lookup.count()
+    val renamed = lookup.withColumnRenamed(sourceCol, s"__fk_$targetCol")
+    target
+      .drop(targetCol) // replaced by the sampled assignment
+      .withColumn("__idx", pmod(xxhash64(lit(seed), col(identityCol)), lit(n)))
+      .join(broadcast(renamed), Seq("__idx"), "left")
+      .drop("__idx")
+      .withColumnRenamed(s"__fk_$targetCol", targetCol)
+  }
+
+  /** Kahn topological sort over FK edges (parent -> child). Returns tables
+    * in insert order; throws on cycles (same contract as the reference).
+    */
+  def insertOrder(tables: Seq[String], edges: Seq[(String, String)]): Seq[String] = {
+    val inDeg = scala.collection.mutable.Map(tables.map(_ -> 0): _*)
+    edges.foreach { case (_, c) => inDeg(c) += 1 }
+    val queue = scala.collection.mutable.Queue(tables.filter(inDeg(_) == 0).sorted: _*)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    while (queue.nonEmpty) {
+      val t = queue.dequeue()
+      out += t
+      edges.filter(_._1 == t).map(_._2).sorted.foreach { c =>
+        inDeg(c) -= 1
+        if (inDeg(c) == 0) queue.enqueue(c)
+      }
+    }
+    require(out.size == tables.size, s"FK graph has a cycle: ${tables.diff(out)}")
+    out.toSeq
+  }
+
+  /** Delete order = reverse insert order (children first). */
+  def deleteOrder(tables: Seq[String], edges: Seq[(String, String)]): Seq[String] =
+    insertOrder(tables, edges).reverse
+
+  /** Cleanup stage (the reference's delete processor,
+    * `core/delete/DeleteRecordProcessor.scala`): remove from `table` the
+    * rows whose keys appear in the tracked-records frame — one anti-join.
+    */
+  def deleteTracked(table: DataFrame, tracked: DataFrame, keyCols: Seq[String]): DataFrame =
+    table.join(tracked.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+}

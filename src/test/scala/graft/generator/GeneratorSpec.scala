@@ -1,0 +1,102 @@
+package graft.generator
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class GeneratorSpec extends SparkSuite {
+  import graft.SharedSpark.spark.implicits._
+
+  private val specs = Seq(
+    SequentialField("row_id", "R", 8),
+    IntField("qty", 1, 100),
+    DoubleField("price", 10.0, 500.0),
+    ExponentialField("delay", 0.1),
+    OneOfField("category", Seq(("alpha", 0.5), ("beta", 0.3), ("gamma", 0.2))),
+    AlphaNumField("code", 4, 12),
+    DateField("d", "2020-01-01", 365),
+    TimestampField("ts", "2020-01-01 00:00:00", 86400L * 30),
+    SqlField("total", "qty * price"))
+
+  test("schema, row count, ranges, uniqueness of sequential ids") {
+    val df = Generator.generate(spark, 5000L, specs, seed = 1L).cache()
+    assert(df.count() == 5000)
+    assert(df.columns.toSeq ==
+      Seq("row_id", "qty", "price", "delay", "category", "code", "d", "ts", "total"))
+    assert(df.where(!col("qty").between(1, 100)).count() == 0)
+    assert(df.where(col("price") < 10.0 || col("price") >= 500.0).count() == 0)
+    assert(df.where(col("delay") < 0).count() == 0)
+    assert(df.select("row_id").distinct().count() == 5000)
+    assert(df.where(!col("category").isin("alpha", "beta", "gamma")).count() == 0)
+    assert(df.where(length(col("code")) < 4 || length(col("code")) > 12).count() == 0)
+    assert(df.where(col("d") < lit("2020-01-01") || col("d") > lit("2020-12-31")).count() == 0)
+    // computed column
+    assert(df.where(abs(col("total") - col("qty") * col("price")) > 1e-9).count() == 0)
+    df.unpersist()
+  }
+
+  test("categorical weights approximately honored") {
+    val df = Generator.generate(spark, 20000L, specs, seed = 2L)
+    val counts = df.groupBy("category").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("alpha") / 20000.0 - 0.5) < 0.02)
+    assert(math.abs(counts("beta") / 20000.0 - 0.3) < 0.02)
+  }
+
+  test("parallelism invariance: identical output at 3 vs 17 partitions") {
+    val a = Generator.generate(spark, 2000L, specs, seed = 3L, partitions = 3)
+      .collect().map(_.toString).sorted
+    val b = Generator.generate(spark, 2000L, specs, seed = 3L, partitions = 17)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("null probability applied") {
+    val df = Generator.generate(spark, 10000L, specs, seed = 4L,
+      nullProb = Map("qty" -> 0.2))
+    val nulls = df.where(col("qty").isNull).count()
+    assert(math.abs(nulls / 10000.0 - 0.2) < 0.02)
+  }
+
+  test("fan-out emits lo..hi children per parent") {
+    val base = Generator.generate(spark, 1000L, Seq(SequentialField("pid", "P", 6)), seed = 5L)
+    val kids = Generator.fanOut(base, "pid", 1, 4)
+    val perParent = kids.groupBy("pid").count()
+    assert(perParent.where(col("count") < 1 || col("count") > 4).count() == 0)
+    val total = kids.count()
+    assert(total >= 1000 && total <= 4000)
+  }
+
+  test("FK assignKeys: every target key comes from the source domain, deterministically") {
+    val source = Seq("n1", "n2", "n3", "n4").toDF("nation")
+    val target = Generator.generate(spark, 3000L, Seq(SequentialField("id", "T", 6)), seed = 6L)
+      .withColumn("nation", lit(null).cast("string"))
+    val assigned = ForeignKeys.assignKeys(target, "id", "nation", source, "nation")
+    assert(assigned.where(col("nation").isNull).count() == 0)
+    assert(assigned.where(!col("nation").isin("n1", "n2", "n3", "n4")).count() == 0)
+    // deterministic re-run
+    val again = ForeignKeys.assignKeys(target, "id", "nation", source, "nation")
+      .select("id", "nation").collect().map(_.toString).sorted
+    assert(again.sameElements(assigned.select("id", "nation").collect().map(_.toString).sorted))
+  }
+
+  test("insert/delete order respects the FK graph; cycles rejected") {
+    val tables = Seq("orders", "customer", "nation", "lineitem")
+    val edges = Seq("nation" -> "customer", "customer" -> "orders", "orders" -> "lineitem")
+    val order = ForeignKeys.insertOrder(tables, edges)
+    assert(order.indexOf("nation") < order.indexOf("customer"))
+    assert(order.indexOf("customer") < order.indexOf("orders"))
+    assert(order.indexOf("orders") < order.indexOf("lineitem"))
+    assert(ForeignKeys.deleteOrder(tables, edges) == order.reverse)
+    intercept[IllegalArgumentException] {
+      ForeignKeys.insertOrder(Seq("a", "b"), Seq("a" -> "b", "b" -> "a"))
+    }
+  }
+
+  test("deleteTracked removes exactly the tracked keys") {
+    val table = (1 to 100).toDF("k")
+    val tracked = Seq(5, 10, 15).toDF("k")
+    val remaining = ForeignKeys.deleteTracked(table, tracked, Seq("k"))
+    assert(remaining.count() == 97)
+    assert(remaining.where(col("k").isin(5, 10, 15)).count() == 0)
+  }
+}

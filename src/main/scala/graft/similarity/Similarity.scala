@@ -16,15 +16,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a, b) in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, z) => acc + z)
+  /** dot(a, b) in double — the native codegen'd Catalyst expression
+    * ([[graft.plans.VectorDot]], registered by GraftExtensions). Same
+    * left-to-right double accumulation as the HOF formulation it replaced,
+    * so results are bit-identical; ~10× faster (HOF lambdas are interpreted
+    * per element).
+    */
+  def dot(a: Column, b: Column): Column = call_function("vector_dot", a, b)
 
   def norm2(a: Column): Column =
     aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / sqrt(norm2(a) * norm2(b))
+  /** Fused single-pass native cosine ([[graft.plans.VectorCosine]]). */
+  def cosine(a: Column, b: Column): Column = call_function("vector_cosine", a, b)
 
   /** Exact brute-force top-k: queries × candidates with the (small) query
     * side BROADCAST, ranked per query. Cost O(|Q|·|C|) — the baseline; use

@@ -1,0 +1,67 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Per-run JSON report — the analog of the reference's
+  * `DataGenerationResultWriter` (HTML/JSON report per run; SURVEY §3.9) and
+  * `ValidationResult` summaries. Content comes from the distributed metrics
+  * table (one aggregate, never a row-level collect); the report itself is a
+  * small driver-side JSON file next to the output.
+  */
+object RunReport {
+
+  final case class Summary(
+      runId: String,
+      rowsIn: Long,
+      rowsOut: Long,
+      keepRate: Double,
+      dropReasons: Map[String, Long],
+      scrubCounts: Map[String, Long],
+      partitions: Long)
+
+  def summarize(metrics: DataFrame, runId: String): Summary = {
+    val totals = metrics.agg(
+      sum("rows_in").as("in"),
+      sum("rows_out").as("out"),
+      count(lit(1)).as("parts")).head()
+    val reasons = metrics
+      .select(explode(col("drop_reasons")))
+      .groupBy("key").agg(sum("value").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val scrubs = metrics
+      .select(explode(col("scrub_counts")))
+      .groupBy("key").agg(sum("value").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val in = totals.getLong(0)
+    val out = totals.getLong(1)
+    Summary(runId, in, out, if (in == 0) 0.0 else out.toDouble / in, reasons, scrubs,
+      totals.getLong(2))
+  }
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  def toJson(s: Summary): String = {
+    def m(mp: Map[String, Long]) =
+      mp.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""${jsonEscape(k)}":$v""" }.mkString("{", ",", "}")
+    s"""{"run_id":"${jsonEscape(s.runId)}","rows_in":${s.rowsIn},"rows_out":${s.rowsOut},""" +
+      f""""keep_rate":${s.keepRate}%.6f,"partitions":${s.partitions},""" +
+      s""""drop_reasons":${m(s.dropReasons)},"scrub_counts":${m(s.scrubCounts)}}"""
+  }
+
+  /** Write `<outDir>/_report_<runId>.json`; returns the summary. */
+  def write(metrics: DataFrame, runId: String, outDir: String): Summary = {
+    val s = summarize(metrics, runId)
+    Files.createDirectories(Paths.get(outDir))
+    Files.writeString(Paths.get(outDir, s"_report_$runId.json"), toJson(s) + "\n")
+    s
+  }
+}

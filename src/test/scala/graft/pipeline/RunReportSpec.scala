@@ -1,0 +1,25 @@
+package graft.pipeline
+
+import graft.SparkSuite
+import graft.corpus.SyntheticImages
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+class RunReportSpec extends SparkSuite {
+
+  test("report totals reconcile with the annotated frame; valid JSON") {
+    val annotated = QualityFilter.run(spark,
+      SyntheticImages.generate(spark, 1000L, seed = 9L, partitions = 4)).cache()
+    val metrics = Metrics.partitionMetrics(annotated, "r9")
+    val dir = Files.createTempDirectory("graft_report").toString
+    val s = RunReport.write(metrics, "r9", dir)
+    assert(s.rowsIn == 1000)
+    assert(s.rowsOut == annotated.where(col("keep")).count())
+    assert(s.dropReasons.values.sum == 1000 - s.rowsOut)
+    assert(s.keepRate > 0 && s.keepRate < 1)
+    val json = Files.readString(Paths.get(dir, "_report_r9.json"))
+    // driver-style parse check: well-formed JSON with expected keys
+    assert(json.contains("\"run_id\":\"r9\"") && json.contains("\"drop_reasons\":{"))
+    annotated.unpersist()
+  }
+}

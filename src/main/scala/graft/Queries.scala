@@ -526,6 +526,22 @@ object Queries {
        |SELECT row_id, qty, category, qty * 3 AS total FROM g""".stripMargin
   }
 
+  // ---- q25: rolling-hash document fingerprint (Rabin–Karp fold — pure
+  //          integer arithmetic, portable) ----
+  private def q25(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TF.rollingHash(col("text")).as("rhash"))
+
+  private val q25Sql =
+    s"""SELECT doc_id,
+       |  list_reduce(
+       |    list_prepend(cast(0 AS bigint),
+       |      list_transform(list_filter(string_split_regex($normalizedSql, ''), x -> len(x) > 0),
+       |        x -> cast(ascii(x) AS bigint))),
+       |    (a, b) -> (a * 31 + b) % 2147483647) AS rhash
+       |FROM documents""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1 _),
     "q2_quality_rules" -> (q2 _),
@@ -551,6 +567,7 @@ object Queries {
     "q22_dataset_stats" -> (q22 _),
     "q23_sessionize" -> (q23 _),
     "q24_generator" -> (q24 _),
+    "q25_rolling_hash" -> (q25 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -578,5 +595,6 @@ object Queries {
     "q22_dataset_stats" -> q22Sql,
     "q23_sessionize" -> q23Sql,
     "q24_generator" -> q24Sql,
+    "q25_rolling_hash" -> q25Sql,
   )
 }

@@ -76,6 +76,19 @@ object TextFunctions {
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Rabin–Karp-style rolling polynomial hash over the characters of the
+    * normalized text: h = fold(0)((a, c) => (a*31 + code(c)) mod (2^31-1)).
+    * Pure integer arithmetic → portable to any engine (DuckDB twin uses
+    * list_reduce with a prepended 0 sentinel). Base fingerprint for
+    * shift-tolerant chunk dedup.
+    */
+  def rollingHash(text: Column): Column = {
+    val codes = transform(
+      filter(split(normalized(text), ""), c => length(c) > 0),
+      c => ascii(c).cast("long"))
+    aggregate(codes, lit(0L), (a, c) => pmod(a * 31 + c, lit(2147483647L)))
+  }
+
   /** Portable 63-bit positive hash from md5 (same value in Spark, DuckDB and
     * plain Scala): first 15 hex digits as a base-16 long. Used wherever the
     * oracle must reproduce a hash; xxhash64 stays for Spark-only paths (it is

@@ -108,6 +108,72 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rnk"), col("sim"))
   }
 
+  /** IVF (inverted-file) ANN: deterministic coarse quantizer — K seed
+    * centroids (rows with the smallest md5(id), a deterministic sample)
+    * refined by one Lloyd step (posexplode → per-dimension mean) — then
+    * candidates are indexed by nearest centroid and each query probes its
+    * `nprobe` closest cells. The scale path when the candidate side is huge:
+    * the only shuffles are the tiny centroid refinement and a hash join on
+    * cell id; centroids are broadcast.
+    */
+  def ivfTopK(
+      queries: DataFrame, // (query_id, qe)
+      candidates: DataFrame, // (neighbor_id, ce)
+      k: Int,
+      nCells: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    // 1. deterministic seeds
+    val seeds = candidates
+      .withColumn("__h", md5(col("neighbor_id").cast("string")))
+      .orderBy("__h").limit(nCells)
+      .withColumn("cell", monotonically_increasing_id().cast("int"))
+      .select(col("cell"), col("ce").as("centroid"))
+    // 2. one Lloyd refinement: assign every candidate to nearest seed, then
+    //    per-dimension mean via posexplode (distributed, no driver collect)
+    val assigned0 = assignToNearest(candidates, seeds, "ce")
+    val refined = assigned0
+      .select(col("cell"), posexplode(col("ce")).as(Seq("pos", "v")))
+      .groupBy("cell", "pos").agg(avg(col("v").cast("double")).as("m"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell"),
+        transform(col("pm"), x => x.getField("m").cast("float")).as("centroid"))
+    // 3. index candidates by refined cell; queries probe nprobe cells
+    val indexed = assignToNearest(candidates, refined, "ce")
+    val qcells = probeCells(queries, refined, "qe", nprobe)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    qcells.join(indexed, Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qe"), col("ce"))
+      .distinct()
+      .withColumn("sim", cosine(col("qe"), col("ce")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("sim"))
+  }
+
+  /** argmin-centroid assignment via broadcast + struct-min (no window). */
+  private def assignToNearest(df: DataFrame, centroids: DataFrame, vecCol: String): DataFrame = {
+    val joined = df.crossJoin(broadcast(centroids))
+      .withColumn("__d", -cosine(col(vecCol), col("centroid")))
+    val others = df.columns.filterNot(_ == vecCol).map(col).toIndexedSeq
+    joined
+      .groupBy((col(vecCol) +: others): _*)
+      .agg(min(struct(col("__d"), col("cell"))).as("best"))
+      .withColumn("cell", col("best.cell"))
+      .drop("best")
+  }
+
+  /** Top-`nprobe` nearest cells per query. */
+  private def probeCells(queries: DataFrame, centroids: DataFrame, vecCol: String, nprobe: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("__d"), col("cell"))
+    queries.crossJoin(broadcast(centroids))
+      .withColumn("__d", -cosine(col(vecCol), col("centroid")))
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") <= nprobe)
+      .select(col("query_id"), col(vecCol), col("cell"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within a blocking key (training-
     * data dedup by semantic similarity). Exact within block.
     */

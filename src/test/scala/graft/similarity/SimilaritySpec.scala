@@ -49,6 +49,19 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.5) // sign-LSH with 4 planes on tightly clustered data
   }
 
+  test("IVF topK: recall vs brute force is high on clustered data") {
+    val qs = vectors.where(col("id") < 8)
+      .select(col("id").as("query_id"), col("vec").as("qe"))
+    val cs = vectors.select(col("id").as("neighbor_id"), col("vec").as("ce"))
+    val exact = Similarity.bruteForceTopK(qs, cs, k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(qs, cs, k = 3, nCells = 4, nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    info(s"IVF recall = $recall (${ivf.size} returned)")
+    assert(recall >= 0.8) // 2 poles, 4 cells, 2 probes → near-exact
+  }
+
   test("lshBucket: identical vectors get identical buckets; opposite vectors differ") {
     val d = Seq(
       (1L, unit(1, 0, 0, 1)), (2L, unit(1, 0, 0, 1)), (3L, unit(-1, 0, 0, -1))

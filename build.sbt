@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver contract: graft.Bench must emit its metric JSON as the LAST stdout
+// line. Round 1 failed this (BENCH_r01.json parsed:null) because sbt (a) logs
+// forked-run stdout through its logger as "[info] ..." lines and (b) appends
+// "[success] Total time ..." after the run. StdoutOutput passes the forked
+// process's stdout/stderr through verbatim; showSuccess kills the epilogue.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

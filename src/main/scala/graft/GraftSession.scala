@@ -17,9 +17,15 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
-    SparkSession.builder()
-      .master(master)
+  /** `master` is a FALLBACK only: under spark-submit the launcher injects
+    * `spark.master` as a system property, and builder options would override
+    * it (builder > launcher conf) — round-1 bug: the documented cluster path
+    * silently ran local. We set master only when the launcher didn't.
+    */
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder = {
+    val b = SparkSession.builder()
+    if (sys.props.get("spark.master").forall(_.isEmpty)) b.master(master)
+    b
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
@@ -27,6 +33,7 @@ object GraftSession {
       .config("spark.sql.icu.caseMappings.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+  }
 
   def local(cores: Int): SparkSession = {
     val s = builder(s"local[$cores]", cores).getOrCreate()

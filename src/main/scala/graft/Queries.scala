@@ -23,14 +23,16 @@ object Queries {
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"),
+        // explicit result cast: Spark widens sum(decimal(18,2)) to (28,2),
+        // DuckDB to (38,2) — same VALUE, different binary hash. Pin both.
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_price"),
         count(lit(1)).as("cnt"))
 
   private val q1Sql =
     """SELECT l_returnflag, l_linestatus,
-      |  sum(cast(l_quantity as decimal(18,2))) AS sum_qty,
-      |  sum(cast(l_extendedprice as decimal(18,2))) AS sum_price,
+      |  cast(sum(cast(l_quantity as decimal(18,2))) as decimal(18,2)) AS sum_qty,
+      |  cast(sum(cast(l_extendedprice as decimal(18,2))) as decimal(18,2)) AS sum_price,
       |  count(*) AS cnt
       |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
 
@@ -90,10 +92,10 @@ object Queries {
       .select(
         col("doc_id"),
         Scrubber.scrub(col("aug")).as("scrubbed"),
-        element_at(Scrubber.scrubCounts(col("aug")), "email").as("n_email"),
-        element_at(Scrubber.scrubCounts(col("aug")), "ssn").as("n_ssn"),
-        element_at(Scrubber.scrubCounts(col("aug")), "phone").as("n_phone"),
-        element_at(Scrubber.scrubCounts(col("aug")), "lexicon").as("n_lexicon"))
+        element_at(Scrubber.scrubCounts(col("aug")), "email").cast("bigint").as("n_email"),
+        element_at(Scrubber.scrubCounts(col("aug")), "ssn").cast("bigint").as("n_ssn"),
+        element_at(Scrubber.scrubCounts(col("aug")), "phone").cast("bigint").as("n_phone"),
+        element_at(Scrubber.scrubCounts(col("aug")), "lexicon").cast("bigint").as("n_lexicon"))
   }
 
   private val q3Sql = {
@@ -129,12 +131,13 @@ object Queries {
       .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
-        sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"),
+        // result cast pinned on both sides (see q1)
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("revenue"),
         count(lit(1)).as("n_orders"))
 
   private val q4Sql =
     """SELECT n_name,
-      |  sum(cast(o_totalprice as decimal(18,2))) AS revenue,
+      |  cast(sum(cast(o_totalprice as decimal(18,2))) as decimal(18,2)) AS revenue,
       |  count(*) AS n_orders
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
@@ -245,21 +248,16 @@ object Queries {
   // ---- q10: brute-force cosine top-k similarity search over embeddings
   //          (broadcast query side — the baseline ANN path) ----
   private def q10(s: SparkSession, dir: String): DataFrame = {
+    // native codegen'd vector_cosine (graft.plans.VectorCosine) — the HOF
+    // aggregate/zip_with formulation it replaced is interpreted per element
+    // and was the slowest non-LSH query in round 1 (3.1 s → sub-second).
+    // Bit-identical accumulation order, so the oracle SQL is unchanged.
     val e = t(s, dir, "embeddings")
     val qs = e.where(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val cs = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
-    val dot = aggregate(zip_with(col("qe"), col("ce"),
-      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, z) => acc + z)
-    val nq = aggregate(col("qe"), lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
-    val nc = aggregate(col("ce"), lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    cs.crossJoin(broadcast(qs))
-      .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", dot / sqrt(nq * nc))
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= 10)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+    graft.similarity.Similarity.bruteForceTopK(qs, cs, k = 10)
+      .select(col("query_id"), col("neighbor_id"), col("rnk").cast("bigint").as("rnk"))
   }
 
   private val q10Sql =
@@ -337,6 +335,8 @@ object Queries {
       t(s, dir, "documents"), "text", "doc_id",
       floor(col("doc_id") / 40.0).cast("int"))
       .where(col("n_inter") >= 1)
+      .withColumn("n_inter", col("n_inter").cast("bigint"))
+      .withColumn("n_union", col("n_union").cast("bigint"))
 
   private val q13Sql =
     s"""WITH base AS (SELECT doc_id, cast(floor(doc_id / 40.0) AS int) AS block,
@@ -368,10 +368,11 @@ object Queries {
     graft.rules.GroupRules.groupByValidation(
       t(s, dir, "lineitem").withColumn("qty_dec", col("l_quantity").cast("decimal(18,2)")),
       Seq("l_orderkey"), "qty_dec", "sum", _ <= 150)
-      .withColumnRenamed("sum_qty_dec", "sum_qty")
+      .withColumn("sum_qty", col("sum_qty_dec").cast("decimal(18,2)"))
+      .drop("sum_qty_dec")
 
   private val q15Sql =
-    """SELECT l_orderkey, sum(cast(l_quantity AS decimal(18,2))) AS sum_qty
+    """SELECT l_orderkey, cast(sum(cast(l_quantity AS decimal(18,2))) AS decimal(18,2)) AS sum_qty
       |FROM lineitem GROUP BY l_orderkey
       |HAVING NOT coalesce(sum(cast(l_quantity AS decimal(18,2))) <= 150, FALSE)""".stripMargin
 
@@ -479,14 +480,16 @@ object Queries {
           .otherwise(0))
       .withColumn("session_seq", sum(col("new_session")).over(
         Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        // DuckDB's windowed sum(int) yields INT128; pin both sides to bigint
+        .cast("bigint"))
       .select(col("event_id"), col("user_id"), col("session_seq"))
   }
 
   private val q23Sql =
     """SELECT event_id, user_id,
-      |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  cast(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS session_seq
       |FROM (
       |  SELECT event_id, user_id, ts,
       |    CASE WHEN lag(epoch(ts)::BIGINT) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL

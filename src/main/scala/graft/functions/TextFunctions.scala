@@ -50,9 +50,12 @@ object TextFunctions {
 
   /** Longest run of a single repeated character (e.g. "aaaaaa") detected via
     * backreference regex — 1 if such a run of >= `n` exists, else 0.
+    * `[\s\S]` (not `.`) so line-terminator runs count too, matching the
+    * single-scan extractor (CaptionFeatures) and the pure-Scala oracle —
+    * the streaming and batch paths must agree on newline-run captions.
     */
   def hasCharRun(text: Column, n: Int): Column =
-    text.rlike(s"(.)\\1{${n - 1},}")
+    text.rlike(s"([\\s\\S])\\1{${n - 1},}")
 
   /** Stopword hit count for a marker list: number of tokens that are in the
     * list. Basis of the SQL-expressible language heuristic.

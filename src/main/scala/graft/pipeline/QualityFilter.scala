@@ -116,12 +116,24 @@ object QualityFilter {
     )
   }
 
+  /** Field positions inside the fused scorer's tuple result (see [[runDF]]).
+    * A plain Tuple8 — NOT a nested case class — because Janino cannot compile
+    * the generated accessor call for a case class nested in this object
+    * (`QualityFilter$RowScore.lang()` → "No applicable constructor/method
+    * found", 1,152 failures per ScaleProbe run in round 1, every task paying
+    * an attempted compile + interpreted fallback). Tuple accessors (`_1()`…)
+    * compile fine — the same pattern [[scoreCols]] always used.
+    */
+  private val scoreFields = Map(
+    "lang" -> "_1", "lang_conf" -> "_2", "ppl" -> "_3", "len" -> "_4",
+    "ntok" -> "_5", "ndistinct" -> "_6", "symbols" -> "_7", "has_run" -> "_8")
+
   /** The same rule set expressed over the extracted feature struct `__s`
     * (see [[runDF]]): pure numeric comparisons — no regex in the rule
     * evaluation at all. Order and names MUST stay identical to [[rules]].
     */
   private def rulesOnFeatures(cfg: FilterConfig): Seq[Rule] = {
-    val f = (n: String) => col(s"__s.$n")
+    val f = (n: String) => col(s"__s.${scoreFields(n)}")
     Seq(
       Rule("caption_missing", col("caption").isNotNull && f("ntok") > 0),
       Rule("caption_length", f("len").between(cfg.minCaptionLen, cfg.maxCaptionLen)),
@@ -144,11 +156,6 @@ object QualityFilter {
     )
   }
 
-  /** Per-row model scores + scan features, fused into one UDF call. */
-  private final case class RowScore(
-      lang: String, lang_conf: Double, ppl: Double,
-      len: Int, ntok: Int, ndistinct: Int, symbols: Int, has_run: Boolean)
-
   /** Full stage: score → annotate(keep, drop_reason) → scrub kept captions.
     * One pass, no shuffle; scoring via the columnar UDF path so image bytes
     * never leave Tungsten rows.
@@ -169,12 +176,14 @@ object QualityFilter {
     val langIdB = spark.sparkContext.broadcast(LangId)
     val pplB = spark.sparkContext.broadcast(Perplexity)
     val maxRun = cfg.maxCharRun
+    // fused per-row scorer: langid + perplexity + single-scan text features.
+    // Returns a Tuple8 (see [[scoreFields]] for why not a named case class).
     val scoreUdf = udf { (caption: String) =>
       if (caption == null) null
       else {
         val f = graft.functions.CaptionFeatures.extract(caption, maxRun)
         val (lang, conf) = langIdB.value.predict(caption)
-        RowScore(lang, conf, pplB.value.score(caption),
+        (lang, conf, pplB.value.score(caption),
           f.len, f.ntok, f.ndistinct, f.symbols, f.has_run)
       }
     }
@@ -185,9 +194,9 @@ object QualityFilter {
     }
     val scored = input
       .withColumn("__s", scoreUdf(col("caption")))
-      .withColumn("lang", col("__s.lang"))
-      .withColumn("lang_conf", col("__s.lang_conf"))
-      .withColumn("ppl", col("__s.ppl"))
+      .withColumn("lang", col(s"__s.${scoreFields("lang")}"))
+      .withColumn("lang_conf", col(s"__s.${scoreFields("lang_conf")}"))
+      .withColumn("ppl", col(s"__s.${scoreFields("ppl")}"))
     RuleEngine.annotate(scored, rulesOnFeatures(cfg))
       .withColumn("__sc", when(col(RuleEngine.KeepCol), scrubUdf(col("caption"))))
       .withColumn("scrubbed_caption", col("__sc._1"))

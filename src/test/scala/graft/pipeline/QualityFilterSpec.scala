@@ -94,6 +94,17 @@ class QualityFilterSpec extends SparkSuite {
     }
   }
 
+  test("runDF plan compiles under Janino (no interpreted fallback on the hot path)") {
+    // Round-1 regression: the fused scorer UDF returned a private nested case
+    // class whose generated accessor Janino could not compile — every task
+    // paid an attempted compile + exception + interpreted eval. This spec
+    // force-compiles every WholeStageCodegen subtree and fails loudly.
+    val ds = SyntheticImages.generate(spark, 200L, seed = 9L, partitions = 2)
+    val df = QualityFilter.runDF(spark, ds.toDF())
+    val n = org.apache.spark.sql.execution.CodegenCompileHelper.compileAll(df)
+    assert(n > 0, "expected at least one WholeStageCodegen subtree")
+  }
+
   test("parallelism invariance: identical output at different partition counts") {
     val a = QualityFilter.run(spark, SyntheticImages.generate(spark, 1000L, 42L, partitions = 3))
       .select("image_id", "keep", "drop_reason", "scrubbed_caption")

@@ -36,6 +36,18 @@ for name, sql in sorted(oracle.items()):
     ecols, gcols = sorted(exp.column_names), sorted(got.column_names)
     if ecols != gcols:
         print(f"FAIL {name}: cols exp={ecols} got={gcols}"); fails += 1; continue
+    # strict physical-type compare: the driver hashes values in a way that is
+    # sensitive to the arrow type (round 1: decimal(28,2) vs (38,2) and
+    # int64 vs int128 were value-equal but hash-mismatched). Surface that
+    # here so type drift never survives to the driver run.
+    def tnorm(t):
+        s = str(t)
+        return {"large_string": "string", "large_binary": "binary"}.get(s, s)
+    etypes = {c: tnorm(exp.schema.field(c).type) for c in ecols}
+    gtypes = {c: tnorm(got.schema.field(c).type) for c in gcols}
+    if etypes != gtypes:
+        diff = {c: (etypes[c], gtypes[c]) for c in ecols if etypes[c] != gtypes[c]}
+        print(f"FAIL {name}: type drift {diff}"); fails += 1; continue
     erows = sorted(tuple(norm(r[c]) for c in ecols) for r in exp.to_pylist())
     grows = sorted(tuple(norm(r[c]) for c in ecols) for r in got.to_pylist())
     if len(erows) != len(grows):

@@ -62,6 +62,24 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.8) // 2 poles, 4 cells, 2 probes → near-exact
   }
 
+  test("IVF cell assignment is a pure projection — no Exchange before the cell join") {
+    // Round-1 regression: assignToNearest cross-joined candidates × centroids
+    // and grouped the blow-up back by every column — a full-width shuffle of
+    // nCells× the data. Now centroids (bounded ≤ nCells) compile to a literal
+    // argmin projection: the assignment plan must contain zero shuffles.
+    val cs = vectors.select(col("id").as("neighbor_id"), col("vec").as("ce"))
+    val centroids = Array(0 -> randVec(100, dims, 0).toSeq, 1 -> randVec(101, dims, 1).toSeq)
+    val assigned = cs.withColumn("cell", Similarity.argminCell(col("ce"), centroids))
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(assigned.select("cell").distinct().count() == 2)
+    val probes = cs.withColumn("cells", Similarity.nearestCells(col("ce"), centroids, 2))
+    assert(!probes.queryExecution.executedPlan.toString.contains("Exchange"))
+    // nearest cell (argmin) is always the first probe
+    probes.withColumn("cell", Similarity.argminCell(col("ce"), centroids))
+      .collect().foreach(r => assert(r.getAs[Seq[Int]]("cells").head == r.getAs[Int]("cell")))
+  }
+
   test("lshBucket: identical vectors get identical buckets; opposite vectors differ") {
     val d = Seq(
       (1L, unit(1, 0, 0, 1)), (2L, unit(1, 0, 0, 1)), (3L, unit(-1, 0, 0, -1))

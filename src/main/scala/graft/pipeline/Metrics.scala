@@ -18,16 +18,21 @@ import org.apache.spark.sql.functions._
   */
 object Metrics {
 
-  def partitionMetrics(annotated: DataFrame, runId: String): DataFrame = {
+  /** `extraKeys`: additional lineage dimensions (e.g. the bucket id in the
+    * single-scan fresh path) carried through both aggregations, so one pass
+    * emits per-(bucket, partition) rows instead of one job per bucket.
+    */
+  def partitionMetrics(annotated: DataFrame, runId: String, extraKeys: Seq[String] = Nil): DataFrame = {
     val withPid = annotated.withColumn("partition_id", spark_partition_id())
+    val keys = extraKeys.map(col) :+ col("partition_id")
     val scrubSums = Scrubber.allPatterns.map { case (name, _, _) =>
       sum(coalesce(element_at(col("scrub_counts"), name), lit(0))).cast("long").as(s"sc_$name")
     }
     val perReason = withPid
-      .groupBy(col("partition_id"), coalesce(col(RuleEngine.DropReasonCol), lit("__kept__")).as("reason"))
+      .groupBy(keys :+ coalesce(col(RuleEngine.DropReasonCol), lit("__kept__")).as("reason"): _*)
       .agg(count(lit(1)).as("n"), scrubSums: _*)
     perReason
-      .groupBy(col("partition_id"))
+      .groupBy(keys: _*)
       .agg(
         sum(col("n")).as("rows_in"),
         sum(when(col("reason") === "__kept__", col("n")).otherwise(lit(0))).as("rows_out"),

@@ -45,10 +45,21 @@ final class ResumableRunner(
 
   /** Runs all not-yet-completed buckets; returns the number processed this
     * invocation. `failAfter` aborts after that many buckets (test hook for
-    * crash-resume semantics).
+    * crash-resume semantics; forcing it below numBuckets also forces the
+    * per-bucket path, since the fresh path commits all-or-nothing).
+    *
+    * Fresh run (empty manifest) = ONE scan: pipeline once, write
+    * `partitionBy(bucket)`, commit every bucket. Round 1 filtered the input
+    * per bucket, and since `pmod(xxhash64(image_id), n)` cannot be pushed
+    * into a parquet scan, 16 buckets meant 16 full scans of the input —
+    * O(numBuckets × 100 TB). Per-bucket scan+filter is now the RESUME path
+    * only, where it re-reads the input once per *remaining* bucket (on an
+    * Iceberg bucket-partitioned table the predicate prunes to the bucket's
+    * files and even that cost disappears).
     */
   def run(input: Dataset[ImageRow], runId: String, failAfter: Int = Int.MaxValue): Int = {
     val done = completedBuckets
+    if (done.isEmpty && failAfter >= numBuckets) return runFresh(input, runId)
     val todo = (0 until numBuckets).filterNot(done)
     var processed = 0
     todo.foreach { bucket =>
@@ -69,6 +80,28 @@ final class ResumableRunner(
       processed += 1
     }
     processed
+  }
+
+  /** Single-scan fresh path: one pipeline pass over the whole input, data and
+    * metrics written `partitionBy(bucket)`, manifest committed for all
+    * buckets afterwards (write-audit-publish: a crash anywhere before the
+    * manifest append leaves the manifest empty, so the re-run overwrites the
+    * same directories — idempotent).
+    */
+  private def runFresh(input: Dataset[ImageRow], runId: String): Int = {
+    val withBucket = input.toDF().withColumn(
+      "bucket", pmod(xxhash64(col("image_id")), lit(numBuckets)).cast("int"))
+    val result = QualityFilter.runDF(spark, withBucket, cfg)
+    result.persist()
+    try {
+      result.write.mode(SaveMode.Overwrite).partitionBy("bucket")
+        .parquet(s"$outDir/data")
+      Metrics.partitionMetrics(result, runId, extraKeys = Seq("bucket"))
+        .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+        .parquet(s"$outDir/metrics")
+    } finally result.unpersist()
+    (0 until numBuckets).foreach(markDone)
+    numBuckets
   }
 
   def readOutput(): DataFrame = spark.read.parquet(s"$outDir/data")

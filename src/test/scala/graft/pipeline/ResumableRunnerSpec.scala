@@ -36,6 +36,35 @@ class ResumableRunnerSpec extends SparkSuite {
     assert(metrics.select("bucket").distinct().count() == 4)
   }
 
+  test("fresh run is a single scan (bounded job count), equivalent to per-bucket output") {
+    val corpus = SyntheticImages.generate(spark, 1500L, seed = 7L, partitions = 6)
+    val buckets = 8 // per-bucket path would launch >= 2 jobs per bucket (16+)
+
+    val freshOut = Files.createTempDirectory("graft_fresh").toString
+    spark.sparkContext.setJobGroup("graft_fresh_run", "fresh path")
+    val runner = new ResumableRunner(spark, freshOut, numBuckets = buckets)
+    assert(runner.run(corpus, "runF") == buckets)
+    spark.sparkContext.clearJobGroup()
+    val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup("graft_fresh_run")
+    info(s"fresh-path jobs: ${jobs.length}")
+    assert(jobs.length <= 6, s"fresh path ran ${jobs.length} jobs — not single-scan")
+    assert(runner.completedBuckets == (0 until buckets).toSet)
+    assert(runner.run(corpus, "runF") == 0) // idempotent no-op
+
+    // equivalence with the per-bucket (resume) path on the same input
+    val bucketOut = Files.createTempDirectory("graft_bucketed").toString
+    val r2 = new ResumableRunner(spark, bucketOut, numBuckets = buckets)
+    r2.run(corpus, "runB", failAfter = buckets - 1) // force per-bucket path
+    r2.run(corpus, "runB")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("image_id", "bucket", "keep", "drop_reason", "scrubbed_caption")
+      .collect().map(_.toString).sorted
+    assert(key(runner.readOutput()).sameElements(key(r2.readOutput())))
+    val (in1, out1) = Metrics.summary(runner.readMetrics())
+    val (in2, out2) = Metrics.summary(r2.readMetrics())
+    assert(in1 == 1500L && in1 == in2 && out1 == out2)
+  }
+
   test("partition metrics agree with direct counts") {
     val corpus = SyntheticImages.generate(spark, 2000L, seed = 11L, partitions = 5)
     val annotated = QualityFilter.run(spark, corpus).cache()

@@ -70,6 +70,54 @@ object GroupRules {
       .agg(count_distinct(col(field)).as("bad"))
       .head().getLong(0) == 0
 
+  /** distinctContainsSet (ValidationBuilder.scala:643-651): every value in
+    * `required` appears among the distinct values of `field`. The reference
+    * COLLECT_SETs the whole field and FORALLs over it — an all-distincts set
+    * on one node; here one filtered count-distinct (the filter prunes to at
+    * most |required| distinct values regardless of data size).
+    */
+  def distinctContainsSet(df: DataFrame, field: String, required: Seq[Any]): Boolean =
+    df.where(col(field).isin(required: _*))
+      .agg(count_distinct(col(field)).as("present"))
+      .head().getLong(0) == required.distinct.size
+
+  /** distinctEqual (:670-678): the distinct values of `field` equal
+    * `expected` exactly — nothing missing, nothing extra (NULL counts as an
+    * extra value). One aggregate pass.
+    */
+  def distinctEqual(df: DataFrame, field: String, expected: Seq[Any]): Boolean = {
+    val outside = coalesce(!col(field).isin(expected: _*), lit(true)) // null → outside
+    val row = df.agg(
+      count_distinct(col(field)).as("nd"),
+      count_if(outside).as("extra")).head()
+    row.getLong(0) == expected.distinct.size && row.getLong(1) == 0
+  }
+
+  /** MODE per group with a canonical tiebreak (highest count, then smallest
+    * value) — the substrate of mostCommonValueInSet
+    * (ValidationBuilder.scala:900-913). The reference uses Spark's MODE()
+    * whose tie behavior is undefined; the explicit tiebreak keeps
+    * engine/oracle parity. Cost: one hash-agg over (keys, field) then a
+    * window over #distinct-combinations rows (not data rows).
+    */
+  def mostCommonValue(df: DataFrame, keys: Seq[String], field: String): DataFrame = {
+    val counted = df.groupBy((keys :+ field).map(col): _*).agg(count(lit(1)).as("__n"))
+    if (keys.isEmpty)
+      counted.orderBy(col("__n").desc, col(field)).limit(1)
+        .select(col(field).as("mode_value"))
+    else {
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__n").desc, col(field))
+      counted.withColumn("__r", row_number().over(w)).where(col("__r") === 1)
+        .select(keys.map(col) :+ col(field).as("mode_value"): _*)
+    }
+  }
+
+  /** mostCommonValueInSet (:900-913): whole-dataset mode ∈ allowed. */
+  def mostCommonValueInSet(df: DataFrame, field: String, allowed: Seq[Any]): Boolean = {
+    val m = mostCommonValue(df, Nil, field).collect()
+    m.nonEmpty && allowed.contains(m.head.get(0))
+  }
+
   /** uniqueValuesProportionBetween (:923-932). Exact by default; set
     * approx=true for `approx_count_distinct` (HLL) at 10^12-row scale where
     * the exact distinct shuffle is the bottleneck.

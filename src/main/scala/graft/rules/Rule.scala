@@ -105,6 +105,21 @@ object Rules {
     Rule(s"${field}_luhn", expr(s"luhn_check($field)"))
   def hasType(field: String, typeName: String): Rule =
     Rule(s"${field}_hastype", expr(s"typeof($field)") === lit(typeName))
+  /** hasTypes plural — TYPEOF IN (…) (ValidationBuilder.scala:572-596). */
+  def hasTypes(field: String, typeNames: Seq[String]): Rule =
+    Rule(s"${field}_hastypes", expr(s"typeof($field)").isin(typeNames: _*))
+  /** matchJsonSchema (ValidationBuilder.scala:868-875); `schema` is a Spark
+    * DDL string like "a INT, b STRING". The reference's `FROM_JSON(...) IS
+    * NOT NULL` never fires on Spark 3+ (PERMISSIVE mode yields an all-null
+    * struct, not NULL) — we use the corrupt-record column instead, which
+    * catches both malformed JSON and per-field type mismatches.
+    */
+  def matchJsonSchema(field: String, schema: String): Rule = {
+    val parsed = expr(
+      s"from_json($field, '$schema, _corrupt_record STRING', " +
+        "map('columnNameOfCorruptRecord', '_corrupt_record'))")
+    Rule(s"${field}_jsonschema", c(field).isNotNull && parsed.getField("_corrupt_record").isNull)
+  }
   def isJsonParsable(field: String): Rule =
     Rule(s"${field}_json", get_json_object(c(field), "$").isNotNull || expr(s"try_variant_get(try_parse_json($field), '$$')").isNotNull)
   def matchDateTimeFormat(field: String, fmt: String): Rule =

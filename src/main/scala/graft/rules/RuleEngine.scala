@@ -77,6 +77,55 @@ object RuleEngine {
       RuleResult(r.name, total, errors, ok)
     }
   }
+  /** Up to `n` offending rows for a rule, nested structs flattened to dotted
+    * top-level columns — the reference returns sample error rows per failed
+    * validation with nested-row flattening
+    * (`core/validator/ValidationOperations.scala:52-77`, `parseValueMap`).
+    * In-plan flatten + limit: the sample job reads only what `limit(n)`
+    * needs, no full-result collect.
+    */
+  def errorSamples(df: DataFrame, rule: Rule, n: Int): DataFrame =
+    flattenStructs(df.where(!rule.strict).limit(n))
+
+  /** Recursively expands struct fields to dotted top-level columns
+    * (`address.city`). Arrays are kept as-is (an array<struct> has no flat
+    * representation; the reference renders those as nested maps driver-side).
+    */
+  def flattenStructs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    def expand(c: Column, dt: DataType, name: String): Seq[Column] = dt match {
+      case s: StructType =>
+        s.fields.toSeq.flatMap(f => expand(c.getField(f.name), f.dataType, s"$name.${f.name}"))
+      case _ => Seq(c.as(name))
+    }
+    val cols = df.schema.fields.toSeq.flatMap(f => expand(col(s"`${f.name}`"), f.dataType, f.name))
+    df.select(cols: _*)
+  }
+
+  /** [[validateAll]] plus up to `numSamples` flattened offending rows per
+    * FAILED rule (passing rules sample nothing — same contract as the
+    * reference, which only materializes samples on failure). Counts cost one
+    * pass; each failed rule costs one additional `limit(n)` job.
+    */
+  def validateAllWithSamples(
+      df: DataFrame,
+      rules: Seq[Rule],
+      threshold: Double = 0.0,
+      numSamples: Int = 5): Seq[RuleResult] =
+    validateAll(df, rules, threshold).map { r =>
+      if (r.success || numSamples <= 0) r
+      else {
+        val rule = rules.find(_.name == r.rule).get
+        val sampleDf = errorSamples(df, rule, numSamples)
+        val names = sampleDf.columns
+        r.copy(samples = sampleDf.collect().toSeq.map(_.getValuesMap[Any](names)))
+      }
+    }
 }
 
-final case class RuleResult(rule: String, total: Long, errors: Long, success: Boolean)
+final case class RuleResult(
+    rule: String,
+    total: Long,
+    errors: Long,
+    success: Boolean,
+    samples: Seq[Map[String, Any]] = Nil)

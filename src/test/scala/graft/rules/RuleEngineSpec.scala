@@ -80,4 +80,94 @@ class RuleEngineSpec extends SparkSuite {
     assert(math.abs(qs.head - 50.5) < 0.01)
     assert(GroupRules.uniqueValuesProportion(d, "x") == 1.0)
   }
+
+  test("errorSamples: offending rows with nested structs flattened") {
+    val nested = Seq(
+      (1, 30, ("sf", "ca")),
+      (2, 200, ("la", "ca")),
+      (3, 300, ("nyc", "ny")),
+    ).toDF("id", "age", "addr")
+    val rule = Rules.between("age", 0, 120)
+    val s = RuleEngine.errorSamples(nested, rule, 10)
+    assert(s.columns.toSeq == Seq("id", "age", "addr._1", "addr._2"))
+    val rows = s.collect().map(r => (r.getInt(0), r.getString(2))).sorted
+    assert(rows.toSeq == Seq((2, "la"), (3, "nyc")))
+  }
+
+  test("validateAllWithSamples: failed rules carry samples, passing rules don't") {
+    val rules = Seq(Rules.isNotNull("name"), Rules.between("age", 0, 120))
+    val rs = RuleEngine.validateAllWithSamples(df, rules, numSamples = 1)
+    val byName = rs.map(r => r.rule -> r).toMap
+    assert(!byName("name_notnull").success && byName("name_notnull").samples.size == 1)
+    assert(byName("name_notnull").samples.head("id") == 3)
+    assert(!byName("age_between").success && byName("age_between").samples.size == 1)
+    val passing = RuleEngine.validateAllWithSamples(df, Seq(Rules.between("id", 0, 10)))
+    assert(passing.head.success && passing.head.samples.isEmpty)
+  }
+
+  test("distinctContainsSet / distinctEqual / mostCommonValueInSet") {
+    val d = Seq("a", "a", "b", "c").toDF("v")
+    assert(GroupRules.distinctContainsSet(d, "v", Seq("a", "b")))
+    assert(!GroupRules.distinctContainsSet(d, "v", Seq("a", "z")))
+    assert(GroupRules.distinctEqual(d, "v", Seq("a", "b", "c")))
+    assert(!GroupRules.distinctEqual(d, "v", Seq("a", "b")))         // extra c
+    assert(!GroupRules.distinctEqual(d, "v", Seq("a", "b", "c", "d"))) // missing d
+    val withNull = Seq(Some("a"), Some("b"), None).toDF("v")
+    assert(!GroupRules.distinctEqual(withNull, "v", Seq("a", "b"))) // null = extra
+    assert(GroupRules.mostCommonValueInSet(d, "v", Seq("a", "x")))
+    assert(!GroupRules.mostCommonValueInSet(d, "v", Seq("b", "c")))
+    // tie between b and c at count 1... and mode overall is a (count 2)
+    val tie = Seq("b", "c", "b", "c").toDF("v")
+    assert(GroupRules.mostCommonValue(tie, Nil, "v").head().getString(0) == "b") // smallest wins
+  }
+
+  test("mostCommonValue per group with deterministic tiebreak") {
+    val d = Seq(("g1", "x"), ("g1", "x"), ("g1", "y"), ("g2", "p"), ("g2", "q"))
+      .toDF("g", "v")
+    val m = GroupRules.mostCommonValue(d, Seq("g"), "v")
+      .as[(String, String)].collect().toMap
+    assert(m == Map("g1" -> "x", "g2" -> "p")) // g2 tie → smallest value
+  }
+
+  test("hasTypes and matchJsonSchema rules") {
+    val d = Seq(
+      """{"a": 1, "b": "x"}""",
+      """not json at all""",
+      """{"a": "not an int", "b": "x"}""",
+    ).toDF("j")
+    assert(errors2(d, Rules.matchJsonSchema("j", "a INT, b STRING")) == 2)
+    val typed = Seq((1, "s")).toDF("i", "s")
+    assert(errors2(typed, Rules.hasTypes("i", Seq("int", "bigint"))) == 0)
+    assert(errors2(typed, Rules.hasTypes("s", Seq("int", "bigint"))) == 1)
+  }
+  private def errors2(d: org.apache.spark.sql.DataFrame, r: Rule): Long =
+    d.where(!coalesce(r.predicate, lit(false))).count()
+
+  test("fieldNames validations: count, order, set") {
+    assert(SchemaRules.fieldCountEqual(df, 4).success)
+    assert(!SchemaRules.fieldCountEqual(df, 3).success)
+    assert(SchemaRules.fieldCountBetween(df, 2, 5).success)
+    assert(SchemaRules.fieldNameMatchOrder(df, Seq("id", "name", "age", "contact")).success)
+    val misordered = SchemaRules.fieldNameMatchOrder(df, Seq("name", "id", "age", "contact"))
+    assert(!misordered.success && misordered.errors == 2)
+    assert(misordered.samples.head("field_index_0") == "id -> name")
+    assert(SchemaRules.fieldNameMatchSet(df, Seq("age", "id")).success)
+    val missing = SchemaRules.fieldNameMatchSet(df, Seq("id", "nope"))
+    assert(!missing.success && missing.samples == Seq(Map("missing_field" -> "nope")))
+  }
+
+  test("metric threshold validations") {
+    import graft.pipeline.RunReport
+    val s = RunReport.Summary("r1", 1000L, 900L, 0.9,
+      Map("caption_length" -> 60L, "image_fmt" -> 40L), Map("email" -> 5L), 8L)
+    import MetricRules._
+    assert(validate(s, "keep_rate", Seq(Between(0.8, 1.0))).success)
+    assert(!validate(s, "drop_rate", Seq(LessThan(0.05))).success)
+    assert(validate(s, "rows_out", Seq(GreaterThan(100), LessThan(1e6))).success)
+    assert(validate(s, "drop_reason.caption_length", Seq(EqualTo(60))).success)
+    assert(validate(s, "drop_reason.never_fired", Seq(EqualTo(0))).success)
+    assert(validate(s, "scrub.email", Seq(InSet(Seq(5.0)))).success)
+    val unknown = validate(s, "bogus", Seq(EqualTo(0)))
+    assert(!unknown.success && unknown.samples.head("unknown_metric") == "bogus")
+  }
 }

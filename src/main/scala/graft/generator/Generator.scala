@@ -20,6 +20,27 @@ sealed trait FieldSpec {
     * and the generation seed (for specs that need more entropy than one
     * uniform, e.g. the md5 chain of [[AlphaNumField]]). */
   def toColumn(u: Column, idx: Column, seed: Long): Column
+  /** Full hook for specs needing MANY independent uniforms (e.g. one per
+    * generated character, [[RegexField]]); default derives the single
+    * field-keyed uniform and delegates.
+    */
+  def toColumnWith(uniform: (String, Long, Column) => Column, seed: Long, idx: Column): Column =
+    toColumn(uniform(name, seed, idx), idx, seed)
+}
+
+/** String matching a regex pattern (the reference's most-used string
+  * generator, FastDataGenerator.scala:71-128) — compiled by [[RegexGen]] to
+  * a pure Column expression; every character draw is keyed
+  * (seed, "name#node.pos", idx), so generation is deterministic and
+  * partitioning-invariant (the reference uses RAND(), which is neither).
+  * Unsupported constructs throw at spec-construction time.
+  */
+final case class RegexField(name: String, pattern: String) extends FieldSpec {
+  private val parts = RegexGen.parse(pattern) // fail fast on unsupported regex
+  def toColumn(u: Column, idx: Column, seed: Long): Column =
+    throw new UnsupportedOperationException("RegexField uses toColumnWith")
+  override def toColumnWith(uniform: (String, Long, Column) => Column, seed: Long, idx: Column): Column =
+    RegexGen.toColumn(parts, key => uniform(s"$name#$key", seed, idx))
 }
 
 /** Uniform long in [lo, hi]. */
@@ -134,8 +155,7 @@ object Generator {
     val idx = col("id")
     val (plain, computed) = specs.partition(!_.isInstanceOf[SqlField])
     val cols = plain.map { s =>
-      val u = uniform(s.name, seed, idx)
-      val c = s.toColumn(u, idx, seed)
+      val c = s.toColumnWith(uniform, seed, idx)
       val withNulls = nullProb.get(s.name) match {
         case Some(p) => when(uniform(s.name + "\u0000null", seed, idx) < p, lit(null)).otherwise(c)
         case None => c

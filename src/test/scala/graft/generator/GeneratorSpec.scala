@@ -66,6 +66,33 @@ class GeneratorSpec extends SparkSuite {
     assert(total >= 1000 && total <= 4000)
   }
 
+  test("RegexField: generated strings all match the pattern; deterministic across partitions") {
+    val pattern = "(ab|cd|ef)[A-Z]{2}-[0-9]{2,4}x?\\d+"
+    val fields = Seq(SequentialField("id", "G", 6), RegexField("code", pattern))
+    val df = Generator.generate(spark, 3000L, fields, seed = 13L).cache()
+    val re = java.util.regex.Pattern.compile("^(ab|cd|ef)[A-Z]{2}-[0-9]{2,4}x?[0-9]+$")
+    val codes = df.select("code").as[String].collect()
+    codes.foreach(c => assert(re.matcher(c).matches(), s"'$c' does not match $pattern"))
+    // both quantifier branches + variable lengths actually exercised
+    assert(codes.map(_.length).distinct.length > 2)
+    assert(codes.exists(_.contains("x")) && codes.exists(!_.contains("x")))
+    assert(codes.count(_.startsWith("ab")) > 0 && codes.count(_.startsWith("ef")) > 0)
+    val b = Generator.generate(spark, 3000L, fields, seed = 13L, partitions = 17)
+      .select("code").as[String].collect()
+    assert(codes.sorted.sameElements(b.sorted))
+    df.unpersist()
+  }
+
+  test("RegexField: unsupported constructs fail fast with the construct named") {
+    def bad(p: String): String =
+      intercept[IllegalArgumentException](RegexField("f", p)).getMessage
+    assert(bad("[^abc]").contains("negated"))
+    assert(bad("a|b").contains("alternation"))
+    assert(bad("a.c").contains("wildcard"))
+    assert(bad("[abc").contains("unclosed"))
+    assert(bad("(a[b)").contains("non-literal"))
+  }
+
   test("FK assignKeys: every target key comes from the source domain, deterministically") {
     val source = Seq("n1", "n2", "n3", "n4").toDF("nation")
     val target = Generator.generate(spark, 3000L, Seq(SequentialField("id", "T", 6)), seed = 6L)

@@ -545,6 +545,54 @@ object Queries {
        |    (a, b) -> (a * 31 + b) % 2147483647) AS rhash
        |FROM documents""".stripMargin
 
+  // ---- q26: MODE with canonical tiebreak — mostCommonValueInSet substrate
+  //          (ValidationBuilder.scala:900-913; tiebreak = smallest value so
+  //          both engines agree deterministically) ----
+  private def q26(s: SparkSession, dir: String): DataFrame =
+    graft.rules.GroupRules.mostCommonValue(
+      t(s, dir, "orders"), Seq("o_orderstatus"), "o_orderpriority")
+
+  private val q26Sql =
+    """SELECT o_orderstatus, o_orderpriority AS mode_value FROM (
+      |  SELECT o_orderstatus, o_orderpriority,
+      |    row_number() OVER (PARTITION BY o_orderstatus
+      |                       ORDER BY count(*) DESC, o_orderpriority) AS r
+      |  FROM orders GROUP BY o_orderstatus, o_orderpriority)
+      |WHERE r = 1""".stripMargin
+
+  // ---- q27: regex-pattern data generation (FastDataGenerator.scala:71-128 /
+  //          RegexNode.toSql) — portable uniforms, so DuckDB reproduces the
+  //          exact strings: alternation + classes + fixed and ranged
+  //          quantifiers all exercised ----
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    import graft.generator._
+    Generator.generate(s, 5000L, Seq(
+      SequentialField("id", "C", 6),
+      RegexField("code", "(ab|cd|ef)[A-Z]{2}-[0-9]{2,4}")),
+      seed = 11L, uniform = Generator.portableUniform)
+  }
+
+  private val q27Sql = {
+    def hex4(arg: String) = {
+      def hv(i: Int) =
+        s"(CASE WHEN ascii(substring(md5($arg),$i,1)) <= 57 THEN ascii(substring(md5($arg),$i,1)) - 48 ELSE ascii(substring(md5($arg),$i,1)) - 87 END)"
+      s"(${hv(1)} * 4096 + ${hv(2)} * 256 + ${hv(3)} * 16 + ${hv(4)})"
+    }
+    def u(key: String) = s"(${hex4(s"'11|code#$key|' || cast(i AS varchar)")} / 65536.0)"
+    def alt = s"CASE WHEN floor(${u("0.0")} * 3) = 2 THEN 'ef' WHEN floor(${u("0.0")} * 3) = 1 THEN 'cd' ELSE 'ab' END"
+    def az(key: String) =
+      s"substring('ABCDEFGHIJKLMNOPQRSTUVWXYZ', cast(floor(${u(key)} * 26) AS int) + 1, 1)"
+    def digit(key: String) =
+      s"substring('0123456789', cast(floor(${u(key)} * 10) AS int) + 1, 1)"
+    val len3 = s"(2 + cast(floor(${u("len3")} * 3) AS int))"
+    val digits = (0 until 4)
+      .map(p => s"CASE WHEN $p < $len3 THEN ${digit(s"3.$p")} ELSE '' END")
+      .mkString(" || ")
+    s"""SELECT 'C' || lpad(cast(i AS varchar), 6, '0') AS id,
+       |  $alt || ${az("1.0")} || ${az("1.1")} || '-' || $digits AS code
+       |FROM range(0, 5000) t(i)""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1 _),
     "q2_quality_rules" -> (q2 _),
@@ -571,6 +619,8 @@ object Queries {
     "q23_sessionize" -> (q23 _),
     "q24_generator" -> (q24 _),
     "q25_rolling_hash" -> (q25 _),
+    "q26_mode" -> (q26 _),
+    "q27_regex_gen" -> (q27 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -599,5 +649,7 @@ object Queries {
     "q23_sessionize" -> q23Sql,
     "q24_generator" -> q24Sql,
     "q25_rolling_hash" -> q25Sql,
+    "q26_mode" -> q26Sql,
+    "q27_regex_gen" -> q27Sql,
   )
 }

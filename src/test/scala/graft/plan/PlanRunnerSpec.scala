@@ -1,0 +1,88 @@
+package graft.plan
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class PlanRunnerSpec extends SparkSuite {
+  import graft.SharedSpark.spark.implicits._
+
+  private def writeInput(): String = {
+    val dir = Files.createTempDirectory("graft_plan_in").toString
+    Seq(
+      (1L, "a fine caption with enough words here ok", 30),
+      (2L, "short", 17),
+      (3L, "contact me at foo@example.com for details today", 45),
+      (4L, "another acceptable caption with many words", 200),
+    ).toDF("id", "text", "age").write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("e2e: JSON string → plan → rules + scrub + sink + report") {
+    val in = writeInput()
+    val out = Files.createTempDirectory("graft_plan_out").toString + "/result"
+    val json =
+      s"""{
+         |  "name": "doc_quality",
+         |  "source": {"path": "$in"},
+         |  "rules": [
+         |    {"name": "text_long_enough", "expr": "length(text) >= 10"},
+         |    {"name": "age_valid", "expr": "age BETWEEN 0 AND 120"}
+         |  ],
+         |  "scrubFields": ["text"],
+         |  "errorThreshold": 0.0,
+         |  "numErrorSamples": 3,
+         |  "keepOnly": true,
+         |  "sink": {"path": "$out"}
+         |}""".stripMargin
+    val plan = PlanRunner.parseJson(json)
+    assert(plan.name == "doc_quality" && plan.rules.size == 2 && plan.keepOnly)
+    assert(plan.source.format == "parquet") // default applied
+
+    val outcome = PlanRunner.run(spark, plan)
+    assert(outcome.rowsIn == 4 && outcome.rowsOut == 2)
+    assert(!outcome.success) // both rules have violations
+    val v = outcome.validations.map(r => r.rule -> r).toMap
+    assert(v("text_long_enough").errors == 1 && v("age_valid").errors == 1)
+    assert(v("age_valid").samples.head("id") == 4L)
+
+    val written = spark.read.parquet(out)
+    assert(written.count() == 2)
+    assert(written.where(col("id") === 3).select("text").head().getString(0).contains("[EMAIL]"))
+    assert(written.columns.contains("drop_reason"))
+  }
+
+  test("e2e: YAML plan with quality filter over the image corpus") {
+    val corpus = graft.corpus.SyntheticImages.generate(spark, 500L, seed = 5L, partitions = 4)
+    val in = Files.createTempDirectory("graft_plan_img").toString + "/corpus"
+    corpus.write.mode("overwrite").parquet(in)
+    val out = Files.createTempDirectory("graft_plan_img_out").toString + "/kept"
+    val yaml =
+      s"""name: image_filter
+         |source:
+         |  format: parquet
+         |  path: $in
+         |qualityFilter: true
+         |keepOnly: true
+         |sink:
+         |  path: $out
+         |  partitionBy: [lang]
+         |""".stripMargin
+    val plan = PlanRunner.parseYaml(yaml)
+    assert(plan.qualityFilter && plan.sink.get.partitionBy == Seq("lang"))
+    val outcome = PlanRunner.run(spark, plan)
+    assert(outcome.rowsIn == 500)
+    assert(outcome.rowsOut > 0 && outcome.rowsOut < 500)
+    val written = spark.read.parquet(out)
+    assert(written.count() == outcome.rowsOut)
+    assert(written.where(!col("keep")).count() == 0)
+  }
+
+  test("plan without sink or rules still runs (pure annotation)") {
+    val in = writeInput()
+    val plan = PlanRunner.parseJson(s"""{"name": "noop", "source": {"path": "$in"}}""")
+    val outcome = PlanRunner.run(spark, plan)
+    assert(outcome.rowsIn == -1 && outcome.validations.isEmpty)
+    assert(outcome.output.count() == 4)
+  }
+}

@@ -8,14 +8,37 @@ import graft.pipeline.{FilterConfig, ResumableRunner, RunReport}
   *     --conf spark.sql.extensions=graft.plans.GraftExtensions \
   *     graft.jar <inputPath> <outputDir> [numBuckets] [runId]
   *
-  * Reads the image+caption table (parquet here; an Iceberg table reference
-  * like `iceberg.ns.images` works unchanged where the catalog is configured
-  * — `spark.read.table` branch), runs the resumable bucketed quality-filter,
-  * writes kept+annotated rows, per-partition metrics, and a JSON run report.
-  * Re-running after a crash resumes from the bucket manifest.
+  *   spark-submit --class graft.Main graft.jar --plan plan.yaml
+  *
+  * Default mode reads the image+caption table (parquet here; an Iceberg
+  * table reference like `iceberg.ns.images` works unchanged where the
+  * catalog is configured — `spark.read.table` branch), runs the resumable
+  * bucketed quality-filter, writes kept+annotated rows, per-partition
+  * metrics, and JSON+HTML run reports. Re-running after a crash resumes from
+  * the bucket manifest. `--plan` mode executes a declarative JSON/YAML
+  * [[graft.plan.PlanSpec]] instead (the reference's YAML-plan entry surface).
   */
 object Main {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--plan")) {
+      require(args.length == 2, "usage: graft.Main --plan <plan.yaml|plan.json>")
+      val text = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args(1))))
+      val plan =
+        if (args(1).endsWith(".json")) graft.plan.PlanRunner.parseJson(text)
+        else graft.plan.PlanRunner.parseYaml(text)
+      val spark = GraftSession.builder(
+        sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]"),
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt).getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val outcome = graft.plan.PlanRunner.run(spark, plan)
+      println(s"[graft] plan=${outcome.plan} rows_in=${outcome.rowsIn} rows_out=${outcome.rowsOut} " +
+        s"validations=${outcome.validations.count(_.success)}/${outcome.validations.size} ok")
+      outcome.validations.filterNot(_.success).foreach { v =>
+        println(s"[graft] FAILED ${v.rule}: ${v.errors}/${v.total} sample=${v.samples.headOption.getOrElse(Map.empty)}")
+      }
+      spark.stop()
+      return
+    }
     require(args.length >= 2, "usage: graft.Main <inputPath> <outputDir> [numBuckets] [runId]")
     val input = args(0)
     val outDir = args(1)

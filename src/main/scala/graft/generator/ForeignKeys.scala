@@ -63,6 +63,29 @@ object ForeignKeys {
     out.toSeq
   }
 
+  /** Cardinality-driven record-count adjustment — the reference's
+    * `CardinalityCountAdjustmentProcessor` (`core/plan/
+    * CardinalityCountAdjustmentProcessor.scala:20-110`): an FK edge with a
+    * 1:ratio cardinality forces child count = parent count × ratio, so
+    * generation produces the right number of rows upfront instead of
+    * duplicating afterwards. Ratios compound along FK chains (topo order);
+    * an explicitly configured child count is overridden, like the reference.
+    */
+  def adjustCounts(
+      counts: Map[String, Long],
+      cardinality: Seq[(String, String, Double)]): Map[String, Long] = {
+    val order = insertOrder(counts.keys.toSeq.sorted,
+      cardinality.map { case (p, c, _) => p -> c })
+    order.foldLeft(counts) { (acc, table) =>
+      cardinality.filter(_._2 == table) match {
+        case Nil => acc
+        case parents =>
+          val adjusted = parents.map { case (p, _, r) => math.round(acc(p) * r) }.max
+          acc + (table -> adjusted)
+      }
+    }
+  }
+
   /** Delete order = reverse insert order (children first). */
   def deleteOrder(tables: Seq[String], edges: Seq[(String, String)]): Seq[String] =
     insertOrder(tables, edges).reverse

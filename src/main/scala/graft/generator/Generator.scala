@@ -108,11 +108,45 @@ final case class TimestampField(name: String, start: String, seconds: Long) exte
 }
 
 /** Computed column: arbitrary SQL over previously generated fields (the
-  * reference's computed-column stage, GeneratorUtil.scala:93-269 — here
-  * Catalyst's lateral alias resolution does the ordering for us via a
-  * second projection). */
+  * reference's computed-column stage, GeneratorUtil.scala:93-269). Computed
+  * fields may reference each other in ANY listed order — [[Generator]]
+  * topologically sorts them by their column references (the reference's
+  * dependency leveling) and rejects cycles. */
 final case class SqlField(name: String, sql: String) extends FieldSpec {
   def toColumn(u: Column, idx: Column, seed: Long): Column = expr(sql)
+}
+
+/** Nested struct: children generate with uniforms keyed by the full dotted
+  * path (`parent.child`), so nesting never aliases sibling randomness — the
+  * reference builds nested structs in `DataGeneratorFactory.scala:199-336`.
+  * [[SqlField]] children are not supported inside structs (computed fields
+  * are a top-level projection stage). */
+final case class StructSpec(name: String, children: Seq[FieldSpec]) extends FieldSpec {
+  require(children.nonEmpty && !children.exists(_.isInstanceOf[SqlField]),
+    s"struct $name: needs children; SqlField not supported inside structs")
+  def toColumn(u: Column, idx: Column, seed: Long): Column =
+    throw new UnsupportedOperationException("StructSpec uses toColumnWith")
+  override def toColumnWith(uniform: (String, Long, Column) => Column, seed: Long, idx: Column): Column =
+    struct(children.map(c =>
+      c.toColumnWith((n, s, i) => uniform(s"$name.$n", s, i), seed, idx).as(c.name)): _*)
+}
+
+/** Array of `minLen..maxLen` generated elements. Element draws are keyed by
+  * `name[position].element`; the bounded unrolling (maxLen columns, sliced
+  * to the drawn length) keeps generation a pure projection — no explode, no
+  * UDF (same technique as [[RegexGen.toColumn]]). */
+final case class ArraySpec(name: String, element: FieldSpec, minLen: Int, maxLen: Int) extends FieldSpec {
+  require(minLen >= 0 && maxLen >= minLen && !element.isInstanceOf[SqlField],
+    s"array $name: bad bounds or SqlField element")
+  def toColumn(u: Column, idx: Column, seed: Long): Column =
+    throw new UnsupportedOperationException("ArraySpec uses toColumnWith")
+  override def toColumnWith(uniform: (String, Long, Column) => Column, seed: Long, idx: Column): Column = {
+    val len = lit(minLen) + floor(uniform(s"$name#len", seed, idx) * (maxLen - minLen + 1)).cast("int")
+    val elems = (0 until maxLen).map { j =>
+      element.toColumnWith((n, s, i) => uniform(s"$name[$j].$n", s, i), seed, idx)
+    }
+    slice(array(elems: _*), lit(1), len)
+  }
 }
 
 object Generator {
@@ -163,8 +197,28 @@ object Generator {
       withNulls.as(s.name)
     }
     val df = base.select((idx.as("__index_inc") +: cols): _*)
-    val out = computed.foldLeft(df) { case (d, s) => d.withColumn(s.name, expr(s.asInstanceOf[SqlField].sql)) }
+    val ordered = topoOrder(computed.map(_.asInstanceOf[SqlField]))
+    val out = ordered.foldLeft(df) { case (d, s) => d.withColumn(s.name, expr(s.sql)) }
     out.drop("__index_inc")
+  }
+
+  /** Dependency-levels computed fields (the reference's topological ordering
+    * of computed columns, `GeneratorUtil.scala:93-269`): a SqlField that
+    * references another SqlField is applied after it, whatever the listed
+    * order; cycles are rejected (Kahn, via [[ForeignKeys.insertOrder]]).
+    * References are read off the UNRESOLVED expression tree — no analysis
+    * pass needed.
+    */
+  private def topoOrder(computed: Seq[SqlField]): Seq[SqlField] = {
+    if (computed.size <= 1) return computed
+    val byName = computed.map(s => s.name -> s).toMap
+    val edges = computed.flatMap { s =>
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(s.sql).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if byName.contains(a.name) && a.name != s.name => a.name -> s.name
+      }
+    }
+    ForeignKeys.insertOrder(computed.map(_.name), edges.distinct).map(byName)
   }
 
   /** Per-parent fan-out (the reference's per-field count,

@@ -57,11 +57,39 @@ object RunReport {
       s""""drop_reasons":${m(s.dropReasons)},"scrub_counts":${m(s.scrubCounts)}}"""
   }
 
-  /** Write `<outDir>/_report_<runId>.json`; returns the summary. */
+  /** Human-readable HTML report — the analog of the reference's per-run HTML
+    * (`core/generator/result/DataGenerationResultWriter.scala`): one
+    * self-contained page, no assets, built from the same Summary.
+    */
+  def toHtml(s: Summary): String = {
+    def esc(x: String) = x.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    def table(title: String, mp: Map[String, Long]) =
+      if (mp.isEmpty) ""
+      else s"<h2>${esc(title)}</h2><table><tr><th>key</th><th>count</th></tr>" +
+        mp.toSeq.sortBy(-_._2).map { case (k, v) =>
+          s"<tr><td>${esc(k)}</td><td>$v</td></tr>"
+        }.mkString + "</table>"
+    s"""<!DOCTYPE html><html><head><meta charset="utf-8"><title>graft run ${esc(s.runId)}</title>
+       |<style>body{font-family:sans-serif;margin:2em}table{border-collapse:collapse}
+       |td,th{border:1px solid #999;padding:4px 10px;text-align:left}</style></head><body>
+       |<h1>Run ${esc(s.runId)}</h1>
+       |<table>
+       |<tr><th>rows in</th><td>${s.rowsIn}</td></tr>
+       |<tr><th>rows out</th><td>${s.rowsOut}</td></tr>
+       |<tr><th>keep rate</th><td>${f"${s.keepRate}%.4f"}</td></tr>
+       |<tr><th>partitions</th><td>${s.partitions}</td></tr>
+       |</table>
+       |${table("Drop reasons", s.dropReasons)}
+       |${table("Scrub counts", s.scrubCounts)}
+       |</body></html>""".stripMargin
+  }
+
+  /** Write `<outDir>/_report_<runId>.{json,html}`; returns the summary. */
   def write(metrics: DataFrame, runId: String, outDir: String): Summary = {
     val s = summarize(metrics, runId)
     Files.createDirectories(Paths.get(outDir))
     Files.writeString(Paths.get(outDir, s"_report_$runId.json"), toJson(s) + "\n")
+    Files.writeString(Paths.get(outDir, s"_report_$runId.html"), toHtml(s))
     s
   }
 }

@@ -70,6 +70,37 @@ object GroupRules {
       .agg(count_distinct(col(field)).as("bad"))
       .head().getLong(0) == 0
 
+  /** Named whole-dataset aggregate-between builders
+    * (ValidationBuilder max/min/mean/stdDev/sumBetween :700-780,
+    * medianBetween via quantile): one aggregate job, map-side partial.
+    */
+  def aggBetween(df: DataFrame, field: String, aggType: String, lo: Double, hi: Double): Boolean = {
+    val a = aggType.toLowerCase match {
+      case "sum" => sum(col(field))
+      case "min" => min(col(field))
+      case "max" => max(col(field))
+      case "avg" | "mean" => avg(col(field))
+      case "stddev" => stddev(col(field))
+      case other => throw new IllegalArgumentException(s"unknown aggType $other")
+    }
+    val v = df.agg(a.cast("double").as("v")).head()
+    !v.isNullAt(0) && v.getDouble(0) >= lo && v.getDouble(0) <= hi
+  }
+  def sumBetween(df: DataFrame, field: String, lo: Double, hi: Double): Boolean =
+    aggBetween(df, field, "sum", lo, hi)
+  def minBetween(df: DataFrame, field: String, lo: Double, hi: Double): Boolean =
+    aggBetween(df, field, "min", lo, hi)
+  def maxBetween(df: DataFrame, field: String, lo: Double, hi: Double): Boolean =
+    aggBetween(df, field, "max", lo, hi)
+  def meanBetween(df: DataFrame, field: String, lo: Double, hi: Double): Boolean =
+    aggBetween(df, field, "mean", lo, hi)
+  def stdDevBetween(df: DataFrame, field: String, lo: Double, hi: Double): Boolean =
+    aggBetween(df, field, "stddev", lo, hi)
+  def medianBetween(df: DataFrame, field: String, lo: Double, hi: Double): Boolean = {
+    val m = quantiles(df, field, Seq(0.5)).head
+    m >= lo && m <= hi
+  }
+
   /** distinctContainsSet (ValidationBuilder.scala:643-651): every value in
     * `required` appears among the distinct values of `field`. The reference
     * COLLECT_SETs the whole field and FORALLs over it — an all-distincts set

@@ -65,6 +65,39 @@ object SchemaOps {
     struct(keep.map(f => c.getField(f.name).as(f.name)).toIndexedSeq: _*)
   }
 
+  /** Rewrite a possibly-nested field in place by dotted path: the computed-
+    * transform rewrite over nested structs / arrays-of-structs
+    * (`GeneratorUtil.scala:275-414`). `fn` receives the leaf Column (for a
+    * path that ends inside an array-of-structs, the element's field) and its
+    * result replaces it, with all enclosing structs rebuilt. Pure projection.
+    */
+  def transformNested(df: DataFrame, path: String, fn: Column => Column): DataFrame = {
+    val parts = path.split("\\.").toSeq
+    val top = parts.head
+    if (parts.size == 1) return df.withColumn(top, fn(col(top)))
+    df.withColumn(top, rebuildWith(col(top), df.schema(top).dataType, parts.tail, fn))
+  }
+
+  private def rebuildWith(
+      c: Column,
+      dt: org.apache.spark.sql.types.DataType,
+      rest: Seq[String],
+      fn: Column => Column): Column =
+    dt match {
+      case st: StructType =>
+        val inner = st(rest.head)
+        val rebuilt =
+          if (rest.size == 1) fn(c.getField(rest.head))
+          else rebuildWith(c.getField(rest.head), inner.dataType, rest.tail, fn)
+        struct(st.fields.map { f =>
+          if (f.name == rest.head) rebuilt.as(f.name) else c.getField(f.name).as(f.name)
+        }.toIndexedSeq: _*)
+      case ArrayType(et: StructType, _) =>
+        transform(c, x => rebuildWith(x, et, rest, fn))
+      case other =>
+        throw new IllegalArgumentException(s"cannot transform '${rest.mkString(".")}' inside $other")
+    }
+
   /** Fields marked omit=true in metadata (the reference attaches options as
     * JSON metadata, `SchemaUtil.scala:585-592`) are dropped before sink.
     */

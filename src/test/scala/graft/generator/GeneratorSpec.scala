@@ -83,6 +83,34 @@ class GeneratorSpec extends SparkSuite {
     df.unpersist()
   }
 
+  test("nested struct/array generation: path-keyed randomness, computed-column topo order") {
+    val nested = Seq(
+      SequentialField("id", "N", 6),
+      StructSpec("addr", Seq(
+        OneOfField("city", Seq(("sf", 0.5), ("nyc", 0.5))),
+        IntField("zip", 10000, 99999))),
+      ArraySpec("scores", IntField("s", 0, 100), 1, 4),
+      // computed fields listed in REVERSE dependency order on purpose
+      SqlField("d", "c * 2"),
+      SqlField("c", "addr.zip + size(scores)"))
+    val df = Generator.generate(spark, 2000L, nested, seed = 21L).cache()
+    assert(df.schema("addr").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+    assert(df.where(!col("addr.city").isin("sf", "nyc")).count() == 0)
+    assert(df.where(!col("addr.zip").between(10000, 99999)).count() == 0)
+    assert(df.where(size(col("scores")) < 1 || size(col("scores")) > 4).count() == 0)
+    assert(df.select(size(col("scores"))).distinct().count() == 4) // all lengths drawn
+    assert(df.where(col("c") =!= col("addr.zip") + size(col("scores"))).count() == 0)
+    assert(df.where(col("d") =!= col("c") * 2).count() == 0)
+    // sibling fields and array positions draw independent randomness
+    assert(df.where(element_at(col("scores"), 1) === col("addr.zip") % 101).count() < 2000)
+    // cycles rejected
+    intercept[IllegalArgumentException] {
+      Generator.generate(spark, 10L,
+        Seq(IntField("x", 1, 2), SqlField("a", "b + 1"), SqlField("b", "a + 1"))).collect()
+    }
+    df.unpersist()
+  }
+
   test("RegexField: unsupported constructs fail fast with the construct named") {
     def bad(p: String): String =
       intercept[IllegalArgumentException](RegexField("f", p)).getMessage

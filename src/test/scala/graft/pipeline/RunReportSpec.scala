@@ -20,6 +20,24 @@ class RunReportSpec extends SparkSuite {
     val json = Files.readString(Paths.get(dir, "_report_r9.json"))
     // driver-style parse check: well-formed JSON with expected keys
     assert(json.contains("\"run_id\":\"r9\"") && json.contains("\"drop_reasons\":{"))
+    val html = Files.readString(Paths.get(dir, "_report_r9.html"))
+    assert(html.startsWith("<!DOCTYPE html>") && html.contains("Run r9")
+      && html.contains("Drop reasons") && html.contains(s.rowsOut.toString))
     annotated.unpersist()
+  }
+
+  test("cardinality count adjustment propagates along FK chains") {
+    import graft.generator.ForeignKeys
+    val counts = Map("accounts" -> 30L, "transactions" -> 30L, "entries" -> 5L)
+    val adjusted = ForeignKeys.adjustCounts(counts, Seq(
+      ("accounts", "transactions", 2.0), // 1:2 → 60
+      ("transactions", "entries", 3.0))) // compounds → 180
+    assert(adjusted == Map("accounts" -> 30L, "transactions" -> 60L, "entries" -> 180L))
+    // no cardinality → unchanged; cycles rejected
+    assert(ForeignKeys.adjustCounts(counts, Nil) == counts)
+    intercept[IllegalArgumentException] {
+      ForeignKeys.adjustCounts(Map("a" -> 1L, "b" -> 1L),
+        Seq(("a", "b", 2.0), ("b", "a", 2.0)))
+    }
   }
 }

@@ -156,6 +156,22 @@ class RuleEngineSpec extends SparkSuite {
     assert(!missing.success && missing.samples == Seq(Map("missing_field" -> "nope")))
   }
 
+  test("named aggregate-between builders + medianBetween") {
+    val d = (1 to 100).toDF("x")
+    assert(GroupRules.sumBetween(d, "x", 5050, 5050))
+    assert(!GroupRules.sumBetween(d, "x", 0, 100))
+    assert(GroupRules.minBetween(d, "x", 1, 1) && GroupRules.maxBetween(d, "x", 100, 100))
+    assert(GroupRules.meanBetween(d, "x", 50, 51))
+    assert(GroupRules.stdDevBetween(d, "x", 28, 30))
+    assert(GroupRules.medianBetween(d, "x", 50, 51))
+    assert(!GroupRules.medianBetween(d, "x", 0, 10))
+  }
+
+  test("luhnCheck: valid and invalid check digits") {
+    val d = Seq("79927398713", "79927398710", "4539578763621486").toDF("card")
+    assert(errors2(d, Rules.luhnCheck("card")) == 1) // only ...710 fails
+  }
+
   test("metric threshold validations") {
     import graft.pipeline.RunReport
     val s = RunReport.Summary("r1", 1000L, 900L, 0.9,

@@ -34,6 +34,18 @@ class SchemaOpsSpec extends SparkSuite {
     assert(elemType.fieldNames.toSeq == Seq("k"))
   }
 
+  test("transformNested rewrites leaves at any depth, structs rebuilt intact") {
+    val t1 = SchemaOps.transformNested(nested, "s.inner.b", _ * 10)
+    assert(t1.where(col("s.inner.b") =!= col("id") * 20).count() == 0)
+    assert(t1.where(col("s.inner.c") =!= "x" || col("s.a") =!= col("id")).count() == 0)
+    // top-level and array-of-struct paths
+    val t2 = SchemaOps.transformNested(nested, "id", _ + 100)
+    assert(t2.agg(min("id")).head().getLong(0) == 100)
+    val t3 = SchemaOps.transformNested(nested, "arr.v", c => upper(c))
+    assert(t3.select(explode(col("arr"))).where(col("col.v") =!= "V").count() == 0)
+    assert(t3.select(explode(col("arr"))).where(col("col.k") =!= col("col.k")).count() == 0)
+  }
+
   test("dropOmitted drops metadata-marked fields") {
     val meta = new org.apache.spark.sql.types.MetadataBuilder().putBoolean("omit", true).build()
     val df = spark.range(2).select(col("id"), lit("h").as("helper", meta))

@@ -276,6 +276,26 @@ object Dedup {
     val notSeen = udf((k: String) => k != null && !bfB.value.mightContainString(k))
     current.where(notSeen(col(keyCol).cast("string")))
   }
+
+  /** Size-gated cross-batch dedup: the driver-built Bloom sketch is only
+    * viable while it fits driver memory (≈1.2 bytes/key at 1% fpp — a
+    * 10^12-key sketch would be ~1.2 TB). Above `maxSketchItems` this
+    * switches to a distributed left_anti join on the key: a shuffle, but one
+    * AQE sizes and that scales with the cluster instead of the driver heap.
+    * Both paths drop null-keyed rows (a null key is never "new").
+    */
+  def newRows(
+      current: DataFrame,
+      previous: DataFrame,
+      keyCol: String,
+      expectedItems: Long,
+      fpp: Double = 0.01,
+      maxSketchItems: Long = 2000000000L): DataFrame =
+    if (expectedItems <= maxSketchItems)
+      bloomNewRows(current, previous, keyCol, expectedItems, fpp)
+    else
+      current.where(col(keyCol).isNotNull)
+        .join(previous.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
 }
 
 /** Minimal xxhash64 (seed 42) matching Spark's `xxhash64` on UTF-8 string

@@ -75,4 +75,17 @@ class DedupSpec extends SparkSuite {
     // almost all genuinely-new keys survive (fpp bounded)
     assert(fresh.size >= 95)
   }
+
+  test("size-gated newRows: anti-join path above the sketch gate, exact semantics") {
+    val previous = (1 to 1000).map(i => s"key$i").toDF("k")
+    val current = ((900 to 1100).map(i => s"key$i") :+ null).toDF("k")
+    // gate forced to 0 → distributed anti-join: EXACT (no false positives)
+    val viaJoin = Dedup.newRows(current, previous, "k", expectedItems = 1000,
+      maxSketchItems = 0).as[String].collect().toSet
+    assert(viaJoin == (1001 to 1100).map(i => s"key$i").toSet) // nulls dropped
+    // under the gate → bloom path (same API)
+    val viaBloom = Dedup.newRows(current, previous, "k", expectedItems = 1000, fpp = 0.001)
+      .as[String].collect().toSet
+    assert(viaBloom.subsetOf(viaJoin) && viaBloom.size >= 95)
+  }
 }

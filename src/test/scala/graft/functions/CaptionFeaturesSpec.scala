@@ -12,16 +12,20 @@ class CaptionFeaturesSpec extends AnyFunSuite {
 
   private val symbolRe = java.util.regex.Pattern.compile("[^A-Za-z0-9 \\t\\n\\r]")
 
+  // char-run semantics: ANY repeated char counts, including line terminators
+  // — [\s\S], not `.` (which skips \n and made the streaming Column path
+  // disagree with this extractor on newline-run captions; ADVICE round 1)
   private def regexFeatures(s: String, maxRun: Int): CaptionFeatures = {
     val toks = s.split("\\s+").filter(_.nonEmpty)
     val symbols = s.length - symbolRe.matcher(s).replaceAll("").length
-    val hasRun = java.util.regex.Pattern.compile(s"(.)\\1{${maxRun - 1},}").matcher(s).find()
+    val hasRun = java.util.regex.Pattern.compile(s"([\\s\\S])\\1{${maxRun - 1},}").matcher(s).find()
     CaptionFeatures(s.length, toks.length, toks.distinct.length, symbols, hasRun)
   }
 
   private val weird = Gen.oneOf(
     "a", " ", "\t", "\n", "\r", "", "\f", "Z", "9", "$", "#", "猫", "é", "ß",
-    "aaaaaaa", "ab", "   ", "x y", "!!!!!!")
+    "aaaaaaa", "ab", "   ", "x y", "!!!!!!",
+    "\n\n\n", "\n\n\n\n\n\n", "\r\r\r\r\r\r\r", "\t\t\t\t\t\t")
 
   test("fuzz: extract == regex definitions (10k samples)") {
     val gen = Gen.listOfN(12, weird).map(_.mkString)

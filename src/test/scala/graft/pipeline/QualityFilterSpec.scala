@@ -94,6 +94,27 @@ class QualityFilterSpec extends SparkSuite {
     }
   }
 
+  test("streaming Column rules() and batch runDF agree on newline-run captions") {
+    // ADVICE round 1: hasCharRun used `.` (skips \n) while the single-scan
+    // extractor counted newline runs — the two engine paths disagreed.
+    import graft.SharedSpark.spark.implicits._
+    import graft.rules.RuleEngine
+    val df = Seq(
+      ("n1", Array[Byte](1), 100, 100, "png", "some caption text here\n\n\n\n\n\n\nafter the gap words", 1L),
+      ("n2", Array[Byte](1), 100, 100, "png", "a normal caption with plenty of words to pass checks", 2L),
+      ("n3", Array[Byte](1), 100, 100, "png", "carriage\r\r\r\r\r\r\rreturn run caption with words", 3L),
+    ).toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+    def reasons(d: org.apache.spark.sql.DataFrame) =
+      d.select("image_id", "drop_reason").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    val batch = reasons(QualityFilter.runDF(spark, df))
+    val streaming = reasons(RuleEngine.annotate(
+      QualityFilter.scoreCols(spark, df), QualityFilter.rules(FilterConfig())))
+    assert(batch == streaming)
+    assert(batch("n1") == "caption_char_run" && batch("n3") == "caption_char_run")
+    assert(batch("n2") == null)
+  }
+
   test("runDF plan compiles under Janino (no interpreted fallback on the hot path)") {
     // Round-1 regression: the fused scorer UDF returned a private nested case
     // class whose generated accessor Janino could not compile — every task

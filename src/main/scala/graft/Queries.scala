@@ -593,6 +593,43 @@ object Queries {
        |FROM range(0, 5000) t(i)""".stripMargin
   }
 
+  // ---- q28: phash near-dup pairs (banded hamming join — north rule's
+  //          "duplicate phash clusters"). The synthetic 48-bit phash derives
+  //          from doc_id with pure int64 arithmetic (exact in both engines):
+  //          ~6 docs per base hash, 0-2 deterministic bit flips each. ----
+  private def phashCol: Column = {
+    val base = pmod(pmod(col("doc_id"), lit(80)) * lit(2654435761L), lit(1L << 48))
+    val k = pmod(col("doc_id"), lit(3))
+    val p0 = pmod(col("doc_id") * 7, lit(48))
+    val p1 = pmod(col("doc_id") * 7 + 13, lit(48))
+    val f0 = when(k >= 1, pow(lit(2.0), p0).cast("long")).otherwise(lit(0L))
+    val f1 = when(k >= 2, pow(lit(2.0), p1).cast("long")).otherwise(lit(0L))
+    base.bitwiseXOR(f0).bitwiseXOR(f1)
+  }
+
+  private def q28(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.phashNearDup(
+      t(s, dir, "documents").withColumn("ph", phashCol),
+      "doc_id", "ph", maxHamming = 3, bits = 48)
+
+  private val q28Sql =
+    """WITH ph AS (
+      |  SELECT doc_id,
+      |    xor(xor((doc_id % 80) * 2654435761 % 281474976710656,
+      |      CASE WHEN doc_id % 3 >= 1 THEN cast(power(2, (doc_id*7) % 48) AS bigint) ELSE 0 END),
+      |      CASE WHEN doc_id % 3 >= 2 THEN cast(power(2, (doc_id*7+13) % 48) AS bigint) ELSE 0 END) AS ph
+      |  FROM documents),
+      |banded AS (
+      |  SELECT doc_id, ph, b.b AS band,
+      |    cast(floor(ph / power(2, b.b * 12)) AS bigint) % 4096 AS seg
+      |  FROM ph CROSS JOIN range(0, 4) b(b)),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.ph AS pa, b.ph AS pb
+      |  FROM banded a JOIN banded b ON a.band = b.band AND a.seg = b.seg
+      |  WHERE a.doc_id < b.doc_id)
+      |SELECT a_id, b_id, cast(bit_count(xor(pa, pb)) AS int) AS dist
+      |FROM pairs WHERE bit_count(xor(pa, pb)) <= 3""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1 _),
     "q2_quality_rules" -> (q2 _),
@@ -621,6 +658,7 @@ object Queries {
     "q25_rolling_hash" -> (q25 _),
     "q26_mode" -> (q26 _),
     "q27_regex_gen" -> (q27 _),
+    "q28_phash_neardup" -> (q28 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -651,5 +689,6 @@ object Queries {
     "q25_rolling_hash" -> q25Sql,
     "q26_mode" -> q26Sql,
     "q27_regex_gen" -> q27Sql,
+    "q28_phash_neardup" -> q28Sql,
   )
 }

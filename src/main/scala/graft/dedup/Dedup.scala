@@ -234,6 +234,86 @@ object Dedup {
   /** Hamming distance between two 64-bit simhashes as a Column. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  // ---------- perceptual-hash (phash) near-dup ----------
+
+  /** Near-duplicate pairs by hamming distance over a perceptual hash — the
+    * north rule's "duplicate phash clusters". Scale path: the `bits`-wide
+    * hash is split into maxHamming+1 disjoint segments; by pigeonhole, two
+    * hashes within hamming <= maxHamming agree EXACTLY on at least one
+    * segment, so per-band equi-joins find every qualifying pair and the
+    * O(n²) all-pairs never materializes. `maxBucket` caps degenerate
+    * segments (e.g. the all-black-thumbnail hash) like
+    * [[minhashCandidates]]. Returns (a_id, b_id, dist).
+    */
+  def phashNearDup(
+      df: DataFrame,
+      idCol: String,
+      phashCol: String,
+      maxHamming: Int = 3,
+      bits: Int = 64,
+      maxBucket: Long = 100000L): DataFrame = {
+    val bands = maxHamming + 1
+    val width = bits / bands
+    require(width > 0 && bands * width <= 64, s"bad banding: $bits bits / $bands bands")
+    val mask = (1L << width) - 1
+    val base = df.select(col(idCol).as("a_id"), col(phashCol).cast("long").as("a_ph"))
+    val banded = base
+      .withColumn("band", explode(array((0 until bands).map(lit): _*)))
+      .withColumn("seg",
+        call_function("shiftrightunsigned", col("a_ph"), col("band") * width).bitwiseAND(lit(mask)))
+    val capped = banded
+      .withColumn("__bc", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("seg"))))
+      .where(col("__bc") <= maxBucket).drop("__bc")
+    val right = capped.select(
+      col("band"), col("seg"), col("a_id").as("b_id"), col("a_ph").as("b_ph"))
+    capped.join(right, Seq("band", "seg"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_ph"), col("b_ph"))
+      .distinct() // a pair can collide on several bands
+      .withColumn("dist", hamming64(col("a_ph"), col("b_ph")).cast("int"))
+      .where(col("dist") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("dist"))
+  }
+
+  /** Connected components over an undirected candidate-pair edge list
+    * (a_id, b_id) → (id, label) with label = smallest id in the component —
+    * turns near-dup PAIRS into dedup CLUSTERS (survivor = the label).
+    * Iterative min-label propagation: O(component diameter) rounds, each one
+    * hash-join + hash-agg; near-dup clusters are shallow (dominated by
+    * star/clique shapes), so rounds stay small. For adversarial
+    * billion-edge graphs swap the step for large-star/small-star (O(log n)
+    * rounds) — the loop/convergence structure here is identical.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .persist()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    var i = 0
+    var done = false
+    while (!done && i < maxIter) {
+      val neighborMin = sym
+        .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("dlabel")).as("nlabel"))
+      val updated = labels
+        .join(neighborMin.select(col("src").as("id"), col("nlabel")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist()
+      val changed = updated
+        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
+        .where(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = updated
+      done = changed == 0
+      i += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
   // ---------- n-gram Jaccard ----------
 
   /** Pairwise Jaccard similarity of distinct-token sets within a blocking

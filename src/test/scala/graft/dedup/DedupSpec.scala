@@ -76,6 +76,43 @@ class DedupSpec extends SparkSuite {
     assert(fresh.size >= 95)
   }
 
+  test("phashNearDup: pigeonhole banding finds exactly the pairs within maxHamming") {
+    // hand-crafted 64-bit hashes: A≡B (dist 1), A≡C (dist 3), D far away,
+    // E within 5 of A (missed by design: > maxHamming)
+    val a = 0x0123456789abcdefL
+    val rows = Seq(
+      (1L, a), (2L, a ^ 1L), (3L, a ^ (1L << 5) ^ (1L << 20) ^ (1L << 60)),
+      (4L, ~a), (5L, a ^ 0x1fL),
+    ).toDF("id", "ph")
+    val pairs = Dedup.phashNearDup(rows, "id", "ph", maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    // note (2,3) is NOT a pair: dist = |{0,5,20,60}| = 4 > maxHamming
+    assert(pairs.map(p => (p._1, p._2)) == Set((1L, 2L), (1L, 3L)))
+    assert(pairs.find(p => p._1 == 1L && p._2 == 2L).get._3 == 1)
+    // exhaustive check vs brute force on a generated corpus
+    val corpus = spark.range(300).select(col("id"),
+      xxhash64(col("id") % 37).as("ph0"))
+      .withColumn("ph", col("ph0").bitwiseXOR(
+        when(col("id") % 2 === 1, org.apache.spark.sql.functions.expr("shiftleft(1L, cast(id % 48 as int))")).otherwise(0L)))
+      .select(col("id"), col("ph"))
+    val banded = Dedup.phashNearDup(corpus, "id", "ph", maxHamming = 3)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val brute = corpus.as[(Long, Long)].collect()
+    val expected = (for {
+      (i, pi) <- brute; (j, pj) <- brute if i < j
+      if java.lang.Long.bitCount(pi ^ pj) <= 3
+    } yield (i, j)).toSet
+    assert(banded == expected)
+  }
+
+  test("connectedComponents: clusters labeled by smallest member") {
+    // components: {1,2,3,4} (chain), {10,11}, singleton edges only
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a_id", "b_id")
+    val labels = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("size-gated newRows: anti-join path above the sketch gate, exact semantics") {
     val previous = (1 to 1000).map(i => s"key$i").toDF("k")
     val current = ((900 to 1100).map(i => s"key$i") :+ null).toDF("k")

@@ -23,6 +23,24 @@ object StreamingOps {
   def annotateStream(stream: DataFrame, cfg: FilterConfig = FilterConfig()): DataFrame =
     RuleEngine.annotate(stream, QualityFilter.rules(cfg))
 
+  /** The COMPLETE quality-filter stage on a streaming frame with the
+    * input_hint schema: score (langid + perplexity via the columnar UDF —
+    * stateless, stream-legal) → annotate → scrub kept captions. Identical
+    * semantics to the batch [[QualityFilter.runDF]] rule-for-rule (the
+    * newline-run parity spec pins the two paths); only the feature
+    * evaluation differs (Column regexes here vs the fused single-scan
+    * extractor in batch).
+    */
+  def filterStream(
+      spark: SparkSession,
+      stream: DataFrame,
+      cfg: FilterConfig = FilterConfig()): DataFrame = {
+    val scored = QualityFilter.scoreCols(spark, stream)
+    val annotated = annotateStream(scored, cfg)
+    annotated.withColumn("scrubbed_caption",
+      when(col(RuleEngine.KeepCol), graft.functions.Scrubber.scrub(col("caption"))))
+  }
+
   /** Windowed drop-reason counts with a watermark — streaming analog of the
     * per-partition metrics table (FIXTURES F4): one metrics row per
     * (window, reason).

@@ -29,6 +29,28 @@ class StreamingOpsSpec extends SparkSuite {
     assert(out("c") == "caption_repetitive")
   }
 
+  test("full quality filter on a stream matches the batch pipeline row-for-row") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = graft.corpus.SyntheticImages.generate(spark, 300L, seed = 17L, partitions = 3)
+      .collect()
+    val mem = MemoryStream[graft.corpus.ImageRow]
+    val out = StreamingOps.filterStream(spark, mem.toDF())
+    val q = out.writeStream.format("memory").queryName("fullq").outputMode("append").start()
+    mem.addData(corpus.toIndexedSeq)
+    q.processAllAvailable()
+    val streamed = spark.table("fullq")
+      .select("image_id", "keep", "drop_reason", "scrubbed_caption")
+      .collect().map(r => r.getString(0) -> ((r.getBoolean(1), r.getString(2), r.getString(3)))).toMap
+    q.stop()
+    val batch = QualityFilter.runDF(spark,
+        graft.corpus.SyntheticImages.generate(spark, 300L, seed = 17L, partitions = 3).toDF())
+      .select("image_id", "keep", "drop_reason", "scrubbed_caption")
+      .collect().map(r => r.getString(0) -> ((r.getBoolean(1), r.getString(2), r.getString(3)))).toMap
+    assert(streamed.size == 300 && batch.size == 300)
+    streamed.foreach { case (id, v) => assert(batch(id) == v, s"stream/batch mismatch for $id") }
+    assert(streamed.values.exists(_._1) && streamed.values.exists(!_._1)) // both classes hit
+  }
+
   test("watermarked windowed drop counts") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, java.sql.Timestamp)]

@@ -122,8 +122,16 @@ object SyntheticImages {
     */
   def row(i: Long, seed: Long): ImageRow = rowWithLang(i, seed)._1
 
+  /** Row with bytes generation optionally skipped (bytes = null). Safe for
+    * column pruning: `makeBytes` draws from the rng AFTER every other field,
+    * so skipping it changes nothing else — the DSv2 corpus source
+    * ([[graft.sources.v2.CorpusSource]]) uses this when `bytes` is pruned.
+    */
+  def row(i: Long, seed: Long, withBytes: Boolean): ImageRow =
+    rowWithLang(i, seed, withBytes)._1
+
   /** Row plus its true caption language (null when corrupted) — spec use. */
-  def rowWithLang(i: Long, seed: Long): (ImageRow, String) = {
+  def rowWithLang(i: Long, seed: Long, withBytes: Boolean = true): (ImageRow, String) = {
     val rng = new Rng(seed, i)
     val (caption, trueLang) = makeCaption(rng)
     val dimRoll = rng.nextDouble()
@@ -142,7 +150,8 @@ object SyntheticImages {
       else if (cRoll < 0.30) 1L + rng.nextInt(4)
       else 5L + java.lang.Math.floorMod(rng.nextLong(), 100000L)
     val phash = cluster * 64L + rng.nextInt(4) // near-duplicates share high bits
-    (ImageRow(f"IMG$i%012d", makeBytes(fmt, rng), w, h, fmt, caption, phash), trueLang)
+    val bytes = if (withBytes) makeBytes(fmt, rng) else null
+    (ImageRow(f"IMG$i%012d", bytes, w, h, fmt, caption, phash), trueLang)
   }
 
   /** Distributed generator: `spark.range` (Catalyst Range — splittable,

@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Map-side top-k aggregation — the scale path for "rank within group, keep
+  * k" that every ANN/top-k stage needs.
+  *
+  * The window formulation (`row_number().over(partitionBy(g).orderBy(s)) <=
+  * k`) materializes and SORTS every group in full before discarding all but
+  * k rows — at 10^12 candidate rows that is a full shuffle + sort of data
+  * that is 99.9% discarded. This Aggregator keeps a bounded k-element buffer
+  * per group and, because Spark plans Aggregators with partial aggregation,
+  * combines map-side BEFORE the shuffle: at most k rows per
+  * (map partition × group) cross the wire, and nothing is globally sorted.
+  *
+  * Ordering: score descending, ties broken by the smaller id — the same
+  * canonical tiebreak as the [[graft.similarity.Similarity]] window rankers,
+  * so the two formulations are result-identical (asserted by TopKSpec).
+  */
+object TopK {
+
+  final case class Entry(score: Double, id: Long)
+
+  private def beats(a: Entry, b: Entry): Boolean =
+    a.score > b.score || (a.score == b.score && a.id < b.id)
+
+  /** Aggregator buffer = the current top-k, kept sorted best-first; bounded
+    * insertion is O(k) per row (k is small by definition of top-k).
+    */
+  private final class MaxKAgg(k: Int) extends Aggregator[Entry, Seq[Entry], Seq[Entry]] {
+    def zero: Seq[Entry] = Vector.empty
+    def reduce(buf: Seq[Entry], e: Entry): Seq[Entry] =
+      if (buf.size >= k && !beats(e, buf.last)) buf
+      else {
+        val i = buf.indexWhere(b => beats(e, b)) match { case -1 => buf.size; case x => x }
+        (buf.take(i) :+ e) ++ buf.drop(i).take(k - i - 1)
+      }
+    def merge(a: Seq[Entry], b: Seq[Entry]): Seq[Entry] = b.foldLeft(a)(reduce)
+    def finish(buf: Seq[Entry]): Seq[Entry] = buf
+    def bufferEncoder: Encoder[Seq[Entry]] = ExpressionEncoder[Seq[Entry]]()
+    def outputEncoder: Encoder[Seq[Entry]] = ExpressionEncoder[Seq[Entry]]()
+  }
+
+  /** groupBy(groupCols).agg(top-k of (scoreCol desc, idCol asc)) → one row
+    * per (group, rank) with columns (groupCols..., idCol, scoreCol, rnk) —
+    * a drop-in replacement for the window ranker, with map-side partial
+    * combine and no per-group sort of discarded rows.
+    */
+  def topKPerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      scoreCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val agg = udaf(new MaxKAgg(k), Encoders.product[Entry])
+    df.groupBy(groupCols.map(col): _*)
+      .agg(agg(col(scoreCol).cast("double"), col(idCol).cast("long")).as("top"))
+      .select(col("*"), posexplode(col("top")).as(Seq("rnk0", "e")))
+      .select(
+        groupCols.map(col) ++
+          Seq(col("e.id").as(idCol), col("e.score").as(scoreCol),
+            (col("rnk0") + 1).cast("int").as("rnk")): _*)
+  }
+}

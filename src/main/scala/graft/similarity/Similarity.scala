@@ -1,7 +1,6 @@
 package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -33,19 +32,31 @@ object Similarity {
   /** Exact brute-force top-k: queries × candidates with the (small) query
     * side BROADCAST, ranked per query. Cost O(|Q|·|C|) — the baseline; use
     * [[annTopK]] when |Q| is large.
+    *
+    * Ranking runs through [[rankTopK]] (bounded map-side heaps), not a
+    * window: a window ranker shuffles and SORTS every candidate row before
+    * discarding all but k — at scale that is the whole cross product on the
+    * wire. Results are identical including tiebreaks (TopKSpec).
     */
   def bruteForceTopK(
       queries: DataFrame, // (query_id, qe)
       candidates: DataFrame, // (neighbor_id, ce)
       k: Int): DataFrame = {
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    candidates.crossJoin(broadcast(queries))
+    val sims = candidates.crossJoin(broadcast(queries))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosine(col("qe"), col("ce")))
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("sim"))
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+    rankTopK(sims, k)
   }
+
+  /** (query_id, neighbor_id, sim) → top-k per query as (query_id,
+    * neighbor_id, rnk, sim), sim desc / neighbor_id asc tiebreak. NULL sims
+    * (zero-norm vectors) are excluded — they rank below every real score.
+    */
+  private def rankTopK(sims: DataFrame, k: Int): DataFrame =
+    graft.functions.TopK.topKPerGroup(
+      sims.where(col("sim").isNotNull), Seq("query_id"), "sim", "neighbor_id", k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("sim"))
 
   /** Deterministic random hyperplane (unit-free; sign only matters). */
   private def hyperplane(seed: Long, plane: Int, dims: Int): Array[Double] = {
@@ -97,15 +108,13 @@ object Similarity {
     val qexp = qb.withColumn("bucket", explode(array(probes: _*)))
       .select(col("query_id"), col("qe"), col("bucket"))
     val cb = candidates.withColumn("bucket", lshBucket(col("ce"), dims, planes, seed))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    qexp.join(cb, Seq("bucket"))
+    val sims = qexp.join(cb, Seq("bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), col("qe"), col("ce"))
       .distinct() // multi-probe may produce the same pair twice
       .withColumn("sim", cosine(col("qe"), col("ce")))
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("sim"))
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+    rankTopK(sims, k)
   }
 
   /** IVF (inverted-file) ANN: deterministic coarse quantizer — K seed
@@ -156,15 +165,13 @@ object Similarity {
     val qcells = queries
       .withColumn("cell", explode(nearestCells(col("qe"), refined, nprobe)))
       .select(col("query_id"), col("qe"), col("cell"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    qcells.join(indexed, Seq("cell"))
+    val sims = qcells.join(indexed, Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), col("qe"), col("ce"))
       .distinct()
       .withColumn("sim", cosine(col("qe"), col("ce")))
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("sim"))
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+    rankTopK(sims, k)
   }
 
   /** Nearest-centroid id as a literal projection: least() over

@@ -282,17 +282,30 @@ object Queries {
       t(s, dir, "documents"), "text", "doc_id",
       k = 16, shingleN = 2, bands = 4, minEqual = 8, maxBucket = 500)
 
-  private val q11Sql =
+  private val q11Sql = {
+    // 32-bit base value from md5's first 8 hex chars, by ascii arithmetic
+    // (DuckDB has no hex→int cast); matches Dedup.minhashScala exactly
+    val hv = (i: Int) =>
+      s"(CASE WHEN ascii(substring(md5(x),$i,1)) <= 57 THEN ascii(substring(md5(x),$i,1)) - 48 ELSE ascii(substring(md5(x),$i,1)) - 87 END)"
+    val v8 = (1 to 8).map(i => s"${hv(i)} * cast(${1L << (4 * (8 - i))} AS bigint)").mkString(" + ")
+    val sigBands = (0 until 4).map { b =>
+      (1 to 4).map(i => s"cast(sg[${4 * b + i}] AS varchar)").mkString(" || '|' || ")
+    }
+    val aList = (0 until 16).map(graft.dedup.Dedup.minhashA).mkString("[", ",", "]")
+    val bList = (0 until 16).map(graft.dedup.Dedup.minhashB).mkString("[", ",", "]")
     s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
        |sh AS (SELECT doc_id,
        |         list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1]) AS s
        |       FROM toks WHERE len(t) >= 2),
+       |vs AS (SELECT doc_id, list_transform(s, x -> ($v8) % 2147483647) AS v FROM sh),
        |sig AS (SELECT doc_id,
        |          list_transform(generate_series(0, 15),
-       |            i -> list_min(list_transform(s, x -> md5(cast(i AS varchar) || '|' || x)))) AS sg
-       |        FROM sh),
+       |            j -> list_min(list_transform(v,
+       |              w -> (($aList)[j+1] * w + ($bList)[j+1]) % 2147483647))) AS sg
+       |        FROM vs),
        |banded AS (SELECT doc_id, sg, r.b AS band,
-       |             md5(sg[4*r.b+1] || '|' || sg[4*r.b+2] || '|' || sg[4*r.b+3] || '|' || sg[4*r.b+4]) AS bkey
+       |             md5(CASE r.b WHEN 0 THEN ${sigBands(0)} WHEN 1 THEN ${sigBands(1)}
+       |                          WHEN 2 THEN ${sigBands(2)} ELSE ${sigBands(3)} END) AS bkey
        |           FROM sig CROSS JOIN range(0, 4) r(b)),
        |capped AS (SELECT * FROM banded QUALIFY count(*) OVER (PARTITION BY band, bkey) <= 500),
        |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
@@ -306,6 +319,7 @@ object Queries {
        |FROM j
        |WHERE list_sum(list_transform(generate_series(1, 16),
        |    i -> CASE WHEN a_sg[i] = b_sg[i] THEN 1 ELSE 0 END)) >= 8""".stripMargin
+  }
 
   // ---- q12: SimHash fingerprint (portable 16-bit variant) ----
   private def q12(s: SparkSession, dir: String): DataFrame =

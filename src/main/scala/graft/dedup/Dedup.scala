@@ -39,21 +39,59 @@ object Dedup {
 
   // ---------- MinHash + LSH ----------
 
-  /** K md5-derived min-hash values over word n-gram shingles (portable:
-    * lexicographic min over md5 hex strings — same result in DuckDB/any
-    * engine). Empty shingle set → null signature.
+  /** K min-hash values over word n-gram shingles, Carter–Wegman style and
+    * engine-portable: ONE md5 per shingle → 32-bit value v (first 8 hex
+    * digits) → h_j = (A_j·v + B_j) mod P, P = 2^31−1, with A_j/B_j fixed
+    * integer formulas of j — pure int64 arithmetic that DuckDB reproduces
+    * exactly (q11). Round 1 instead ran k SEPARATE md5 calls per shingle
+    * (md5(j + "|" + shingle)) — 16× the hashing on the hot column; this
+    * derivation makes the signature stage ~k× cheaper at identical LSH
+    * semantics. Empty shingle set → null signature.
     *
     * Implemented as a narrow String→array UDF rather than nested
     * transform/array_min Columns: higher-order-function lambdas are
-    * INTERPRETED per element in Spark (no codegen), and with k×|shingles|
-    * md5 calls per row that measured ~24 ms/doc; the JIT'd UDF with a
-    * thread-local MessageDigest is ~50× faster. Semantics are identical
+    * INTERPRETED per element in Spark (no codegen); the JIT'd UDF with a
+    * thread-local MessageDigest is ~50× faster. Semantics identical
     * (verified against the DuckDB oracle, q11).
     */
   def minhashSignature(text: Column, k: Int, shingleN: Int): Column = {
     val f = udf((s: String) => minhashScala(s, k, shingleN))
     f(text)
   }
+
+  final val MinhashP = 2147483647L
+  /** 64 pseudo-random affine constants (splitmix64 stream, seed 42,
+    * reduced mod P) — FIXED literals shared verbatim with the q11 oracle
+    * SQL. Structured sequences (e.g. A_j = c·j) make the permutations
+    * correlated and inflate min-agreement counts ~30×; these must stay
+    * independent-looking. k is capped at 64.
+    */
+  final val MinhashAs: Array[Long] = Array(
+    659044154L, 1684241247L, 1832713521L, 1023118926L, 731436035L, 955665615L,
+    560060940L, 1428401311L, 582330823L, 933976489L, 1675928438L, 237222180L,
+    1726254562L, 302152608L, 1111414400L, 765485014L, 1703768852L, 1826609375L,
+    41119721L, 449455358L, 1703128238L, 1551146821L, 1000504240L, 1625704049L,
+    1907053577L, 209709962L, 1337736525L, 2039969238L, 4701896L, 970466178L,
+    2059089295L, 985022538L, 296544918L, 1226007366L, 1979698696L, 1295859597L,
+    1964049615L, 1965809095L, 886504195L, 1535008152L, 688190602L, 2068813255L,
+    834055069L, 733859485L, 727636353L, 720938475L, 861933582L, 622034766L,
+    454344558L, 413937018L, 1511865443L, 443189057L, 1581439347L, 257025459L,
+    1624428357L, 997273408L, 1927919144L, 619959101L, 1003501749L, 1126256864L,
+    2008930259L, 1769984148L, 135784333L, 1949218052L)
+  final val MinhashBs: Array[Long] = Array(
+    349464442L, 1402908527L, 443029528L, 141030218L, 296837882L, 1017821660L,
+    837372440L, 1594573259L, 250344997L, 1780793105L, 433512996L, 260895301L,
+    1722723776L, 313824733L, 5224638L, 639361606L, 534710096L, 1347372905L,
+    93977469L, 1760134290L, 1601259487L, 1063403584L, 881442760L, 735973279L,
+    498740545L, 18183843L, 1727707020L, 1041472278L, 129808384L, 1940605848L,
+    1579665131L, 1643640531L, 1972334632L, 1331751504L, 1364606613L, 2103642489L,
+    1424784881L, 27186340L, 2097768747L, 1751924771L, 425947287L, 1727004946L,
+    213337625L, 1331710509L, 781308659L, 1364528239L, 1263382359L, 88667981L,
+    1881160677L, 610937601L, 371831018L, 2108508087L, 1202379084L, 137464757L,
+    566705315L, 817547995L, 1874911019L, 1315161753L, 564616057L, 1239790753L,
+    1135158774L, 973534809L, 592613431L, 2141226324L)
+  def minhashA(j: Int): Long = MinhashAs(j)
+  def minhashB(j: Int): Long = MinhashBs(j)
 
   private val mdLocal: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
@@ -77,12 +115,14 @@ object Dedup {
   /** Pure-Scala twin of the shingle+minhash chain (normalization contract =
     * [[TF.normalized]] + [[TF.tokens]]). Null when < shingleN tokens.
     */
-  def minhashScala(text: String, k: Int, shingleN: Int): Array[String] = {
+  def minhashScala(text: String, k: Int, shingleN: Int): Array[Long] = {
     if (text == null) return null
     val toks = text.toLowerCase.replaceAll("\\s+", " ").trim
       .split(" ").filter(_.nonEmpty)
     if (toks.length < shingleN) return null
-    val minimums = new Array[String](k)
+    val as = Array.tabulate(k)(minhashA)
+    val bs = Array.tabulate(k)(minhashB)
+    val minimums = Array.fill(k)(Long.MaxValue)
     val sb = new java.lang.StringBuilder()
     var i = 0
     while (i <= toks.length - shingleN) {
@@ -93,11 +133,12 @@ object Dedup {
         sb.append(toks(i + t))
         t += 1
       }
-      val shingle = sb.toString
+      // one md5 per shingle; 8 hex chars = 32-bit base value, reduced mod P
+      val v = java.lang.Long.parseLong(md5hex(sb.toString).substring(0, 8), 16) % MinhashP
       var j = 0
       while (j < k) {
-        val h = md5hex(j.toString + "|" + shingle)
-        if (minimums(j) == null || h.compareTo(minimums(j)) < 0) minimums(j) = h
+        val h = (as(j) * v + bs(j)) % MinhashP // as(j) < 2^31, v < 2^31 → no overflow
+        if (h < minimums(j)) minimums(j) = h
         j += 1
       }
       i += 1
@@ -141,7 +182,8 @@ object Dedup {
       col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
-          md5(concat_ws("|", slice(col("sig"), b * r + 1, lit(r)))).as("bkey")))).as("bk"))
+          md5(concat_ws("|",
+            transform(slice(col("sig"), b * r + 1, lit(r)), x => x.cast("string")))).as("bkey")))).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.bkey"))
     // degenerate-bucket guard: a band bucket with m members yields m² pairs;
     // buckets past maxBucket are boilerplate collisions (empty shingle-sets,

@@ -9,12 +9,14 @@ import org.apache.spark.sql.functions._
   * schema prescribes. Decode / feature-extraction runs as BATCHED
   * `mapPartitions` over a typed Dataset — the Scala-Spark analog of
   * `mapInPandas` (per-batch amortization of codec setup, bounded memory per
-  * batch) — with the actual pixel decode STUBBED: no image codecs ship in
-  * this environment, so [[StubCodec.decode]] produces a deterministic fake
-  * pixel tensor derived from the byte payload. The Spark-side plumbing —
-  * schema, batching, partitioning, null/corrupt handling — is real and
-  * tested; swapping the stub for javax.imageio/ffmpeg is a one-function
-  * change.
+  * batch).
+  *
+  * Pixel decode is REAL for PNG/JPEG/BMP/GIF via the JDK's own
+  * `javax.imageio` ([[Pixels]] — java.desktop ships with the JDK, so "no
+  * image libraries in the container" only applies to formats like WEBP).
+  * [[RealCodec]] is the default; payloads without a JDK codec fall back to
+  * [[StubCodec]]'s deterministic fake with `decode_ok=false`, so a batch
+  * never fails on an undecodable row.
   */
 object ImageOps {
 
@@ -41,21 +43,70 @@ object ImageOps {
       features: Array[Float],
       decode_ok: Boolean)
 
+  /** JVM-side magic-number sniff (twin of the Column [[sniffFormat]]). */
+  private[multimodal] def sniff(bytes: Array[Byte]): String =
+    if (bytes == null || bytes.length < 4) "unknown"
+    else {
+      val p = bytes.take(4).map(b => f"${b & 0xff}%02X").mkString
+      if (p.startsWith("89504E47")) "png"
+      else if (p.startsWith("FFD8FF")) "jpeg"
+      else if (p.startsWith("424D")) "bmp"
+      else if (p.startsWith("52494646")) "webp"
+      else "unknown"
+    }
+
   /** Batched feature extraction: partitions are processed in batches of
     * `batchSize` rows (the mapInPandas batch-shape contract), the codec is
-    * instantiated once per partition, and corrupt payloads degrade to
-    * `decode_ok=false` instead of failing the task.
+    * instantiated once per partition, and corrupt/undecodable payloads
+    * degrade to `decode_ok=false` instead of failing the task. Default
+    * codec = [[RealCodec]] (true pixel decode where a JDK codec exists).
     */
   def extractFeatures(
       spark: SparkSession,
       images: Dataset[ImageRow],
       featureDim: Int = 16,
-      batchSize: Int = 256): Dataset[ImageFeatures] = {
+      batchSize: Int = 256,
+      codec: Int => BatchCodec = new RealCodec(_)): Dataset[ImageFeatures] = {
     import spark.implicits._
     images.mapPartitions { it =>
-      val codec = new StubCodec(featureDim) // once per partition
+      val c = codec(featureDim) // once per partition
       it.grouped(batchSize).flatMap { batch =>
-        codec.decodeBatch(batch)
+        c.decodeBatch(batch)
+      }
+    }
+  }
+
+  final case class DecodedMeta(
+      image_id: String,
+      decode_ok: Boolean,
+      real_w: Int,
+      real_h: Int,
+      ahash: Long,
+      psnr_reencode_db: Double)
+
+  /** Real decoded-pixel metadata per image: true dimensions, a pixel-derived
+    * perceptual average-hash (feeds [[graft.dedup.Dedup.phashNearDup]]), and
+    * the PSNR of a lossy (JPEG q=0.85) re-encode round-trip — the north
+    * rule's decoded-pixel invariant made measurable per row. Rows without a
+    * JDK codec report decode_ok=false.
+    */
+  def decodeMeta(
+      spark: SparkSession,
+      images: Dataset[ImageRow],
+      batchSize: Int = 256): Dataset[DecodedMeta] = {
+    import spark.implicits._
+    images.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          Pixels.decode(r.bytes) match {
+            case Some(d) =>
+              val re = Pixels.decode(Pixels.encodeJpeg(d))
+                .map(Pixels.psnrDb(d, _)).getOrElse(Double.NaN)
+              DecodedMeta(r.image_id, decode_ok = true, d.w, d.h, Pixels.aHash64(d), re)
+            case None =>
+              DecodedMeta(r.image_id, decode_ok = false, -1, -1, 0L, Double.NaN)
+          }
+        }
       }
     }
   }
@@ -72,13 +123,38 @@ object ImageOps {
         substring(col(bytesCol), (col("frame_offset") + 1).cast("int"), lit(8)))
 }
 
-/** STUB image codec — deterministic stand-in for a real decoder (no image
-  * libraries in this container; see module doc). Produces a fake "pixel
-  * feature" vector as a pure hash-derived function of the payload bytes, so
-  * tests are reproducible and parallelism-invariant. A real deployment
-  * replaces `decode` with an actual codec; everything around it stays.
+/** Per-partition batch codec contract shared by [[RealCodec]] / [[StubCodec]]. */
+trait BatchCodec extends Serializable {
+  def decodeBatch(batch: Seq[ImageRow]): Seq[ImageOps.ImageFeatures]
+}
+
+/** REAL codec: javax.imageio decode ([[Pixels]]) → gray block-mean feature
+  * vector from actual pixels. Payloads with no JDK codec (webp, junk) fall
+  * back to the deterministic stub features with decode_ok=false.
   */
-final class StubCodec(featureDim: Int) extends Serializable {
+final class RealCodec(featureDim: Int) extends BatchCodec {
+  private val stub = new StubCodec(featureDim)
+  private val grid = math.max(1, math.ceil(math.sqrt(featureDim.toDouble)).toInt)
+
+  def decodeBatch(batch: Seq[ImageRow]): Seq[ImageOps.ImageFeatures] =
+    batch.map { r =>
+      val n = if (r.bytes == null) 0 else r.bytes.length
+      Pixels.decode(r.bytes) match {
+        case Some(d) =>
+          ImageOps.ImageFeatures(r.image_id, ImageOps.sniff(r.bytes), n,
+            Pixels.blockMeanFeatures(d, grid).take(featureDim), decode_ok = true)
+        case None =>
+          stub.decodeBatch(Seq(r)).head.copy(decode_ok = false)
+      }
+    }
+}
+
+/** STUB image codec — deterministic stand-in where NO JDK codec exists
+  * (webp; see [[RealCodec]]). Produces a fake "pixel feature" vector as a
+  * pure hash-derived function of the payload bytes, so tests are
+  * reproducible and parallelism-invariant.
+  */
+final class StubCodec(featureDim: Int) extends BatchCodec {
 
   /** Deterministic fake decode: feature j = scaled hash of (payload, j). */
   private[multimodal] def decode(bytes: Array[Byte]): Array[Float] = {
@@ -94,15 +170,7 @@ final class StubCodec(featureDim: Int) extends Serializable {
 
   def decodeBatch(batch: Seq[ImageRow]): Seq[ImageOps.ImageFeatures] =
     batch.map { r =>
-      val sniffed =
-        if (r.bytes != null && r.bytes.length >= 4) {
-          val p = r.bytes.take(4).map(b => f"${b & 0xff}%02X").mkString
-          if (p.startsWith("89504E47")) "png"
-          else if (p.startsWith("FFD8FF")) "jpeg"
-          else if (p.startsWith("424D")) "bmp"
-          else if (p.startsWith("52494646")) "webp"
-          else "unknown"
-        } else "unknown"
+      val sniffed = ImageOps.sniff(r.bytes)
       try ImageOps.ImageFeatures(r.image_id, sniffed,
         if (r.bytes == null) 0 else r.bytes.length, decode(r.bytes), decode_ok = true)
       catch {

@@ -23,16 +23,51 @@ class ImageOpsSpec extends SparkSuite {
   }
 
   test("batched mapPartitions feature extraction: schema, determinism, corrupt handling") {
-    val feats = ImageOps.extractFeatures(spark, corpus, featureDim = 8, batchSize = 32)
+    val feats = ImageOps.extractFeatures(spark, corpus, featureDim = 8, batchSize = 32,
+      codec = new StubCodec(_))
     val rows = feats.collect()
     assert(rows.length == 400)
     assert(rows.forall(_.features.length == 8))
     assert(rows.forall(r => r.decode_ok))
     // deterministic across partitioning
     val feats2 = ImageOps.extractFeatures(spark,
-      SyntheticImages.generate(spark, 400L, seed = 5L, partitions = 11), 8, 32)
+      SyntheticImages.generate(spark, 400L, seed = 5L, partitions = 11), 8, 32,
+      codec = new StubCodec(_))
       .collect().map(r => r.image_id -> r.features.toSeq).toMap
     rows.foreach(r => assert(feats2(r.image_id) == r.features.toSeq))
+  }
+
+  test("real codec: corpus BMPs decode to actual pixels; webp/junk fall back, batch never fails") {
+    val rows = ImageOps.extractFeatures(spark, corpus, featureDim = 4, batchSize = 16)
+      .collect().map(r => r.image_id -> r).toMap
+    val byFmt = corpus.collect().map(r => r.image_id -> r.fmt).toMap
+    assert(rows.size == 400)
+    byFmt.foreach { case (id, fmt) =>
+      val f = rows(id)
+      if (fmt == "bmp") assert(f.decode_ok, s"$id: real 2x2 BMP must decode")
+      if (fmt == "webp") assert(!f.decode_ok, s"$id: webp has no JDK codec")
+      assert(f.features.length == 4)
+      // real features are luma means in [0,1]
+      if (f.decode_ok) f.features.foreach(v => assert(v >= 0.0f && v <= 1.0f))
+    }
+    assert(rows.values.count(_.decode_ok) > 50) // ~20% of 400 are BMPs
+  }
+
+  test("decodeMeta: real dimensions, pixel ahash, and JPEG re-encode PSNR per row") {
+    val meta = ImageOps.decodeMeta(spark, corpus).collect().map(m => m.image_id -> m).toMap
+    val byFmt = corpus.collect().map(r => r.image_id -> r.fmt).toMap
+    val decoded = meta.values.filter(_.decode_ok)
+    assert(decoded.nonEmpty)
+    decoded.foreach { m =>
+      assert(byFmt(m.image_id) == "bmp")
+      assert(m.real_w == 2 && m.real_h == 2) // the corpus BMP is a true 2x2 bitmap
+      assert(!m.psnr_reencode_db.isNaN)
+    }
+    // determinism of the pixel hash across partitionings
+    val again = ImageOps.decodeMeta(spark,
+      SyntheticImages.generate(spark, 400L, seed = 5L, partitions = 9))
+      .collect().map(m => m.image_id -> m.ahash).toMap
+    meta.values.foreach(m => assert(again(m.image_id) == m.ahash))
   }
 
   test("frame sampling fan-out shape") {

@@ -33,6 +33,12 @@ object GraftSession {
       .config("spark.sql.icu.caseMappings.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // unique managed-table warehouse per JVM: the in-memory catalog resets
+      // on restart but table LOCATIONS persist on disk — a stale
+      // spark-warehouse/ dir makes every saveAsTable fail with
+      // LOCATION_ALREADY_EXISTS (and litters the repo). Deployments override.
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
   }
 
   def local(cores: Int): SparkSession = {

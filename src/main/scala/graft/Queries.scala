@@ -644,6 +644,22 @@ object Queries {
       |SELECT a_id, b_id, cast(bit_count(xor(pa, pb)) AS int) AS dist
       |FROM pairs WHERE bit_count(xor(pa, pb)) <= 3""".stripMargin
 
+  // ---- q29: upstream THETA-join validation (equi + non-equi condition,
+  //          semi form) — the reference's joinExpr SQL joins
+  //          (ValidationOperations.scala:206-209, any join type) ----
+  private def q29(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .select(col("o_orderkey"))
+
+  private val q29Sql =
+    """SELECT o_orderkey FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY)""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1 _),
     "q2_quality_rules" -> (q2 _),
@@ -673,6 +689,7 @@ object Queries {
     "q26_mode" -> (q26 _),
     "q27_regex_gen" -> (q27 _),
     "q28_phash_neardup" -> (q28 _),
+    "q29_theta_join" -> (q29 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -704,5 +721,6 @@ object Queries {
     "q26_mode" -> q26Sql,
     "q27_regex_gen" -> q27Sql,
     "q28_phash_neardup" -> q28Sql,
+    "q29_theta_join" -> q29Sql,
   )
 }

@@ -57,6 +57,25 @@ object StreamingOps {
         coalesce(col(RuleEngine.DropReasonCol), lit("__kept__")).as("reason"))
       .agg(count(lit(1)).as("n"))
 
+  /** Checkpointed, idempotent streaming sink: each micro-batch overwrites
+    * its own `batch=<id>` directory via foreachBatch while source offsets
+    * commit to the Spark checkpoint — kill the query at any point and a
+    * restart from the same checkpoint resumes at the last uncommitted batch,
+    * re-overwriting at most one directory (exactly-once output; the
+    * streaming twin of [[graft.pipeline.ResumableRunner]]'s
+    * write-audit-publish manifest).
+    */
+  def checkpointedParquetSink(
+      stream: DataFrame,
+      outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   final case class SessionSummary(user_id: Long, n_events: Long, closed: Boolean)
 

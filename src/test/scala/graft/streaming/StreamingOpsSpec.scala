@@ -51,6 +51,34 @@ class StreamingOpsSpec extends SparkSuite {
     assert(streamed.values.exists(_._1) && streamed.values.exists(!_._1)) // both classes hit
   }
 
+  test("checkpointed sink: restart resumes from committed offsets, exactly-once output") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
+    val mem = MemoryStream[Long]
+    val filtered = StreamingOps.annotateStream(
+      mem.toDF().selectExpr("value AS phony").select(
+        org.apache.spark.sql.functions.concat(lit("id"), col("phony")).as("image_id"),
+        lit(Array[Byte](1)).as("bytes"), lit(100).as("w"), lit(100).as("h"),
+        lit("png").as("fmt"),
+        org.apache.spark.sql.functions.concat(
+          lit("a valid caption with plenty of words number "), col("phony")).as("caption"),
+        col("phony").as("phash"), lit("en").as("lang"), lit(0.9).as("lang_conf"),
+        lit(100.0).as("ppl")))
+    val q1 = StreamingOps.checkpointedParquetSink(filtered, out, ckpt)
+    mem.addData(1L to 100L: _*)
+    q1.processAllAvailable()
+    q1.stop() // simulated shutdown
+    mem.addData(101L to 150L: _*)
+    // restart with the SAME checkpoint: only the new offsets process
+    val q2 = StreamingOps.checkpointedParquetSink(filtered, out, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.parquet(out).select("image_id").collect().map(_.getString(0))
+    assert(rows.length == 150, s"expected exactly-once 150 rows, got ${rows.length}")
+    assert(rows.distinct.length == 150)
+  }
+
   test("watermarked windowed drop counts") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, java.sql.Timestamp)]

@@ -121,6 +121,20 @@ class GeneratorSpec extends SparkSuite {
     assert(bad("(a[b)").contains("non-literal"))
   }
 
+  test("GenBench schema (the reference's benchmark workload) generates valid rows") {
+    val df = Generator.generate(spark, 2000L, graft.GenBench.specs, seed = 1L).cache()
+    assert(df.where(!col("account_id").rlike("^ACC[0-9]{8}$")).count() == 0)
+    assert(df.where(!col("balance").between(10.0, 1000.0)).count() == 0)
+    assert(df.where(col("year") =!= year(col("date"))).count() == 0)
+    assert(df.where(size(col("update_history")) < 1 || size(col("update_history")) > 5).count() == 0)
+    assert(df.where(!col("status").isin("open", "closed", "pending", "suspended")).count() == 0)
+    // status really is the newest update's status
+    assert(df.where(col("status") =!=
+      element_at(sort_array(col("update_history"), asc = false), 1).getField("status")).count() == 0)
+    assert(df.where(!col("customer_details.age").between(18, 90)).count() == 0)
+    df.unpersist()
+  }
+
   test("FK assignKeys: every target key comes from the source domain, deterministically") {
     val source = Seq("n1", "n2", "n3", "n4").toDF("nation")
     val target = Generator.generate(spark, 3000L, Seq(SequentialField("id", "T", 6)), seed = 6L)

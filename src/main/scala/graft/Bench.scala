@@ -47,13 +47,20 @@ object Bench {
     (1 to 2).foreach { _ =>
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-          System.err.println(s"[bench] $name FAILED: ${errors(name)}")
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            System.err.println(s"[bench] $name FAILED: ${errors(name)}")
+            false
+          }
+        // only successful runs count as times (a fast failure must never
+        // masquerade as the query's time); a later success clears the error
+        if (ok) {
+          val sec = (System.nanoTime() - t0) / 1e9
+          results(name) = math.min(results.getOrElse(name, Double.MaxValue), sec)
+          errors.remove(name)
         }
-        val sec = (System.nanoTime() - t0) / 1e9
-        results(name) = math.min(results.getOrElse(name, Double.MaxValue), sec)
       }
       // drop caches left by the dedup queries (persisted minhash signatures)
       spark.catalog.clearCache()

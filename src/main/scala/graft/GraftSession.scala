@@ -37,9 +37,14 @@ object GraftSession {
       // on restart but table LOCATIONS persist on disk — a stale
       // spark-warehouse/ dir makes every saveAsTable fail with
       // LOCATION_ALREADY_EXISTS (and litters the repo). Deployments override.
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
+      .config("spark.sql.warehouse.dir", GraftSession.warehouseDir)
   }
+
+  /** One temp warehouse per JVM (builder() may be called many times but only
+    * the first session binds the config — fresh dirs per call would just be
+    * orphans). */
+  private lazy val warehouseDir: String =
+    java.nio.file.Files.createTempDirectory("graft_warehouse").toString
 
   def local(cores: Int): SparkSession = {
     val s = builder(s"local[$cores]", cores).getOrCreate()

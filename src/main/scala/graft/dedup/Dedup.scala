@@ -55,6 +55,7 @@ object Dedup {
     * (verified against the DuckDB oracle, q11).
     */
   def minhashSignature(text: Column, k: Int, shingleN: Int): Column = {
+    require(k >= 1 && k <= 64, s"minhash k=$k out of range: 64 fixed permutation constants")
     val f = udf((s: String) => minhashScala(s, k, shingleN))
     f(text)
   }
@@ -116,6 +117,7 @@ object Dedup {
     * [[TF.normalized]] + [[TF.tokens]]). Null when < shingleN tokens.
     */
   def minhashScala(text: String, k: Int, shingleN: Int): Array[Long] = {
+    require(k >= 1 && k <= 64, s"minhash k=$k out of range: 64 fixed permutation constants")
     if (text == null) return null
     val toks = text.toLowerCase.replaceAll("\\s+", " ").trim
       .split(" ").filter(_.nonEmpty)
@@ -326,6 +328,10 @@ object Dedup {
     * star/clique shapes), so rounds stay small. For adversarial
     * billion-edge graphs swap the step for large-star/small-star (O(log n)
     * rounds) — the loop/convergence structure here is identical.
+    *
+    * The returned frame is PERSISTED (it was materialized for convergence
+    * detection; recomputing it would replay the whole loop) — callers doing
+    * repeated clustering in one session should `unpersist()` it when done.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))

@@ -23,8 +23,11 @@ import org.apache.spark.sql.functions._
 object TopK {
 
   final case class Entry(score: Double, id: Long)
+  final case class EntryS(score: Double, id: String)
 
   private def beats(a: Entry, b: Entry): Boolean =
+    a.score > b.score || (a.score == b.score && a.id < b.id)
+  private def beatsS(a: EntryS, b: EntryS): Boolean =
     a.score > b.score || (a.score == b.score && a.id < b.id)
 
   /** Aggregator buffer = the current top-k, kept sorted best-first; bounded
@@ -44,6 +47,24 @@ object TopK {
     def outputEncoder: Encoder[Seq[Entry]] = ExpressionEncoder[Seq[Entry]]()
   }
 
+  /** String-id twin (ids the window ranker also supported, e.g. image_id
+    * strings); tiebreak = lexicographic ascending — identical to numeric
+    * order for fixed-width zero-padded ids like IMG%012d. */
+  private final class MaxKAggS(k: Int) extends Aggregator[EntryS, Seq[EntryS], Seq[EntryS]] {
+    def zero: Seq[EntryS] = Vector.empty
+    def reduce(buf: Seq[EntryS], e: EntryS): Seq[EntryS] =
+      if (e.id == null) buf
+      else if (buf.size >= k && !beatsS(e, buf.last)) buf
+      else {
+        val i = buf.indexWhere(b => beatsS(e, b)) match { case -1 => buf.size; case x => x }
+        (buf.take(i) :+ e) ++ buf.drop(i).take(k - i - 1)
+      }
+    def merge(a: Seq[EntryS], b: Seq[EntryS]): Seq[EntryS] = b.foldLeft(a)(reduce)
+    def finish(buf: Seq[EntryS]): Seq[EntryS] = buf
+    def bufferEncoder: Encoder[Seq[EntryS]] = ExpressionEncoder[Seq[EntryS]]()
+    def outputEncoder: Encoder[Seq[EntryS]] = ExpressionEncoder[Seq[EntryS]]()
+  }
+
   /** groupBy(groupCols).agg(top-k of (scoreCol desc, idCol asc)) → one row
     * per (group, rank) with columns (groupCols..., idCol, scoreCol, rnk) —
     * a drop-in replacement for the window ranker, with map-side partial
@@ -56,9 +77,16 @@ object TopK {
       idCol: String,
       k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    val agg = udaf(new MaxKAgg(k), Encoders.product[Entry])
+    // id column drives the aggregator variant: numeric ids keep numeric
+    // tiebreak order; string ids tiebreak lexicographically (a silent
+    // cast-to-long would null string ids and crash the encoder)
+    val isString = df.schema(idCol).dataType == org.apache.spark.sql.types.StringType
+    val agg =
+      if (isString) udaf(new MaxKAggS(k), Encoders.product[EntryS])
+      else udaf(new MaxKAgg(k), Encoders.product[Entry])
+    val idExpr = if (isString) col(idCol) else col(idCol).cast("long")
     df.groupBy(groupCols.map(col): _*)
-      .agg(agg(col(scoreCol).cast("double"), col(idCol).cast("long")).as("top"))
+      .agg(agg(col(scoreCol).cast("double"), idExpr).as("top"))
       .select(col("*"), posexplode(col("top")).as(Seq("rnk0", "e")))
       .select(
         groupCols.map(col) ++

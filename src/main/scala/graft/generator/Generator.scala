@@ -82,15 +82,19 @@ final case class SequentialField(name: String, prefix: String, pad: Int) extends
   * based, no UDF (the reference's fast-mode philosophy,
   * FastDataGenerator.scala:104-110). */
 final case class AlphaNumField(name: String, minLen: Int, maxLen: Int) extends FieldSpec {
-  def toColumn(u: Column, idx: Column, seed: Long): Column = {
+  def toColumn(u: Column, idx: Column, seed: Long): Column =
+    throw new UnsupportedOperationException("AlphaNumField uses toColumnWith")
+  // content chain built FROM the keyed uniforms (one per md5 block), so the
+  // full key path applies: two same-named AlphaNum fields in different
+  // structs, or array positions of an AlphaNum element, draw independent
+  // strings (the bare (seed, name, idx) chain used before ignored the
+  // nesting path and aliased all of those).
+  override def toColumnWith(uniform: (String, Long, Column) => Column, seed: Long, idx: Column): Column = {
+    val u = uniform(name, seed, idx)
     val len = (lit(minLen) + (u * (maxLen - minLen + 1)).cast("int"))
-    // enough md5 hex blocks to cover maxLen chars; chain keyed on
-    // (seed, field name, idx, block) so two AlphaNum fields in one row — and
-    // the same field under different seeds — produce independent strings
-    // (same keying as xxhashUniform/portableUniform)
     val blocks = (maxLen / 32) + 1
     val full = concat((0 until blocks).map(b =>
-      md5(concat(lit(s"$seed|$name|"), idx.cast("string"), lit(s"#$b")))): _*)
+      md5(concat(uniform(s"$name#chain$b", seed, idx).cast("string"), idx.cast("string")))): _*)
     substring(full, 1, maxLen).substr(lit(1), len)
   }
 }

@@ -27,6 +27,7 @@ object ImageOps {
       .when(hexPrefix.startsWith("FFD8FF"), "jpeg")
       .when(hexPrefix.startsWith("424D"), "bmp")
       .when(hexPrefix.startsWith("52494646"), "webp") // RIFF container
+      .when(hexPrefix.startsWith("47494638"), "gif")
       .otherwise("unknown")
   }
 
@@ -52,6 +53,7 @@ object ImageOps {
       else if (p.startsWith("FFD8FF")) "jpeg"
       else if (p.startsWith("424D")) "bmp"
       else if (p.startsWith("52494646")) "webp"
+      else if (p.startsWith("47494638")) "gif"
       else "unknown"
     }
 

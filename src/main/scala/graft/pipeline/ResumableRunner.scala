@@ -73,7 +73,6 @@ final class ResumableRunner(
       try {
         result.write.mode(SaveMode.Overwrite).parquet(s"$outDir/data/bucket=$bucket")
         Metrics.partitionMetrics(result, runId)
-          .withColumn("bucket", lit(bucket))
           .write.mode(SaveMode.Overwrite).parquet(s"$outDir/metrics/bucket=$bucket")
       } finally result.unpersist()
       markDone(bucket)

@@ -36,7 +36,9 @@ object HttpSink {
     val failed = spark.sparkContext.longAccumulator("http_sink_failed")
     val json = df.select(to_json(struct(df.columns.map(col): _*)).as("body"))
     val nParts = math.max(1, json.rdd.getNumPartitions)
-    val perPartitionRate = if (maxRowsPerSec > 0) math.max(1, maxRowsPerSec / nParts) else 0
+    // fractional per-partition budget: flooring at 1 row/sec/partition would
+    // overshoot the GLOBAL cap by up to nParts/maxRowsPerSec times
+    val perPartitionRate = if (maxRowsPerSec > 0) maxRowsPerSec.toDouble / nParts else 0.0
     json.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       val client = java.net.http.HttpClient.newHttpClient()
       val t0 = System.nanoTime()
@@ -44,7 +46,7 @@ object HttpSink {
       it.foreach { row =>
         // pacing: never exceed perPartitionRate rows/sec from this partition
         if (perPartitionRate > 0) {
-          val due = t0 + sent * 1000000000L / perPartitionRate
+          val due = t0 + (sent * 1e9 / perPartitionRate).toLong
           val wait = due - System.nanoTime()
           if (wait > 0) Thread.sleep(wait / 1000000, (wait % 1000000).toInt)
         }

@@ -34,6 +34,17 @@ class TopKSpec extends SparkSuite {
     assert("Exchange".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("string ids rank with lexicographic tiebreak (zero-padded ids keep numeric order)") {
+    val d = Seq(
+      (1L, "IMG000000000002", 5.0), (1L, "IMG000000000010", 5.0),
+      (1L, "IMG000000000001", 3.0), (2L, "IMG000000000099", 1.0),
+    ).toDF("g", "image_id", "score")
+    val out = TopK.topKPerGroup(d, Seq("g"), "score", "image_id", k = 2)
+      .select("g", "image_id", "rnk").as[(Long, String, Int)].collect().toSet
+    assert(out == Set((1L, "IMG000000000002", 1), (1L, "IMG000000000010", 2),
+      (2L, "IMG000000000099", 1)))
+  }
+
   test("k larger than group size returns the whole group ranked") {
     val tiny = Seq((1L, 10L, 1.0), (1L, 11L, 3.0), (2L, 20L, 2.0)).toDF("g", "cand", "score")
     val out = TopK.topKPerGroup(tiny, Seq("g"), "score", "cand", k = 10)

@@ -103,6 +103,14 @@ class GeneratorSpec extends SparkSuite {
     assert(df.where(col("d") =!= col("c") * 2).count() == 0)
     // sibling fields and array positions draw independent randomness
     assert(df.where(element_at(col("scores"), 1) === col("addr.zip") % 101).count() < 2000)
+    // AlphaNum content is path-keyed: same-named fields in different structs
+    // and different array positions produce different strings
+    val an = Generator.generate(spark, 300L, Seq(
+      StructSpec("a", Seq(AlphaNumField("s", 8, 8))),
+      StructSpec("b", Seq(AlphaNumField("s", 8, 8))),
+      ArraySpec("arr", AlphaNumField("t", 8, 8), 3, 3)), seed = 4L)
+    assert(an.where(col("a.s") === col("b.s")).count() == 0)
+    assert(an.where(element_at(col("arr"), 1) === element_at(col("arr"), 2)).count() == 0)
     // cycles rejected
     intercept[IllegalArgumentException] {
       Generator.generate(spark, 10L,

@@ -114,13 +114,36 @@ object Scrubber {
   private val matchersLocal: ThreadLocal[Array[java.util.regex.Matcher]] =
     ThreadLocal.withInitial(() => compiled.map(_._2.matcher("")).toArray)
 
+  /** Sound regex pre-gates: email cannot match without '@'; ssn/phone
+    * cannot match without a digit (their patterns structurally require
+    * those characters), so one cheap char scan skips those engines
+    * entirely on clean captions — the common case. Indices follow
+    * [[allPatterns]] order (email, ssn, phone, lexicon). Skipping a
+    * can't-match stage leaves the text unchanged, so the canonical staging
+    * (and parity with the oracles) is exact.
+    */
+  private val needsAt = Array(true, false, false, false)
+  private val needsDigit = Array(false, true, true, false)
+
   def scrubWithCounts(text: String): (String, Array[Int]) = {
     if (text == null) return (null, new Array[Int](compiled.size))
     val counts = new Array[Int](compiled.size)
     val ms = matchersLocal.get()
+    var hasAt = false
+    var hasDigit = false
+    var ci = 0
+    while (ci < text.length && !(hasAt && hasDigit)) {
+      val ch = text.charAt(ci)
+      if (ch == '@') hasAt = true
+      else if (ch >= '0' && ch <= '9') hasDigit = true
+      ci += 1
+    }
     var t = text
     var i = 0
     while (i < ms.length) {
+      if ((needsAt(i) && !hasAt) || (needsDigit(i) && !hasDigit)) {
+        i += 1
+      } else {
       val m = ms(i).reset(t)
       if (m.find()) {
         val sb = new java.lang.StringBuilder(t.length + 16)
@@ -134,6 +157,7 @@ object Scrubber {
         t = sb.toString
       }
       i += 1
+      }
     }
     (t, counts)
   }

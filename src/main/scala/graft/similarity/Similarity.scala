@@ -199,6 +199,38 @@ object Similarity {
       x => x.getField("cell"))
   }
 
+  /** Embedding near-duplicate pairs WITHOUT a caller-provided blocking key:
+    * sign-LSH buckets both sides and pairs only within a bucket (+ multi-
+    * probe XOR-adjacent buckets for recall) — the scale path when no natural
+    * block exists. Recall < 1 by construction (vectors with cosine ≥
+    * threshold usually share a bucket, not always); the shuffle is a hash
+    * join on bucket id, never the all-pairs cross product that
+    * [[nearDupPairs]]'s |block|² would degenerate to with a bad key.
+    */
+  def annNearDupPairs(
+      df: DataFrame, // (id, vec)
+      dims: Int,
+      threshold: Double,
+      planes: Int = 8,
+      seed: Long = 42L,
+      multiProbe: Int = 1): DataFrame = {
+    val b = df.withColumn("bucket0", lshBucket(col("vec"), dims, planes, seed))
+    val probes = (0 until math.max(1, multiProbe)).map {
+      case 0 => col("bucket0")
+      case i => col("bucket0").bitwiseXOR(lit(1 << (i - 1)))
+    }
+    val left = b.withColumn("bucket", explode(array(probes: _*)))
+      .select(col("bucket"), col("id").as("a_id"), col("vec").as("a_vec"))
+    val right = b.select(col("bucket0").as("bucket"), col("id").as("b_id"), col("vec").as("b_vec"))
+    left.join(right, Seq("bucket"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_vec"), col("b_vec"))
+      .distinct() // multi-probe can surface a pair twice
+      .withColumn("sim", cosine(col("a_vec"), col("b_vec")))
+      .where(col("sim") >= threshold)
+      .select(col("a_id"), col("b_id"), col("sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within a blocking key (training-
     * data dedup by semantic similarity). Exact within block.
     */

@@ -80,6 +80,24 @@ class SimilaritySpec extends SparkSuite {
       .collect().foreach(r => assert(r.getAs[Seq[Int]]("cells").head == r.getAs[Int]("cell")))
   }
 
+  test("annNearDupPairs: blockless LSH near-dup has high recall vs exact pairs") {
+    val vecs = vectors.select(col("id"), col("vec"))
+    val exact = Similarity.nearDupPairs(
+      vectors.select(col("id"), col("vec"), lit(0).as("block")), threshold = 0.9)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val ann = Similarity.annNearDupPairs(vecs, dims, threshold = 0.9, planes = 2, multiProbe = 2)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(ann.subsetOf(exact)) // never a false pair: exact cosine re-check
+    val recall = (exact & ann).size.toDouble / exact.size
+    info(s"blockless ANN near-dup recall = $recall (${exact.size} exact pairs)")
+    assert(recall >= 0.75)
+    // more planes → smaller buckets → cheaper join but lower recall
+    val coarse = Similarity.annNearDupPairs(vecs, dims, threshold = 0.9, planes = 6)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(coarse.size <= ann.size)
+  }
+
   test("lshBucket: identical vectors get identical buckets; opposite vectors differ") {
     val d = Seq(
       (1L, unit(1, 0, 0, 1)), (2L, unit(1, 0, 0, 1)), (3L, unit(-1, 0, 0, -1))

@@ -37,14 +37,14 @@ object GraftSession {
       // on restart but table LOCATIONS persist on disk — a stale
       // spark-warehouse/ dir makes every saveAsTable fail with
       // LOCATION_ALREADY_EXISTS (and litters the repo). Deployments override.
-      .config("spark.sql.warehouse.dir", GraftSession.warehouseDir)
+      // fresh dir PER CALL, not per JVM: a stop-and-recreate session in one
+      // JVM binds configs again with a fresh in-memory catalog, and a reused
+      // dir would fail the next saveAsTable with LOCATION_ALREADY_EXISTS.
+      // Orphan empty temp dirs (calls whose session already existed) are the
+      // cheap side of that tradeoff.
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
   }
-
-  /** One temp warehouse per JVM (builder() may be called many times but only
-    * the first session binds the config — fresh dirs per call would just be
-    * orphans). */
-  private lazy val warehouseDir: String =
-    java.nio.file.Files.createTempDirectory("graft_warehouse").toString
 
   def local(cores: Int): SparkSession = {
     val s = builder(s"local[$cores]", cores).getOrCreate()

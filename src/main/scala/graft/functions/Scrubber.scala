@@ -124,6 +124,11 @@ object Scrubber {
     */
   private val needsAt = Array(true, false, false, false)
   private val needsDigit = Array(false, true, true, false)
+  // the gates are POSITIONAL — pin the category order they were derived
+  // from, so a pattern reorder/edit fails loudly instead of silently
+  // skipping an engine that can match
+  require(allPatterns.map(_._1) == Seq("email", "ssn", "phone", "lexicon"),
+    "scrub pre-gates are positional; re-derive needsAt/needsDigit after changing patterns")
 
   def scrubWithCounts(text: String): (String, Array[Int]) = {
     if (text == null) return (null, new Array[Int](compiled.size))

@@ -79,13 +79,17 @@ object TopK {
     require(k > 0, "k must be positive")
     // id column drives the aggregator variant: numeric ids keep numeric
     // tiebreak order; string ids tiebreak lexicographically (a silent
-    // cast-to-long would null string ids and crash the encoder)
-    val isString = df.schema(idCol).dataType == org.apache.spark.sql.types.StringType
+    // cast-to-long would null string ids and crash the encoder). Resolve the
+    // type through select() so nested paths like "s.id" keep working.
+    val idType = df.select(col(idCol)).schema.head.dataType
+    val isString = idType == org.apache.spark.sql.types.StringType
     val agg =
       if (isString) udaf(new MaxKAggS(k), Encoders.product[EntryS])
       else udaf(new MaxKAgg(k), Encoders.product[Entry])
     val idExpr = if (isString) col(idCol) else col(idCol).cast("long")
-    df.groupBy(groupCols.map(col): _*)
+    // null ids cannot rank (and would crash the primitive-long encoder)
+    df.where(col(idCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
       .agg(agg(col(scoreCol).cast("double"), idExpr).as("top"))
       .select(col("*"), posexplode(col("top")).as(Seq("rnk0", "e")))
       .select(

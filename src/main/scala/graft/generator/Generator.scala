@@ -94,7 +94,8 @@ final case class AlphaNumField(name: String, minLen: Int, maxLen: Int) extends F
     val len = (lit(minLen) + (u * (maxLen - minLen + 1)).cast("int"))
     val blocks = (maxLen / 32) + 1
     val full = concat((0 until blocks).map(b =>
-      md5(concat(uniform(s"$name#chain$b", seed, idx).cast("string"), idx.cast("string")))): _*)
+      md5(concat(uniform(s"$name#chain$b", seed, idx).cast("string"), lit("|"),
+        idx.cast("string")))): _*)
     substring(full, 1, maxLen).substr(lit(1), len)
   }
 }

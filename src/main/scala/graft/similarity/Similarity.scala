@@ -108,10 +108,12 @@ object Similarity {
     val qexp = qb.withColumn("bucket", explode(array(probes: _*)))
       .select(col("query_id"), col("qe"), col("bucket"))
     val cb = candidates.withColumn("bucket", lshBucket(col("ce"), dims, planes, seed))
+    // no dedup needed: a query's probe buckets are pairwise distinct and a
+    // candidate appears under its primary bucket only, so each (q, c) pair
+    // can match at most once — a distinct() here would shuffle the full
+    // candidate set with both vectors as payload for nothing
     val sims = qexp.join(cb, Seq("bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("qe"), col("ce"))
-      .distinct() // multi-probe may produce the same pair twice
       .withColumn("sim", cosine(col("qe"), col("ce")))
       .select(col("query_id"), col("neighbor_id"), col("sim"))
     rankTopK(sims, k)
@@ -165,10 +167,11 @@ object Similarity {
     val qcells = queries
       .withColumn("cell", explode(nearestCells(col("qe"), refined, nprobe)))
       .select(col("query_id"), col("qe"), col("cell"))
+    // no dedup needed: nearestCells yields nprobe DISTINCT cells per query
+    // and each candidate is indexed under exactly one cell → a (q, c) pair
+    // matches at most once
     val sims = qcells.join(indexed, Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("qe"), col("ce"))
-      .distinct()
       .withColumn("sim", cosine(col("qe"), col("ce")))
       .select(col("query_id"), col("neighbor_id"), col("sim"))
     rankTopK(sims, k)
@@ -222,10 +225,11 @@ object Similarity {
     val left = b.withColumn("bucket", explode(array(probes: _*)))
       .select(col("bucket"), col("id").as("a_id"), col("vec").as("a_vec"))
     val right = b.select(col("bucket0").as("bucket"), col("id").as("b_id"), col("vec").as("b_vec"))
+    // no dedup needed: probe buckets per row are pairwise distinct, the right
+    // side carries only its primary bucket, and a_id < b_id keeps one join
+    // direction — each unordered pair matches at most once
     left.join(right, Seq("bucket"))
       .where(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_vec"), col("b_vec"))
-      .distinct() // multi-probe can surface a pair twice
       .withColumn("sim", cosine(col("a_vec"), col("b_vec")))
       .where(col("sim") >= threshold)
       .select(col("a_id"), col("b_id"), col("sim"))

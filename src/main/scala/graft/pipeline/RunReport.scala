@@ -19,13 +19,18 @@ object RunReport {
       keepRate: Double,
       dropReasons: Map[String, Long],
       scrubCounts: Map[String, Long],
-      partitions: Long)
+      partitions: Long,
+      /** Largest single partition's share of rows_in — the skew-spread check
+        * of SURVEY §7.4.4 (a healthy run stays near 1/partitions; a hot
+        * phash cluster colocated into one task shows up here immediately). */
+      maxPartitionShare: Double = 0.0)
 
   def summarize(metrics: DataFrame, runId: String): Summary = {
     val totals = metrics.agg(
       sum("rows_in").as("in"),
       sum("rows_out").as("out"),
-      count(lit(1)).as("parts")).head()
+      count(lit(1)).as("parts"),
+      max("rows_in").as("maxin")).head()
     val reasons = metrics
       .select(explode(col("drop_reasons")))
       .groupBy("key").agg(sum("value").as("n"))
@@ -37,7 +42,8 @@ object RunReport {
     val in = totals.getLong(0)
     val out = totals.getLong(1)
     Summary(runId, in, out, if (in == 0) 0.0 else out.toDouble / in, reasons, scrubs,
-      totals.getLong(2))
+      totals.getLong(2),
+      if (in == 0) 0.0 else totals.getLong(3).toDouble / in)
   }
 
   private def jsonEscape(s: String): String =
@@ -54,6 +60,7 @@ object RunReport {
         .map { case (k, v) => s""""${jsonEscape(k)}":$v""" }.mkString("{", ",", "}")
     s"""{"run_id":"${jsonEscape(s.runId)}","rows_in":${s.rowsIn},"rows_out":${s.rowsOut},""" +
       f""""keep_rate":${s.keepRate}%.6f,"partitions":${s.partitions},""" +
+      f""""max_partition_share":${s.maxPartitionShare}%.6f,""" +
       s""""drop_reasons":${m(s.dropReasons)},"scrub_counts":${m(s.scrubCounts)}}"""
   }
 

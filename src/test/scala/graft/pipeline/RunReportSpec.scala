@@ -17,9 +17,13 @@ class RunReportSpec extends SparkSuite {
     assert(s.rowsOut == annotated.where(col("keep")).count())
     assert(s.dropReasons.values.sum == 1000 - s.rowsOut)
     assert(s.keepRate > 0 && s.keepRate < 1)
+    // skew-spread metric: 4 partitions of uniform synthetic data → max share
+    // near 1/4, never 1.0 (SURVEY §7.4.4 per-partition spread check)
+    assert(s.maxPartitionShare > 0.15 && s.maxPartitionShare < 0.5, s.maxPartitionShare.toString)
     val json = Files.readString(Paths.get(dir, "_report_r9.json"))
     // driver-style parse check: well-formed JSON with expected keys
     assert(json.contains("\"run_id\":\"r9\"") && json.contains("\"drop_reasons\":{"))
+    assert(json.contains("\"max_partition_share\":"))
     val html = Files.readString(Paths.get(dir, "_report_r9.html"))
     assert(html.startsWith("<!DOCTYPE html>") && html.contains("Run r9")
       && html.contains("Drop reasons") && html.contains(s.rowsOut.toString))

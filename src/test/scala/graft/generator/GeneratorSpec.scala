@@ -119,6 +119,37 @@ class GeneratorSpec extends SparkSuite {
     df.unpersist()
   }
 
+  test("RegexField fuzz: random patterns from the supported grammar always self-match") {
+    val rng = new scala.util.Random(99)
+    def randClass(): String = {
+      val opts = Seq("[A-Z]", "[a-z]", "[0-9]", "[A-Fa-f0-9]", "\\d", "\\w", "[x-z_-]")
+      opts(rng.nextInt(opts.size))
+    }
+    def randQuant(): String = rng.nextInt(5) match {
+      case 0 => ""
+      case 1 => s"{${1 + rng.nextInt(4)}}"
+      case 2 => { val m = rng.nextInt(3); s"{$m,${m + 1 + rng.nextInt(3)}}" }
+      case 3 => "?"
+      case 4 => "+"
+    }
+    def randPart(): String = rng.nextInt(4) match {
+      case 0 => randClass() + randQuant()
+      case 1 => Seq("AB", "x", "-", ".", "id_")(rng.nextInt(5)).replace(".", "\\.")
+      case 2 => s"(${Seq("foo", "ba", "z9").take(1 + rng.nextInt(3)).mkString("|")})" + randQuant()
+      case 3 => "\\d" + randQuant()
+    }
+    (0 until 25).foreach { trial =>
+      val pattern = (0 until (1 + rng.nextInt(4))).map(_ => randPart()).mkString
+      val javaRe = java.util.regex.Pattern.compile(
+        "^" + pattern.replace("+", "{1,8}") + "$") // generator caps unbounded + at 8
+      val df = Generator.generate(spark, 200L,
+        Seq(RegexField("f", pattern)), seed = trial.toLong)
+      df.select("f").as[String].collect().foreach { v =>
+        assert(javaRe.matcher(v).matches(), s"trial $trial: '$v' !~ /$pattern/")
+      }
+    }
+  }
+
   test("RegexField: unsupported constructs fail fast with the construct named") {
     def bad(p: String): String =
       intercept[IllegalArgumentException](RegexField("f", p)).getMessage

@@ -87,8 +87,13 @@ object TopK {
       if (isString) udaf(new MaxKAggS(k), Encoders.product[EntryS])
       else udaf(new MaxKAgg(k), Encoders.product[Entry])
     val idExpr = if (isString) col(idCol) else col(idCol).cast("long")
-    // null ids cannot rank (and would crash the primitive-long encoder)
-    df.where(col(idCol).isNotNull)
+    // null ids cannot rank (and would crash the primitive-long encoder);
+    // NaN scores are excluded too — Spark's window ordering treats NaN as
+    // the LARGEST double (it would rank first) while heap comparisons treat
+    // it as unorderable (it would rank last): neither is a meaningful "top"
+    // score, so the defined behavior is that NaN never ranks
+    df.where(col(idCol).isNotNull && col(scoreCol).isNotNull &&
+        !isnan(col(scoreCol).cast("double")))
       .groupBy(groupCols.map(col): _*)
       .agg(agg(col(scoreCol).cast("double"), idExpr).as("top"))
       .select(col("*"), posexplode(col("top")).as(Seq("rnk0", "e")))

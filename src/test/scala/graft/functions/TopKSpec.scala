@@ -45,6 +45,16 @@ class TopKSpec extends SparkSuite {
       (2L, "IMG000000000099", 1)))
   }
 
+  test("NaN scores and null ids never rank (defined edge behavior)") {
+    val d = Seq(
+      (1L, Some(10L), 5.0), (1L, Some(11L), Double.NaN),
+      (1L, None, 9.0), (1L, Some(12L), 1.0),
+    ).toDF("g", "cand", "score")
+    val out = TopK.topKPerGroup(d, Seq("g"), "score", "cand", k = 10)
+      .select("cand", "rnk").as[(Long, Int)].collect().toSet
+    assert(out == Set((10L, 1), (12L, 2)))
+  }
+
   test("k larger than group size returns the whole group ranked") {
     val tiny = Seq((1L, 10L, 1.0), (1L, 11L, 3.0), (2L, 20L, 2.0)).toDF("g", "cand", "score")
     val out = TopK.topKPerGroup(tiny, Seq("g"), "score", "cand", k = 10)

@@ -660,6 +660,26 @@ object Queries {
       |WHERE EXISTS (SELECT 1 FROM lineitem
       |  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY)""".stripMargin
 
+  // ---- q30: corpus-level top-K token frequencies — vocabulary stats for a
+  //          training corpus, ranked through the bounded map-side TopK
+  //          aggregator (global group), canonical (count desc, token asc)
+  //          tiebreak on both engines ----
+  private def q30(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "documents")
+      .select(explode(TF.tokens(TF.normalized(col("text")))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    graft.functions.TopK.topKPerGroup(counts, Nil, "n", "tok", k = 50)
+      .select(col("tok"), col("n").cast("bigint").as("n"), col("rnk"))
+  }
+
+  private val q30Sql =
+    s"""WITH toks AS (SELECT unnest($duckToks) AS tok FROM documents),
+       |tf AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+       |r AS (SELECT tok, n,
+       |        cast(row_number() OVER (ORDER BY n DESC, tok) AS int) AS rnk
+       |      FROM tf)
+       |SELECT tok, n, rnk FROM r WHERE rnk <= 50""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1 _),
     "q2_quality_rules" -> (q2 _),
@@ -690,6 +710,7 @@ object Queries {
     "q27_regex_gen" -> (q27 _),
     "q28_phash_neardup" -> (q28 _),
     "q29_theta_join" -> (q29 _),
+    "q30_top_tokens" -> (q30 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -722,5 +743,6 @@ object Queries {
     "q27_regex_gen" -> q27Sql,
     "q28_phash_neardup" -> q28Sql,
     "q29_theta_join" -> q29Sql,
+    "q30_top_tokens" -> q30Sql,
   )
 }

@@ -27,8 +27,24 @@ object TopK {
 
   private def beats(a: Entry, b: Entry): Boolean =
     a.score > b.score || (a.score == b.score && a.id < b.id)
+  // code-point comparison, NOT String.compareTo: UTF-16 code-unit order
+  // diverges from UTF-8/code-point order for supplementary-plane chars, and
+  // both Spark's string sort (UTF8String binary) and the DuckDB oracle order
+  // by bytes — the heap must tiebreak identically (q30 feeds corpus text)
+  private def cmpCodePoints(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
   private def beatsS(a: EntryS, b: EntryS): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
+    a.score > b.score || (a.score == b.score && cmpCodePoints(a.id, b.id) < 0)
 
   /** Aggregator buffer = the current top-k, kept sorted best-first; bounded
     * insertion is O(k) per row (k is small by definition of top-k).

@@ -33,14 +33,15 @@ object PlanRunner {
     JsonMethods.parse(s).extract[PlanSpec]
   }
 
-  /** YAML plans (the reference's native plan format): YAML → Jackson tree →
-    * JSON → the same extractor. */
-  def parseYaml(s: String): PlanSpec = {
+  /** YAML → JSON via Jackson's YAML module — shared by every YAML-accepting
+    * surface (plans, data contracts, REST bodies). */
+  def yamlToJson(s: String): String = {
     val yaml = new com.fasterxml.jackson.dataformat.yaml.YAMLMapper()
-    val json = new com.fasterxml.jackson.databind.ObjectMapper()
-      .writeValueAsString(yaml.readTree(s))
-    parseJson(json)
+    new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(yaml.readTree(s))
   }
+
+  /** YAML plans (the reference's native plan format). */
+  def parseYaml(s: String): PlanSpec = parseJson(yamlToJson(s))
 
   private def read(spark: SparkSession, src: SourceSpec): DataFrame = src.format match {
     case "table" => spark.read.table(src.path)

@@ -49,8 +49,7 @@ object DataContract {
     implicit val formats: Formats = DefaultFormats
     val json =
       if (text.trim.startsWith("{")) text
-      else new com.fasterxml.jackson.databind.ObjectMapper()
-        .writeValueAsString(new com.fasterxml.jackson.dataformat.yaml.YAMLMapper().readTree(text))
+      else graft.plan.PlanRunner.yamlToJson(text)
     JsonMethods.parse(json).extract[Contract]
   }
 
@@ -68,6 +67,8 @@ object DataContract {
       val pat = o.pattern.map(Rules.matches(p.name, _)).toSeq
       val len = (o.minLength, o.maxLength) match {
         case (Some(lo), Some(hi)) => Seq(Rules.lengthBetween(p.name, lo, hi))
+        case (Some(lo), None) => Seq(Rules.lengthBetween(p.name, lo, Int.MaxValue))
+        case (None, Some(hi)) => Seq(Rules.lengthBetween(p.name, 0, hi))
         case _ => Nil
       }
       req ++ range ++ pat ++ len
@@ -87,15 +88,24 @@ object DataContract {
       (p.logicalType.toLowerCase, o.pattern) match {
         case (_, Some(pat)) => RegexField(p.name, pat)
         case ("integer", _) =>
-          IntField(p.name, o.minimum.getOrElse(0.0).toLong, o.maximum.getOrElse(1000000.0).toLong)
+          // one-sided bounds anchor the missing side RELATIVE to the given
+          // one — a minimum above a fixed default maximum would generate an
+          // inverted range whose data violates the contract's own rules
+          val lo = o.minimum.getOrElse(0.0).toLong
+          val hi = o.maximum.map(_.toLong).getOrElse(lo + 1000000L)
+          IntField(p.name, lo, math.max(hi, lo))
         case ("number", _) =>
-          DoubleField(p.name, o.minimum.getOrElse(0.0), o.maximum.getOrElse(1.0))
+          val lo = o.minimum.getOrElse(0.0)
+          val hi = o.maximum.getOrElse(lo + 1.0)
+          DoubleField(p.name, lo, math.max(hi, lo))
         case ("date", _) => DateField(p.name, "2022-01-01", 365)
         case ("boolean", _) => OneOfField(p.name, Seq(("true", 0.5), ("false", 0.5)))
         case _ if p.unique.contains(true) =>
           SequentialField(p.name, seqPrefix, 10) // unique strings by construction
         case _ =>
-          AlphaNumField(p.name, o.minLength.getOrElse(1).max(1), o.maxLength.getOrElse(20).max(1))
+          val lo = o.minLength.getOrElse(1).max(1)
+          val hi = o.maxLength.getOrElse(math.max(lo, 20)).max(lo)
+          AlphaNumField(p.name, lo, hi)
       }
     }
 

@@ -39,7 +39,25 @@ object GreatExpectations {
     case s: String => s.toDouble
     case other => throw new IllegalArgumentException(s"not numeric: $other")
   }
+  /** Optional numeric kwarg: absent OR explicit null (GX's common one-sided
+    * bound encoding) → None. */
+  private def optD(kw: Map[String, Any], key: String): Option[Double] =
+    kw.get(key).filter(_ != null).map(d)
   private def list(v: Any): Seq[Any] = v.asInstanceOf[Seq[Any]]
+
+  /** GX type names → Spark typeof() names. GX suites come from pandas/SQL/
+    * Spark backends with their own spellings; typeof() returns SQL names. */
+  private def sparkTypeNames(gx: String): Seq[String] =
+    gx.toLowerCase.stripSuffix("type") match {
+      case "str" | "string" | "object" | "text" | "varchar" => Seq("string")
+      case "int" | "int32" | "int64" | "integer" | "long" | "bigint" =>
+        Seq("int", "bigint", "smallint", "tinyint")
+      case "float" | "float32" | "float64" | "double" | "number" => Seq("double", "float")
+      case "bool" | "boolean" => Seq("boolean")
+      case "date" => Seq("date")
+      case "datetime" | "timestamp" => Seq("timestamp")
+      case other => Seq(other)
+    }
 
   def importSuite(suite: Suite): Imported = {
     val rules = Seq.newBuilder[Rule]
@@ -53,7 +71,7 @@ object GreatExpectations {
         case "expect_column_values_to_not_be_null" => rules += Rules.isNotNull(col0)
         case "expect_column_values_to_be_null" => rules += Rules.isNull(col0)
         case "expect_column_values_to_be_between" =>
-          rules += Rules.between(col0, d(kw("min_value")), d(kw("max_value")))
+          rules += rangeRule(col0, optD(kw, "min_value"), optD(kw, "max_value"))
         case "expect_column_values_to_be_in_set" => rules += Rules.in(col0, list(kw("value_set")))
         case "expect_column_values_to_not_be_in_set" =>
           rules += Rules.notIn(col0, list(kw("value_set")))
@@ -67,9 +85,10 @@ object GreatExpectations {
           rules += Rules.lengthEqual(col0, d(kw("value")).toInt)
         case "expect_column_values_to_be_json_parseable" => rules += Rules.isJsonParsable(col0)
         case "expect_column_values_to_be_of_type" =>
-          rules += Rules.hasType(col0, kw("type_").toString)
+          rules += Rules.hasTypes(col0, sparkTypeNames(kw("type_").toString))
         case "expect_column_values_to_be_in_type_list" =>
-          rules += Rules.hasTypes(col0, list(kw("type_list")).map(_.toString))
+          rules += Rules.hasTypes(col0,
+            list(kw("type_list")).flatMap(t => sparkTypeNames(t.toString)))
         case "expect_column_pair_values_to_be_equal" =>
           rules += Rules.isEqualField(kw("column_A").toString, kw("column_B").toString)
         case "expect_column_pair_values_a_to_be_greater_than_b" =>
@@ -87,7 +106,8 @@ object GreatExpectations {
           val n = d(kw("value")).toInt
           checks += ("column_count" -> (df => SchemaRules.fieldCountEqual(df, n).success))
         case "expect_table_row_count_to_be_between" =>
-          val (lo, hi) = (d(kw("min_value")), d(kw("max_value")))
+          val lo = optD(kw, "min_value").getOrElse(Double.NegativeInfinity)
+          val hi = optD(kw, "max_value").getOrElse(Double.PositiveInfinity)
           checks += ("row_count" -> (df => { val n = df.count(); n >= lo && n <= hi }))
         // ---- aggregate / distinct-set level → GroupRules ----
         case "expect_column_min_to_be_between" => aggCheck(checks, col0, "min", kw)
@@ -116,7 +136,13 @@ object GreatExpectations {
         case other =>
           skipped += other // reference behavior: warn-and-skip unknown types
       } catch {
-        case _: NoSuchElementException => skipped += e.expectation_type // missing kwargs
+        // missing kwargs, null/non-numeric bounds, wrong shapes: the
+        // reference's behavior (and ours) is warn-and-skip the ONE
+        // expectation, never fail the whole suite import
+        case _: NoSuchElementException => skipped += e.expectation_type
+        case _: IllegalArgumentException => skipped += e.expectation_type
+        case _: NumberFormatException => skipped += e.expectation_type
+        case _: ClassCastException => skipped += e.expectation_type
       }
     }
     Imported(rules.result(), checks.result(), skipped.result())
@@ -139,12 +165,23 @@ object GreatExpectations {
     rowResults ++ checkResults ++ skippedResults
   }
 
+  /** between with one-sided bound support (GX encodes the open side as an
+    * explicit null). Both-absent → an always-true rule, reported as such. */
+  private def rangeRule(column: String, lo: Option[Double], hi: Option[Double]): Rule =
+    (lo, hi) match {
+      case (Some(l), Some(h)) => Rules.between(column, l, h)
+      case (Some(l), None) => Rules.greaterThan(column, l, strictly = false)
+      case (None, Some(h)) => Rules.lessThan(column, h, strictly = false)
+      case (None, None) => Rules.isNotNull(column) // degenerate suite entry
+    }
+
   private def aggCheck(
       checks: scala.collection.mutable.Builder[(String, DataFrame => Boolean), Seq[(String, DataFrame => Boolean)]],
       column: String,
       aggType: String,
       kw: Map[String, Any]): Unit = {
-    val (lo, hi) = (d(kw("min_value")), d(kw("max_value")))
+    val lo = optD(kw, "min_value").getOrElse(Double.NegativeInfinity)
+    val hi = optD(kw, "max_value").getOrElse(Double.PositiveInfinity)
     checks += (s"${column}_$aggType" -> (df => GroupRules.aggBetween(df, column, aggType, lo, hi)))
   }
 }

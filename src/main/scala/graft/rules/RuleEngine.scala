@@ -112,10 +112,12 @@ object RuleEngine {
       rules: Seq[Rule],
       threshold: Double = 0.0,
       numSamples: Int = 5): Seq[RuleResult] =
-    validateAll(df, rules, threshold).map { r =>
+    // pair results with rules POSITIONALLY (validateAll preserves order):
+    // a by-name lookup would sample the wrong predicate when two rules
+    // share a name (importers can produce that)
+    validateAll(df, rules, threshold).zip(rules).map { case (r, rule) =>
       if (r.success || numSamples <= 0) r
       else {
-        val rule = rules.find(_.name == r.rule).get
         val sampleDf = errorSamples(df, rule, numSamples)
         val names = sampleDf.columns
         r.copy(samples = sampleDf.collect().toSeq.map(_.getValuesMap[Any](names)))

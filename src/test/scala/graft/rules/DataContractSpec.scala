@@ -65,4 +65,31 @@ class DataContractSpec extends SparkSuite {
     results.filterNot(_.rule == "account_id_unique") // regex ids may repeat
       .foreach(r => assert(r.success, s"${r.rule}: ${r.errors}/${r.total}"))
   }
+
+  test("one-sided bounds: rules enforce them and generated data still satisfies them") {
+    val oneSided =
+      """name: onesided
+        |schema:
+        |  - name: t
+        |    properties:
+        |      - name: price
+        |        logicalType: number
+        |        logicalTypeOptions: {minimum: 100}
+        |      - name: code
+        |        logicalType: string
+        |        logicalTypeOptions: {minLength: 30}
+        |      - name: qty
+        |        logicalType: integer
+        |        logicalTypeOptions: {maximum: 5}
+        |""".stripMargin
+    val c = DataContract.parse(oneSided)
+    // rules exist for every one-sided bound
+    val bad = Seq((50.0, "x", 9L)).toDF("price", "code", "qty")
+    val results = DataContract.validate(bad, oneSided).map(r => r.rule -> r.success).toMap
+    assert(results == Map("price_gt" -> false, "code_lenbetween" -> false, "qty_lt" -> false))
+    // generation honors the open side (no inverted ranges)
+    val gen = graft.generator.Generator.generate(spark, 500L, DataContract.toFieldSpecs(c), seed = 2L)
+    DataContract.validate(gen, oneSided)
+      .foreach(r => assert(r.success, s"${r.rule}: ${r.errors}/${r.total}"))
+  }
 }

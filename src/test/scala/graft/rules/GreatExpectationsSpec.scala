@@ -58,4 +58,29 @@ class GreatExpectationsSpec extends SparkSuite {
     // error samples flow through for failed row rules
     assert(byName("age_between").samples.head("id") == 3L)
   }
+
+  test("GX edge cases: null one-sided bounds, real-world type names, bad kwargs skipped") {
+    val edgeSuite =
+      """{"expectations": [
+        |  {"expectation_type": "expect_column_values_to_be_between",
+        |   "kwargs": {"column": "age", "min_value": null, "max_value": 120}},
+        |  {"expectation_type": "expect_column_values_to_be_of_type",
+        |   "kwargs": {"column": "name", "type_": "StringType"}},
+        |  {"expectation_type": "expect_column_values_to_be_of_type",
+        |   "kwargs": {"column": "age", "type_": "int64"}},
+        |  {"expectation_type": "expect_table_row_count_to_be_between",
+        |   "kwargs": {"min_value": 1}},
+        |  {"expectation_type": "expect_column_values_to_be_between",
+        |   "kwargs": {"column": "age", "min_value": "not-a-number", "max_value": 5}}
+        |]}""".stripMargin
+    val imported = GreatExpectations.importSuite(GreatExpectations.parseSuite(edgeSuite))
+    // the bad-bounds expectation is skipped; the rest import
+    assert(imported.skipped == Seq("expect_column_values_to_be_between"))
+    val results = GreatExpectations.validateSuite(df, edgeSuite)
+    val byName = results.map(r => r.rule -> r).toMap
+    assert(!byName("age_lt").success && byName("age_lt").errors == 1) // age 200 > 120
+    assert(byName("name_hastypes").success) // StringType → string
+    assert(byName("age_hastypes").success)  // int64 → {int,bigint,...}
+    assert(byName("row_count").success)     // one-sided min
+  }
 }

@@ -680,6 +680,25 @@ object Queries {
        |      FROM tf)
        |SELECT tok, n, rnk FROM r WHERE rnk <= 50""".stripMargin
 
+  // ---- q31: connected components over the q28 phash near-dup pairs —
+  //          near-dup PAIRS → dedup CLUSTERS (label = min member id).
+  //          Spark: iterative min-label propagation; DuckDB: recursive-CTE
+  //          reachability + min — independent algorithms, same fixpoint ----
+  private def q31(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.connectedComponents(q28(s, dir).select(col("a_id"), col("b_id")))
+      .select(col("id"), col("label"))
+
+  private val q31Sql =
+    s"""WITH RECURSIVE pairs AS (${q28Sql.replace("\n", "\n  ")}),
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |          UNION SELECT b_id, a_id FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+       |SELECT id, min(r) AS label FROM reach GROUP BY id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1 _),
     "q2_quality_rules" -> (q2 _),
@@ -711,6 +730,7 @@ object Queries {
     "q28_phash_neardup" -> (q28 _),
     "q29_theta_join" -> (q29 _),
     "q30_top_tokens" -> (q30 _),
+    "q31_connected_components" -> (q31 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -744,5 +764,6 @@ object Queries {
     "q28_phash_neardup" -> q28Sql,
     "q29_theta_join" -> q29Sql,
     "q30_top_tokens" -> q30Sql,
+    "q31_connected_components" -> q31Sql,
   )
 }

@@ -345,14 +345,18 @@ object Dedup {
       val neighborMin = sym
         .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("dlabel")).as("nlabel"))
+      // change detection rides the SAME materialization via observe() —
+      // a separate join-with-old-labels job per iteration doubled the cost
+      val obs = org.apache.spark.sql.Observation()
       val updated = labels
         .join(neighborMin.select(col("src").as("id"), col("nlabel")), Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("__old"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .observe(obs, count_if(col("label") =!= col("__old")).as("changed"))
+        .drop("__old")
         .persist()
-      val changed = updated
-        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
-        .where(col("label") =!= col("old")).count()
+      updated.count() // materialize (also fires the observation)
+      val changed = obs.get("changed").asInstanceOf[Long]
       labels.unpersist()
       labels = updated
       done = changed == 0

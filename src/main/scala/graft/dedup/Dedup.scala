@@ -329,9 +329,11 @@ object Dedup {
     * billion-edge graphs swap the step for large-star/small-star (O(log n)
     * rounds) — the loop/convergence structure here is identical.
     *
-    * The returned frame is PERSISTED (it was materialized for convergence
-    * detection; recomputing it would replay the whole loop) — callers doing
-    * repeated clustering in one session should `unpersist()` it when done.
+    * The result is locally checkpointed (materialized, lineage truncated) —
+    * it never replays the loop, and its blocks are released when the frame
+    * is garbage-collected; no caller-side unpersist contract. Throws
+    * IllegalStateException if maxIter rounds don't reach the fixpoint
+    * (component diameter > maxIter) rather than returning wrong labels.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
@@ -363,7 +365,22 @@ object Dedup {
       i += 1
     }
     sym.unpersist()
-    labels
+    // silent truncation would ship WRONG clusters (and q31's oracle would
+    // catch it only when a deep chain occurs) — fail loudly instead
+    if (!done) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations " +
+          "(component diameter exceeds maxIter); raise maxIter or switch the " +
+          "step to large-star/small-star for deep-chain graphs")
+    }
+    // hand back a self-cleaning result: localCheckpoint materializes the
+    // labels and truncates the iterative lineage, so the loop's cache entry
+    // can be dropped now and the checkpoint blocks are GC-cleaned with the
+    // frame (a plain persisted return leaked one cache entry per call)
+    val out = labels.localCheckpoint(true)
+    labels.unpersist()
+    out
   }
 
   // ---------- n-gram Jaccard ----------

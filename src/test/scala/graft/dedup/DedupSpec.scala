@@ -113,6 +113,17 @@ class DedupSpec extends SparkSuite {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents fails loudly when maxIter is below the component diameter") {
+    // a 7-node chain needs ~6 propagation rounds; maxIter=2 must throw, not
+    // silently return partially-propagated (wrong) labels
+    val chain = (1L until 7L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val e = intercept[IllegalStateException](Dedup.connectedComponents(chain, maxIter = 2))
+    assert(e.getMessage.contains("did not converge"))
+    // and a sufficient maxIter converges to the single min label
+    val ok = Dedup.connectedComponents(chain).as[(Long, Long)].collect()
+    assert(ok.forall(_._2 == 1L) && ok.length == 7)
+  }
+
   test("size-gated newRows: anti-join path above the sketch gate, exact semantics") {
     val previous = (1 to 1000).map(i => s"key$i").toDF("k")
     val current = ((900 to 1100).map(i => s"key$i") :+ null).toDF("k")

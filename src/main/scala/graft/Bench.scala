@@ -18,7 +18,10 @@ object Bench {
     * encoder inside the loop, which swamped the filter stage ~10×.
     */
   def pipelineRun(spark: org.apache.spark.sql.SparkSession, n: Long, partitions: Int): (Double, Long) = {
-    val corpusPath = s"/tmp/graft_bench_corpus_$n"
+    // cache key carries the generator version + seed + layout: a stale corpus
+    // from an older SyntheticImages would otherwise silently feed the numbers
+    val corpusPath =
+      s"/tmp/graft_bench_corpus_v${corpus.SyntheticImages.Version}_s42_p${partitions}_$n"
     if (!new java.io.File(corpusPath + "/_SUCCESS").exists()) {
       corpus.SyntheticImages.generate(spark, n, seed = 42L, partitions = partitions)
         .write.mode("overwrite").parquet(corpusPath)

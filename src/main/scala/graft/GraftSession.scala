@@ -33,17 +33,18 @@ object GraftSession {
       .config("spark.sql.icu.caseMappings.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      // unique managed-table warehouse per JVM: the in-memory catalog resets
-      // on restart but table LOCATIONS persist on disk — a stale
-      // spark-warehouse/ dir makes every saveAsTable fail with
-      // LOCATION_ALREADY_EXISTS (and litters the repo). Deployments override.
-      // fresh dir PER CALL, not per JVM: a stop-and-recreate session in one
-      // JVM binds configs again with a fresh in-memory catalog, and a reused
-      // dir would fail the next saveAsTable with LOCATION_ALREADY_EXISTS.
-      // Orphan empty temp dirs (calls whose session already existed) are the
-      // cheap side of that tradeoff.
-      .config("spark.sql.warehouse.dir",
+    // unique managed-table warehouse per SESSION: the in-memory catalog
+    // resets on restart but table LOCATIONS persist on disk — a stale
+    // spark-warehouse/ dir makes every saveAsTable fail with
+    // LOCATION_ALREADY_EXISTS (and litters the repo). Deployments override.
+    // The temp dir is created ONLY when no session exists yet (on an existing
+    // session getOrCreate ignores builder configs anyway) — creating it per
+    // call leaked one empty /tmp dir per builder() in long-lived processes
+    // (REST server, test suites).
+    if (SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).isEmpty)
+      b.config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
+    b
   }
 
   def local(cores: Int): SparkSession = {

@@ -18,21 +18,26 @@ object Queries {
     s.read.parquet(s"$dir/$name.parquet")
 
   // ---- q1: aggregation (rule-engine groupBy validation substrate;
-  //          SURVEY §2.5). Decimal casts → exact cross-engine sums. ----
+  //          SURVEY §2.5). Money is summed as EXACT INTEGER CENTS: decimal
+  //          outputs hash-mismatched across engines for two rounds even with
+  //          pinned precision (Spark's parquet decimal encoding vs DuckDB's),
+  //          while int64 hashes identically (proved by the q23 hugeint fix).
+  //          Per-row double→decimal(18,2)→×100→bigint is exact in both. ----
+  private def cents(c: Column): Column =
+    (c.cast("decimal(18,2)") * 100).cast("bigint")
+
   private def q1(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        // explicit result cast: Spark widens sum(decimal(18,2)) to (28,2),
-        // DuckDB to (38,2) — same VALUE, different binary hash. Pin both.
-        sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_price"),
+        sum(cents(col("l_quantity"))).as("sum_qty_cents"),
+        sum(cents(col("l_extendedprice"))).as("sum_price_cents"),
         count(lit(1)).as("cnt"))
 
   private val q1Sql =
     """SELECT l_returnflag, l_linestatus,
-      |  cast(sum(cast(l_quantity as decimal(18,2))) as decimal(18,2)) AS sum_qty,
-      |  cast(sum(cast(l_extendedprice as decimal(18,2))) as decimal(18,2)) AS sum_price,
+      |  cast(sum(cast(cast(l_quantity as decimal(18,2)) * 100 as bigint)) as bigint) AS sum_qty_cents,
+      |  cast(sum(cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)) as bigint) AS sum_price_cents,
       |  count(*) AS cnt
       |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
 
@@ -131,13 +136,13 @@ object Queries {
       .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
-        // result cast pinned on both sides (see q1)
-        sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("revenue"),
+        // exact integer cents on both sides (see q1)
+        sum(cents(col("o_totalprice"))).as("revenue_cents"),
         count(lit(1)).as("n_orders"))
 
   private val q4Sql =
     """SELECT n_name,
-      |  cast(sum(cast(o_totalprice as decimal(18,2))) as decimal(18,2)) AS revenue,
+      |  cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)) as bigint) AS revenue_cents,
       |  count(*) AS n_orders
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
@@ -377,18 +382,18 @@ object Queries {
       |WHERE list_inner_product(a.vec, b.vec) /
       |      sqrt(list_inner_product(a.vec, a.vec) * list_inner_product(b.vec, b.vec)) >= 0.25""".stripMargin
 
-  // ---- q15: groupBy validation — violating groups (SURVEY §2.5) ----
+  // ---- q15: groupBy validation — violating groups (SURVEY §2.5).
+  //          Sums integer cents (see q1): threshold 150 units = 15000 cents. ----
   private def q15(s: SparkSession, dir: String): DataFrame =
     graft.rules.GroupRules.groupByValidation(
-      t(s, dir, "lineitem").withColumn("qty_dec", col("l_quantity").cast("decimal(18,2)")),
-      Seq("l_orderkey"), "qty_dec", "sum", _ <= 150)
-      .withColumn("sum_qty", col("sum_qty_dec").cast("decimal(18,2)"))
-      .drop("sum_qty_dec")
+      t(s, dir, "lineitem").withColumn("qty_cents", cents(col("l_quantity"))),
+      Seq("l_orderkey"), "qty_cents", "sum", _ <= 15000)
 
   private val q15Sql =
-    """SELECT l_orderkey, cast(sum(cast(l_quantity AS decimal(18,2))) AS decimal(18,2)) AS sum_qty
+    """SELECT l_orderkey,
+      |  cast(sum(cast(cast(l_quantity AS decimal(18,2)) * 100 as bigint)) AS bigint) AS sum_qty_cents
       |FROM lineitem GROUP BY l_orderkey
-      |HAVING NOT coalesce(sum(cast(l_quantity AS decimal(18,2))) <= 150, FALSE)""".stripMargin
+      |HAVING NOT coalesce(sum(cast(cast(l_quantity AS decimal(18,2)) * 100 as bigint)) <= 15000, FALSE)""".stripMargin
 
   // ---- q16: uniqueness validation — duplicate groups ----
   private def q16(s: SparkSession, dir: String): DataFrame =
@@ -411,13 +416,18 @@ object Queries {
   // ---- q18: FK distributed-sampling join: broadcast indexed lookup,
   //          row-identity-keyed assignment (DistributedSamplingStrategy) ----
   private def q18(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cust = t(s, dir, "customer").select(col("c_custkey")).distinct()
-    // global row_number on the SMALL (lookup) side only — bounded by design;
-    // the big side gets its index from row identity, never a global window
-    val lookup = cust.withColumn("idx",
-      row_number().over(Window.orderBy(col("c_custkey"))).cast("long") - 1)
     val n = cust.count()
+    // contiguous ordered index on the SMALL (lookup) side only, bounded by
+    // the assert; built with sorted-array + posexplode instead of a global
+    // row_number window — map-side partial collect_list, one tiny merged row,
+    // no single-partition sort of row data (and no WindowExec warning spam).
+    // The big side gets its index from row identity, never a global window.
+    require(n <= 10000000L, s"q18 lookup side unexpectedly large: $n")
+    val lookup = cust
+      .agg(sort_array(collect_list(col("c_custkey"))).as("__ks"))
+      .select(posexplode(col("__ks")).as(Seq("idx", "c_custkey")))
+      .select(col("idx").cast("long").as("idx"), col("c_custkey"))
     t(s, dir, "orders")
       .withColumn("idx", pmod(col("o_orderkey"), lit(n)))
       .join(broadcast(lookup), Seq("idx"))
@@ -637,9 +647,12 @@ object Queries {
       |  SELECT doc_id, ph, b.b AS band,
       |    cast(floor(ph / power(2, b.b * 12)) AS bigint) % 4096 AS seg
       |  FROM ph CROSS JOIN range(0, 4) b(b)),
+      |capped AS (
+      |  SELECT * FROM banded
+      |  QUALIFY count(*) OVER (PARTITION BY band, seg) <= 100000),
       |pairs AS (
       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.ph AS pa, b.ph AS pb
-      |  FROM banded a JOIN banded b ON a.band = b.band AND a.seg = b.seg
+      |  FROM capped a JOIN capped b ON a.band = b.band AND a.seg = b.seg
       |  WHERE a.doc_id < b.doc_id)
       |SELECT a_id, b_id, cast(bit_count(xor(pa, pb)) AS int) AS dist
       |FROM pairs WHERE bit_count(xor(pa, pb)) <= 3""".stripMargin

@@ -33,6 +33,10 @@ final case class ImageRow(
   */
 object SyntheticImages {
 
+  /** Generator version — BUMP on any change to row content/derivation so
+    * disk caches keyed on it (Bench's /tmp corpus) invalidate themselves. */
+  val Version = 2
+
   val formats = Seq("png", "jpeg", "bmp", "webp")
 
   private val wordlists: Map[String, Array[String]] = Map(

@@ -1,15 +1,15 @@
 package graft.generator
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Foreign-key relationship maintenance, recast from the reference's FK
   * processor (`core/foreignkey/ForeignKeyProcessor.scala:42-145`):
   *  - [[assignKeys]]: the distributed-sampling strategy — index the distinct
-  *    source keys (row_number on the SMALL lookup side only), give every
+  *    source keys (sorted-array posexplode on the SMALL lookup side only;
+  *    the reference uses a single-partition row_number window there,
+  *    `strategy/DistributedSamplingStrategy.scala:34-119`), give every
   *    target row a deterministic index from its own identity, broadcast-join
-  *    (`strategy/DistributedSamplingStrategy.scala:34-119`)
   *  - [[insertOrder]] / [[deleteOrder]]: topological order over the FK graph
   *    (`util/InsertOrderCalculator.scala`) — driver-side, no Spark op
   */
@@ -26,14 +26,28 @@ object ForeignKeys {
       targetCol: String,
       source: DataFrame,
       sourceCol: String,
-      seed: Long = 42L): DataFrame = {
-    val keys = source.select(col(sourceCol)).distinct()
-    // global row_number on the lookup side only: bounded by the distinct key
-    // count, the reference does the same (single-partition hazard noted in
-    // SURVEY §4 — acceptable on the SMALL side, never on the fact side)
-    val lookup = keys.withColumn("__idx",
-      row_number().over(Window.orderBy(col(sourceCol))).cast("long") - 1)
-    val n = lookup.count()
+      seed: Long = 42L,
+      maxLookup: Long = 50000000L): DataFrame = {
+    // null keys are never assignable FK values; dropping them up front also
+    // keeps `n` consistent with the lookup (collect_list skips nulls)
+    val keys = source.select(col(sourceCol)).where(col(sourceCol).isNotNull).distinct()
+    // contiguous ordered index on the lookup side only: bounded by the
+    // distinct key count (asserted below — a fact-sized "lookup" must fail
+    // fast, not silently sort terabytes on one node). sorted-array +
+    // posexplode replaces the global row_number window: collect_list does a
+    // map-side partial per partition, the merged array lives in ONE bounded
+    // row, and posexplode re-expands with the 0-based ascending-key index —
+    // identical to row_number()-1 over ORDER BY key (NULLS FIRST both ways).
+    val n = keys.count()
+    require(n > 0, s"assignKeys: source '$sourceCol' has no distinct keys")
+    require(n <= maxLookup,
+      s"assignKeys: lookup side has $n distinct keys > maxLookup=$maxLookup — " +
+        "the index array is single-row by design and only safe on a " +
+        "bounded dimension side; raise maxLookup deliberately if intended")
+    val lookup = keys
+      .agg(sort_array(collect_list(col(sourceCol))).as("__ks"))
+      .select(posexplode(col("__ks")).as(Seq("__idx", sourceCol)))
+      .select(col("__idx").cast("long").as("__idx"), col(sourceCol))
     val renamed = lookup.withColumnRenamed(sourceCol, s"__fk_$targetCol")
     target
       .drop(targetCol) // replaced by the sampled assignment

@@ -84,9 +84,14 @@ object PlanRunner {
       case None => (-1L, -1L)
     }
 
+    // validate against the SAME frame the rules were annotated over (`base`,
+    // i.e. post-quality-filter when enabled): a rule referencing a
+    // pipeline-derived column (lang/ppl/keep) would otherwise annotate and
+    // write the sink fine, then blow up here with AnalysisException AFTER
+    // output was already written
     val validations =
       if (rules.isEmpty) Nil
-      else RuleEngine.validateAllWithSamples(df, rules, plan.errorThreshold, plan.numErrorSamples)
+      else RuleEngine.validateAllWithSamples(base, rules, plan.errorThreshold, plan.numErrorSamples)
 
     PlanOutcome(plan.name, rowsIn, rowsOut, validations, scrubbed)
   }

@@ -174,9 +174,15 @@ object GroupRules {
   /** isIncreasing/isDecreasing (:818-844). The reference orders by
     * MONOTONICALLY_INCREASING_ID() over an unpartitioned window — a
     * single-partition shuffle of the whole dataset (SURVEY §4 anti-pattern).
-    * We require an explicit ordering column and partition keys so the window
-    * stays distributed; violations = rows breaking monotonicity within their
-    * partition group.
+    * Here the window is ALWAYS distributed:
+    *  - with partition keys: one window per group, the natural case;
+    *  - with NO partition keys (the reference's global check): the ordering
+    *    key is range-bucketed by value (one cheap min/max agg → `buckets`
+    *    equal-width ranges), the lag window runs per bucket, and the
+    *    bucket-boundary pairs are checked via a `buckets`-row aggregate
+    *    joined back — no single-partition sort of row data ever happens.
+    *    Requires a numeric/date/timestamp ordering column (anything
+    *    castable to double for bucketing).
     */
   def monotonicityViolations(
       df: DataFrame,
@@ -184,10 +190,8 @@ object GroupRules {
       orderBy: String,
       partitionBy: Seq[String],
       increasing: Boolean = true,
-      strictly: Boolean = false): DataFrame = {
-    val w =
-      if (partitionBy.isEmpty) Window.orderBy(col(orderBy))
-      else Window.partitionBy(partitionBy.map(col): _*).orderBy(col(orderBy))
+      strictly: Boolean = false,
+      buckets: Int = 256): DataFrame = {
     val prev = col("__prev")
     val ok =
       (increasing, strictly) match {
@@ -196,9 +200,47 @@ object GroupRules {
         case (false, true) => col(field) < prev
         case (false, false) => col(field) <= prev
       }
-    // window expr must be projected before the filter (not legal in WHERE)
-    df.withColumn("__prev", lag(col(field), 1).over(w))
-      .where(prev.isNotNull && !ok)
-      .drop("__prev")
+    if (partitionBy.nonEmpty) {
+      val w = Window.partitionBy(partitionBy.map(col): _*).orderBy(col(orderBy))
+      // window expr must be projected before the filter (not legal in WHERE)
+      df.withColumn("__prev", lag(col(field), 1).over(w))
+        .where(prev.isNotNull && !ok)
+        .drop("__prev")
+    } else {
+      val ord = col(orderBy).cast("double")
+      val bounds = df.agg(min(ord).as("lo"), max(ord).as("hi")).head()
+      if (bounds.isNullAt(0)) return df.limit(0)
+      val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
+      // equal-width value buckets over [lo, hi]; ties at bucket edges are
+      // fine — bucketing only needs to respect the global order, and
+      // width_bucket is monotone in its input
+      val bucket =
+        if (lo == hi) lit(1L)
+        else call_function("width_bucket", ord, lit(lo), lit(hi), lit(buckets))
+      val bucketed = df.withColumn("__bkt", bucket)
+      val w = Window.partitionBy(col("__bkt")).orderBy(col(orderBy))
+      val intra = bucketed
+        .withColumn("__prev", lag(col(field), 1).over(w))
+      // in global order, the row preceding bucket b's first row is the last
+      // row (max ordering key) of the previous NON-EMPTY bucket. Compute the
+      // per-bucket last value (hash-agg, `buckets` rows total), then carry it
+      // forward across empty buckets with a running `last` over that tiny
+      // frame — the constant-partition window is explicitly bounded by
+      // `buckets`, never row data.
+      val lasts = bucketed.groupBy(col("__bkt"))
+        .agg(max_by(col(field), col(orderBy)).as("__last"))
+      val wTiny = Window.partitionBy(lit(0)).orderBy(col("__bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val prevOfBucket = lasts
+        .withColumn("__prev", last(col("__last"), ignoreNulls = false).over(wTiny))
+        .select(col("__bkt"), col("__prev"))
+      val boundary = intra.where(prev.isNull).drop("__prev")
+        .join(prevOfBucket, Seq("__bkt"), "left")
+        .where(prev.isNotNull && !ok)
+        .drop("__prev")
+      intra.where(prev.isNotNull && !ok).drop("__prev")
+        .unionByName(boundary)
+        .drop("__bkt")
+    }
   }
 }

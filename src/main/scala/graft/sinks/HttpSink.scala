@@ -25,6 +25,13 @@ object HttpSink {
 
   /** POST each row of `df` as a JSON body to `url`. Returns
     * (rowsPosted, rowsFailed). Blocking call — runs one Spark job.
+    *
+    * The returned counts are ATTEMPT counts, consistent with the
+    * at-least-once contract: a Spark task retry or speculative duplicate
+    * re-posts its partition and counts again, so posted+failed can exceed
+    * `df.count()` under failures. Exact-delivery accounting requires an
+    * idempotency key echoed by the receiver — out of scope here, as in the
+    * reference's HTTP sink.
     */
   def postJson(
       df: DataFrame,

@@ -74,6 +74,27 @@ class RuleEngineSpec extends SparkSuite {
     assert(bad.select("g", "t").as[(Int, Int)].collect().toSeq == Seq((1, 3)))
   }
 
+  test("global monotonicity (no partition keys): distributed bucketed path") {
+    // v = 10*t except dips at t=3 (inside bucket 1) and t=9 (the FIRST row of
+    // bucket 3 under width_bucket(t,1,20,5) — exercises the cross-bucket
+    // boundary join, not just the per-bucket lag window)
+    val d = (1 to 20).map(t => (t, t match {
+      case 3 => 15.0
+      case 9 => 75.0
+      case _ => t * 10.0
+    })).toDF("t", "v")
+    val bad = GroupRules.monotonicityViolations(d, "v", "t", Nil, buckets = 5)
+    assert(bad.select("t").as[Int].collect().sorted.toSeq == Seq(3, 9))
+    // same data, strictly-decreasing → everything except the two dips violates
+    val badDec = GroupRules.monotonicityViolations(
+      d, "v", "t", Nil, increasing = false, strictly = true, buckets = 5)
+    assert(badDec.count() == 17) // 19 successor rows - 2 decreasing steps
+    // degenerate inputs: empty frame and single-valued ordering column
+    assert(GroupRules.monotonicityViolations(d.limit(0), "v", "t", Nil).count() == 0)
+    val flat = Seq((1, 5.0), (1, 3.0)).toDF("t", "v")
+    assert(GroupRules.monotonicityViolations(flat, "v", "t", Nil).count() <= 1)
+  }
+
   test("quantiles + uniqueValuesProportion") {
     val d = (1 to 100).toDF("x")
     val qs = GroupRules.quantiles(d, "x", Seq(0.5))

@@ -8,10 +8,10 @@ import graft.generator._
   * engine's declarative generator: regex account ids, ranged
   * double/date/int fields, an array-of-struct update history, a computed
   * field over the nested array (sort_array head), a computed year, and a
-  * nested customer_details struct. Faker name/city become md5-derived
-  * strings — exactly the substitution the reference's own "fast mode"
-  * benchmark makes (`FastDataGenerator.scala:21-128`), which scores the
-  * same as its faker mode (BASELINE.md).
+  * nested customer_details struct. Faker name/city run through the REAL
+  * template expander ([[graft.generator.TemplateField]] — `#{Name.name}` /
+  * `#{Address.city}`, the reference's faker-expression surface) instead of
+  * the md5 stand-ins earlier rounds used.
   *
   * Usage: SPARK_GRAFT_CPUS=4 RECORD_COUNT=1000000 runMain graft.GenBench
   * Prints one JSON line with seconds + rows/sec.
@@ -28,9 +28,9 @@ object GenBench {
         OneOfField("status", Seq(("open", 1), ("closed", 1), ("pending", 1), ("suspended", 1))))),
       minLen = 1, maxLen = 5),
     StructSpec("customer_details", Seq(
-      AlphaNumField("name", 8, 20),
+      TemplateField("name", "#{Name.name}"),
       IntField("age", 18, 90),
-      AlphaNumField("city", 5, 12))),
+      TemplateField("city", "#{Address.city}"))),
     SqlField("year", "year(date)"),
     SqlField("status", "element_at(sort_array(update_history, false), 1).status"))
 

@@ -617,6 +617,40 @@ object Queries {
        |FROM range(0, 5000) t(i)""".stripMargin
   }
 
+  // ---- q32: faker-expression generation (the reference's
+  //          GENERATE_FAKER_EXPRESSION UDF, DataGeneratorFactory.scala:436-437,
+  //          recast as deterministic lexicon draws — TemplateField) ----
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    import graft.generator._
+    Generator.generate(s, 5000L, Seq(
+      SequentialField("id", "F", 6),
+      TemplateField("owner", "#{Name.name}"),
+      TemplateField("city", "#{Address.city}"),
+      TemplateField("email", "#{Internet.emailAddress}"),
+      TemplateField("note", "from #{Address.city}!")),
+      seed = 13L, uniform = Generator.portableUniform)
+  }
+
+  private val q32Sql = {
+    import graft.generator.Faker
+    def hex4(arg: String) = {
+      def hv(i: Int) =
+        s"(CASE WHEN ascii(substring(md5($arg),$i,1)) <= 57 THEN ascii(substring(md5($arg),$i,1)) - 48 ELSE ascii(substring(md5($arg),$i,1)) - 87 END)"
+      s"(${hv(1)} * 4096 + ${hv(2)} * 256 + ${hv(3)} * 16 + ${hv(4)})"
+    }
+    def u(key: String) = s"(${hex4(s"'13|$key|' || cast(i AS varchar)")} / 65536.0)"
+    def pick(words: Seq[String], key: String) = {
+      val list = words.map(w => s"'$w'").mkString("[", ",", "]")
+      s"($list)[cast(floor(${u(key)} * ${words.size}) AS int) + 1]"
+    }
+    s"""SELECT 'F' || lpad(cast(i AS varchar), 6, '0') AS id,
+       |  ${pick(Faker.FirstNames, "owner#t0.f")} || ' ' || ${pick(Faker.LastNames, "owner#t0.l")} AS owner,
+       |  ${pick(Faker.Cities, "city#t0.c")} AS city,
+       |  lower(${pick(Faker.FirstNames, "email#t0.f")}) || '.' || lower(${pick(Faker.LastNames, "email#t0.l")}) || '@' || ${pick(Faker.Domains, "email#t0.d")} AS email,
+       |  'from ' || ${pick(Faker.Cities, "note#t1.c")} || '!' AS note
+       |FROM range(0, 5000) t(i)""".stripMargin
+  }
+
   // ---- q28: phash near-dup pairs (banded hamming join — north rule's
   //          "duplicate phash clusters"). The synthetic 48-bit phash derives
   //          from doc_id with pure int64 arithmetic (exact in both engines):
@@ -744,6 +778,7 @@ object Queries {
     "q29_theta_join" -> (q29 _),
     "q30_top_tokens" -> (q30 _),
     "q31_connected_components" -> (q31 _),
+    "q32_faker_template" -> (q32 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -778,5 +813,6 @@ object Queries {
     "q29_theta_join" -> q29Sql,
     "q30_top_tokens" -> q30Sql,
     "q31_connected_components" -> q31Sql,
+    "q32_faker_template" -> q32Sql,
   )
 }

@@ -100,6 +100,27 @@ final case class AlphaNumField(name: String, minLen: Int, maxLen: Int) extends F
   }
 }
 
+/** Faker-expression field ([[Faker]] — the reference's
+  * `GENERATE_FAKER_EXPRESSION`, `DataGeneratorFactory.scala:436-437`):
+  * `TemplateField("owner", "#{Name.name} from #{Address.city}")`. Each
+  * directive occurrence is keyed by its token position
+  * (`field#t<i>.<sub>`), so `"#{Name.firstName} #{Name.firstName}"` draws
+  * two INDEPENDENT names — datafaker semantics.
+  */
+final case class TemplateField(name: String, template: String) extends FieldSpec {
+  private val tokens = Faker.parse(template) // fail fast on bad templates
+  def toColumn(u: Column, idx: Column, seed: Long): Column =
+    throw new UnsupportedOperationException("TemplateField uses toColumnWith")
+  override def toColumnWith(uniform: (String, Long, Column) => Column, seed: Long, idx: Column): Column = {
+    val cols = tokens.zipWithIndex.map {
+      case (Faker.Lit(s), _) => lit(s)
+      case (Faker.Directive(k), i) =>
+        Faker.directiveColumn(k, sub => uniform(s"$name#t$i.$sub", seed, idx))
+    }
+    if (cols.size == 1) cols.head else concat(cols: _*)
+  }
+}
+
 /** Date in [start, start+days). */
 final case class DateField(name: String, start: String, days: Int) extends FieldSpec {
   def toColumn(u: Column, idx: Column, seed: Long): Column =

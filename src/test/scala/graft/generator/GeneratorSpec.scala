@@ -50,6 +50,48 @@ class GeneratorSpec extends SparkSuite {
     assert(a.sameElements(b))
   }
 
+  test("faker templates: every supported directive compiles and draws from its lexicon") {
+    val fields = Faker.supportedKeys.zipWithIndex.map { case (k, i) =>
+      TemplateField(s"f$i", s"#{$k}")
+    }
+    val df = Generator.generate(spark, 500L, fields, seed = 5L).cache()
+    assert(df.where(fields.map(f => col(f.name).isNull || length(col(f.name)) === 0)
+      .reduce(_ || _)).count() == 0)
+    // spot semantic checks
+    val row = df.select(
+      col(s"f${Faker.supportedKeys.indexOf("name.firstname")}"),
+      col(s"f${Faker.supportedKeys.indexOf("internet.emailaddress")}"),
+      col(s"f${Faker.supportedKeys.indexOf("finance.creditcard")}")).head()
+    assert(Faker.FirstNames.contains(row.getString(0)))
+    assert(row.getString(1).matches("[a-z]+\\.[a-z]+@[a-z.]+"))
+    assert(row.getString(2).matches("[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}"))
+    df.unpersist()
+  }
+
+  test("faker templates: repeated directives draw independently; literals pass through") {
+    val df = Generator.generate(spark, 2000L,
+      Seq(TemplateField("pair", "#{Name.firstName}|#{Name.firstName}")), seed = 6L)
+    val parts = df.select(split(col("pair"), "\\|").as("p"))
+    // if the two draws aliased, every row would have p[0] == p[1]
+    val differing = parts.where(col("p")(0) =!= col("p")(1)).count()
+    assert(differing > 1500, s"only $differing/2000 rows differ — draws are aliased")
+    val lit2 = Generator.generate(spark, 10L,
+      Seq(TemplateField("t", "hello #{Address.city}, bye")), seed = 7L)
+    assert(lit2.where(!col("t").rlike("^hello .*, bye$")).count() == 0)
+  }
+
+  test("faker templates: deterministic and parallelism-invariant; bad templates rejected") {
+    val s1 = Generator.generate(spark, 1000L,
+      Seq(TemplateField("x", "#{Company.name}")), seed = 8L, partitions = 3)
+      .collect().map(_.getString(0)).sorted
+    val s2 = Generator.generate(spark, 1000L,
+      Seq(TemplateField("x", "#{Company.name}")), seed = 8L, partitions = 13)
+      .collect().map(_.getString(0)).sorted
+    assert(s1.sameElements(s2))
+    intercept[IllegalArgumentException](TemplateField("x", "#{Bogus.key}"))
+    intercept[IllegalArgumentException](TemplateField("x", "no directives"))
+  }
+
   test("null probability applied") {
     val df = Generator.generate(spark, 10000L, specs, seed = 4L,
       nullProb = Map("qty" -> 0.2))

@@ -323,19 +323,26 @@ object Dedup {
   /** Connected components over an undirected candidate-pair edge list
     * (a_id, b_id) → (id, label) with label = smallest id in the component —
     * turns near-dup PAIRS into dedup CLUSTERS (survivor = the label).
-    * Iterative min-label propagation: O(component diameter) rounds, each one
-    * hash-join + hash-agg; near-dup clusters are shallow (dominated by
-    * star/clique shapes), so rounds stay small. For adversarial
-    * billion-edge graphs swap the step for large-star/small-star (O(log n)
-    * rounds) — the loop/convergence structure here is identical.
+    *
+    * Iterative min-label propagation PLUS label pointer-jumping: each round
+    * takes the min over (own label, neighbor labels, label-of-label). The
+    * neighbor step alone is O(component diameter) rounds — fine for the
+    * shallow star/clique shapes near-dup clusters form, fatal for deep
+    * chains; the label-of-label shortcut roughly doubles the propagation
+    * distance per round (the pointer-doubling idea behind
+    * large-star/small-star and hash-to-min), giving O(log d) rounds on deep
+    * chains (spec: a 1000-edge path converges in <= 12 rounds where plain
+    * min-label needs 1000). The shortcut join is skipped for the first two
+    * rounds, where label == id (round 0) and label-of-label == label for
+    * shallow graphs — so star/clique workloads pay nothing extra.
     *
     * The result is locally checkpointed (materialized, lineage truncated) —
     * it never replays the loop, and its blocks are released when the frame
     * is garbage-collected; no caller-side unpersist contract. Throws
     * IllegalStateException if maxIter rounds don't reach the fixpoint
-    * (component diameter > maxIter) rather than returning wrong labels.
+    * rather than returning wrong labels.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
     val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
       .persist()
@@ -347,17 +354,32 @@ object Dedup {
       val neighborMin = sym
         .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("dlabel")).as("nlabel"))
-      // change detection rides the SAME materialization via observe() —
-      // a separate join-with-old-labels job per iteration doubled the cost
-      val obs = org.apache.spark.sql.Observation()
-      val updated = labels
+      val withNb = labels
         .join(neighborMin.select(col("src").as("id"), col("nlabel")), Seq("id"), "left")
         .select(col("id"), col("label").as("__old"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // pointer jump: label := min(label, label(label)). Invariant-safe —
+      // a label is always a node of the same component, so its label is too;
+      // mins only ever decrease toward the component minimum.
+      val jumped =
+        if (i < 2) withNb
+        else withNb
+          .join(labels.select(col("id").as("__lid"), col("label").as("__llabel")),
+            col("label") === col("__lid"), "left")
+          .select(col("id"), col("__old"),
+            least(col("label"), coalesce(col("__llabel"), col("label"))).as("label"))
+      // change detection rides the SAME materialization via observe() —
+      // a separate join-with-old-labels job per iteration doubled the cost.
+      // localCheckpoint (eager) both materializes and TRUNCATES LINEAGE:
+      // each round references `labels` three times (neighbor join, own row,
+      // jump join), so an un-truncated logical plan grows 3^rounds — at
+      // round 12 that is ~500k tree nodes and Catalyst's recursive plan
+      // walk stack-overflows. Checkpointing keeps the plan O(1) per round.
+      val obs = org.apache.spark.sql.Observation()
+      val updated = jumped
         .observe(obs, count_if(col("label") =!= col("__old")).as("changed"))
         .drop("__old")
-        .persist()
-      updated.count() // materialize (also fires the observation)
+        .localCheckpoint(true)
       val changed = obs.get("changed").asInstanceOf[Long]
       labels.unpersist()
       labels = updated
@@ -371,8 +393,7 @@ object Dedup {
       labels.unpersist()
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter iterations " +
-          "(component diameter exceeds maxIter); raise maxIter or switch the " +
-          "step to large-star/small-star for deep-chain graphs")
+          "(even with pointer-jumping, ~2^maxIter reach); raise maxIter")
     }
     // hand back a self-cleaning result: localCheckpoint materializes the
     // labels and truncates the iterative lineage, so the loop's cache entry

@@ -124,6 +124,18 @@ class DedupSpec extends SparkSuite {
     assert(ok.forall(_._2 == 1L) && ok.length == 7)
   }
 
+  test("connectedComponents: 1000-edge path converges in <= 12 rounds (pointer jump)") {
+    // worst case for min-label: a deep chain with the min at one end. Plain
+    // neighbor-min propagation needs 1000 rounds; the label-of-label pointer
+    // jump roughly doubles reach per round (r_i = 2*r_{i-1}+1), so maxIter=12
+    // converging AT ALL is the proof the jump works — the loop throws past
+    // maxIter rather than returning partial labels.
+    val path = (0L until 1000L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val labels = Dedup.connectedComponents(path, maxIter = 12)
+      .as[(Long, Long)].collect()
+    assert(labels.length == 1001 && labels.forall(_._2 == 0L))
+  }
+
   test("size-gated newRows: anti-join path above the sketch gate, exact semantics") {
     val previous = (1 to 1000).map(i => s"key$i").toDF("k")
     val current = ((900 to 1100).map(i => s"key$i") :+ null).toDF("k")

@@ -22,8 +22,11 @@ object PlanRunner {
       rowsIn: Long,
       rowsOut: Long,
       validations: Seq[RuleResult],
-      output: DataFrame) {
-    def success: Boolean = validations.forall(_.success)
+      output: DataFrame,
+      /** None = no gate declared; Some(false) = gate exhausted its retries
+        * (plan ran anyway, reference semantics — but callers can see it). */
+      waitMet: Option[Boolean] = None) {
+    def success: Boolean = validations.forall(_.success) && !waitMet.contains(false)
   }
 
   def parseJson(s: String): PlanSpec = {
@@ -49,6 +52,13 @@ object PlanRunner {
   }
 
   def run(spark: SparkSession, plan: PlanSpec): PlanOutcome = {
+    // hold at the gate (upstream file / data / endpoint) BEFORE touching the
+    // source — reading first would race the upstream writer
+    val waitMet = plan.waitFor.map { w =>
+      graft.rules.WaitCondition
+        .fromSpec(w.typ, w.path, w.expr, w.url, w.format, w.pauseMs, w.maxRetries, w.retryIntervalMs)
+        .await(spark)
+    }
     val df = read(spark, plan.source)
     val rules = plan.rules.map(r => Rule(r.name, expr(r.expr)))
 
@@ -93,6 +103,6 @@ object PlanRunner {
       if (rules.isEmpty) Nil
       else RuleEngine.validateAllWithSamples(base, rules, plan.errorThreshold, plan.numErrorSamples)
 
-    PlanOutcome(plan.name, rowsIn, rowsOut, validations, scrubbed)
+    PlanOutcome(plan.name, rowsIn, rowsOut, validations, scrubbed, waitMet)
   }
 }

@@ -24,7 +24,12 @@ final case class PlanSpec(
     numErrorSamples: Int = 5,
     /** Write only keep==true rows to the sink. */
     keepOnly: Boolean = false,
-    sink: Option[SinkSpec] = None)
+    sink: Option[SinkSpec] = None,
+    /** Gate held before the plan executes (reference: `waitCondition` on
+      * `YamlDataSourceValidation`, `ValidationModels.scala:360-401`). On
+      * exhausted retries the plan still runs — reference semantics — but
+      * the outcome records `waitMet = Some(false)`. */
+    waitFor: Option[WaitSpec] = None)
 
 /** Where to read: `format` ∈ parquet|csv|json|orc, or `table` (catalog name
   * in `path` — the Iceberg deployment path, `spark.read.table`). */
@@ -35,6 +40,21 @@ final case class SinkSpec(
     path: String,
     mode: String = "overwrite",
     partitionBy: Seq[String] = Nil)
+
+/** Wait-gate IR: `typ` ∈ pause|fileExists|dataExists|webhook; the other
+  * fields are per-type (pause→pauseMs; fileExists→path; dataExists→
+  * format+path+expr; webhook→url). Compiled by
+  * [[graft.rules.WaitCondition.fromSpec]].
+  */
+final case class WaitSpec(
+    typ: String,
+    path: String = "",
+    expr: String = "true",
+    url: String = "",
+    format: String = "parquet",
+    pauseMs: Long = 0L,
+    maxRetries: Int = 10,
+    retryIntervalMs: Long = 2000L)
 
 /** A named SQL boolean over the source columns (true = row passes) — the
   * expr escape hatch covers the whole per-row vocabulary; builder-made rules

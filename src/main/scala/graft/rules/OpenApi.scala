@@ -1,0 +1,119 @@
+package graft.rules
+
+import graft.generator.FieldSpec
+import org.json4s._
+
+/** OpenAPI importer — the reference's http metadata source
+  * (`core/generator/metadata/datasource/http/OpenAPIConverter.scala`
+  * ~300 LoC over swagger-parser) turns an OpenAPI document into one
+  * generation task per (path, method): URL with path/query params spliced
+  * in, the method, and the request-body schema as typed fields. Re-expressed
+  * over the same json4s walk as [[JsonSchema]] (no swagger-parser in the
+  * sandbox — the subset real reference plans use is the 3.x document shape
+  * itself):
+  *
+  *  - request-body `application/json` schema → [[JsonSchema.toFieldSpecs]]
+  *    (nested structs/arrays/enums/formats all apply) + validation rules;
+  *  - path/query parameters → fields named `pathParam{name}` /
+  *    `queryParam{name}` (the reference's naming, `OpenAPIConverter.scala`
+  *    getPathParams/getQueryParams), generated from their schemas;
+  *  - the server URL with `{var}` defaults substituted + the method, as
+  *    constants per operation.
+  *
+  * `components/schemas` refs resolve through the shared resolver.
+  */
+object OpenApi {
+
+  final case class Operation(
+      path: String,
+      method: String,
+      url: String,
+      /** Request-body fields (empty for body-less operations). */
+      bodyFields: Seq[FieldSpec],
+      /** Validation rules for the request body. */
+      bodyRules: Seq[Rule],
+      /** Path/query parameter fields, reference-style names. */
+      paramFields: Seq[FieldSpec])
+
+  def parse(text: String): Seq[Operation] = {
+    val json =
+      if (text.trim.startsWith("{")) text
+      else graft.plan.PlanRunner.yamlToJson(text)
+    val root = org.json4s.jackson.JsonMethods.parse(json)
+    val serverUrl = (root \ "servers") match {
+      case JArray(s :: _) =>
+        val base = (s \ "url") match { case JString(u) => u; case _ => "" }
+        (s \ "variables") match {
+          case JObject(vars) =>
+            vars.foldLeft(base) { case (u, (name, v)) =>
+              (v \ "default") match {
+                case JString(d) => u.replace(s"{$name}", d)
+                case _ => u
+              }
+            }
+          case _ => base
+        }
+      case _ => ""
+    }
+    val paths = (root \ "paths") match { case JObject(fs) => fs; case _ => Nil }
+    paths.flatMap { case (path, item) =>
+      val methods = item match { case JObject(fs) => fs; case _ => Nil }
+      methods.collect {
+        case (m, op) if Set("get", "post", "put", "delete", "patch", "head").contains(m.toLowerCase) =>
+          operation(root, serverUrl, path, m.toUpperCase, op)
+      }
+    }
+  }
+
+  private def operation(root: JValue, serverUrl: String, path: String,
+      method: String, op: JValue): Operation = {
+    // request body: first content type's schema, resolved against the doc
+    val bodySchema = (op \ "requestBody" \ "content") match {
+      case JObject((_, media) :: _) => Some(media \ "schema")
+      case _ => None
+    }
+    // JsonSchema resolves $ref against the ROOT it is given — hand it the
+    // whole OpenAPI doc so #/components/schemas/... pointers work, with the
+    // operation's schema grafted as the entry point
+    val (bodyFields, bodyRules) = bodySchema match {
+      case Some(schema) =>
+        val p = graftedRoot(root, schema)
+        (JsonSchema.toFieldSpecs(p), JsonSchema.toRules(p))
+      case None => (Nil, Nil)
+    }
+    val params = (op \ "parameters") match { case JArray(ps) => ps; case _ => Nil }
+    val paramFields = params.flatMap { prm =>
+      val name = (prm \ "name") match { case JString(n) => n; case _ => "" }
+      val in = (prm \ "in") match { case JString(i) => i; case _ => "" }
+      val prefix = in match {
+        case "path" => Some("pathParam")
+        case "query" => Some("queryParam")
+        case _ => None // headers/cookies out of scope, as in the reference's core path
+      }
+      prefix.map { pre =>
+        jsonSchemaField(root, pre + name, prm \ "schema")
+      }
+    }
+    Operation(path, method, serverUrl + path, bodyFields, bodyRules, paramFields)
+  }
+
+  /** A Parsed whose walk starts at `entry` but whose `$ref`s resolve
+    * against the full document: entry's fields are merged over a shell that
+    * keeps `components` visible.
+    */
+  private def graftedRoot(root: JValue, entry: JValue): JsonSchema.Parsed = {
+    val components = root \ "components" match {
+      case JNothing => JObject(Nil)
+      case c => JObject(List("components" -> c))
+    }
+    JsonSchema.Parsed(components merge entry)
+  }
+
+  private def jsonSchemaField(root: JValue, name: String, schema: JValue): FieldSpec = {
+    // wrap the param schema as a one-property object and reuse the walker
+    val wrapped = JObject(List(
+      "type" -> JString("object"),
+      "properties" -> JObject(List(name -> schema))))
+    JsonSchema.toFieldSpecs(graftedRoot(root, wrapped)).head
+  }
+}

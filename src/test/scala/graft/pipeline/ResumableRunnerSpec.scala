@@ -65,6 +65,28 @@ class ResumableRunnerSpec extends SparkSuite {
     assert(in1 == 1500L && in1 == in2 && out1 == out2)
   }
 
+  test("resume path partition-prunes: each bucket reads only its own staged files") {
+    val out = Files.createTempDirectory("graft_prune").toString
+    val corpus = SyntheticImages.generate(spark, 800L, seed = 3L, partitions = 4)
+    val runner = new ResumableRunner(spark, out, numBuckets = 4)
+    // crash after 1 bucket: staging is laid out partitionBy(bucket)
+    assert(runner.run(corpus, "runP", failAfter = 1) == 1)
+    val staging = s"$out/_resume_staging"
+    // physical proof the per-bucket read is pruned: exactly ONE of the four
+    // bucket directories survives planning (the raw-input shape re-scanned
+    // everything per bucket — O(remaining × full input) after a crash)
+    val scanned = runner.bucketSlice(staging, 2).toDF()
+      .queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      }
+    assert(scanned.nonEmpty && scanned.forall(_ == 1), scanned.toString)
+    // resume completes from the staged layout, and cleans it up
+    assert(new ResumableRunner(spark, out, numBuckets = 4).run(corpus, "runP") == 3)
+    assert(spark.read.parquet(s"$out/data").select("image_id").distinct().count() == 800L)
+    assert(!Files.exists(java.nio.file.Paths.get(staging)))
+  }
+
   test("partition metrics agree with direct counts") {
     val corpus = SyntheticImages.generate(spark, 2000L, seed = 11L, partitions = 5)
     val annotated = QualityFilter.run(spark, corpus).cache()

@@ -1,0 +1,175 @@
+package graft.plan
+
+import graft.generator._
+import graft.rules.{Rule, RuleEngine, RuleResult}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multi-task plan IR — the reference's full plan experience
+  * (`core/parser/PlanParser.scala` ~329 LoC + `PlanProcessor`): several
+  * generation tasks, FK relationships between them, and validations, all in
+  * ONE YAML. [[PlanSpec]] covers the single-step filter plan; this covers
+  * the generate-a-relational-schema side:
+  *
+  *  - `tasks`: each generates `count` rows from typed field definitions
+  *    (the full [[FieldSpec]] vocabulary by name);
+  *  - `relationships`: `child.col → parent.col` foreign keys, executed in
+  *    Kahn insert order ([[ForeignKeys.insertOrder]]) with the
+  *    broadcast-sampling join ([[ForeignKeys.assignKeys]] — the big side
+  *    never shuffles); a `ratio` makes the child count cardinality-driven
+  *    ([[ForeignKeys.adjustCounts]]: child = parent × ratio, compounding
+  *    along chains, overriding the declared count — reference's
+  *    CardinalityCountAdjustmentProcessor);
+  *  - `validations`: per-dataset rule sets evaluated in one projection
+  *    each ([[RuleEngine]]).
+  */
+final case class MultiPlanSpec(
+    name: String,
+    seed: Long = 42L,
+    tasks: Seq[TaskDef],
+    relationships: Seq[RelationshipDef] = Nil,
+    validations: Seq[ValidationDef] = Nil)
+
+final case class TaskDef(
+    name: String,
+    count: Long,
+    fields: Seq[FieldDef],
+    sink: Option[SinkSpec] = None)
+
+/** `from` = child `"table.column"`, `to` = parent `"table.column"`;
+  * `ratio` = children per parent (optional cardinality). */
+final case class RelationshipDef(from: String, to: String, ratio: Option[Double] = None) {
+  private def split(s: String): (String, String) = s.split('.') match {
+    case Array(t, c) => (t, c)
+    case _ => throw new IllegalArgumentException(s"relationship endpoint '$s' is not table.column")
+  }
+  def childTable: String = split(from)._1
+  def childCol: String = split(from)._2
+  def parentTable: String = split(to)._1
+  def parentCol: String = split(to)._2
+}
+
+final case class ValidationDef(
+    dataset: String,
+    rules: Seq[RuleSpec],
+    errorThreshold: Double = 0.0)
+
+/** One field of a task, dispatched on `type` to the [[FieldSpec]] ADT.
+  * Types: int, double, exponential, oneOf, sequential, alphanum, regex,
+  * template, date, timestamp, sql, boolean.
+  */
+final case class FieldDef(
+    name: String,
+    `type`: String = "alphanum",
+    lo: Option[Double] = None,
+    hi: Option[Double] = None,
+    prefix: Option[String] = None,
+    pad: Option[Int] = None,
+    pattern: Option[String] = None,
+    template: Option[String] = None,
+    values: Option[Seq[String]] = None,
+    sql: Option[String] = None,
+    start: Option[String] = None,
+    days: Option[Int] = None,
+    rate: Option[Double] = None,
+    minLen: Option[Int] = None,
+    maxLen: Option[Int] = None) {
+
+  def toSpec: FieldSpec = `type`.toLowerCase match {
+    case "int" | "integer" => IntField(name, lo.getOrElse(0.0).toLong, hi.getOrElse(1000000.0).toLong)
+    case "double" | "number" => DoubleField(name, lo.getOrElse(0.0), hi.getOrElse(1.0))
+    case "exponential" => ExponentialField(name, rate.getOrElse(1.0))
+    case "oneof" | "enum" =>
+      val vs = values.getOrElse(throw new IllegalArgumentException(s"$name: oneOf needs values"))
+      OneOfField(name, vs.map(v => (v, 1.0 / vs.size)))
+    case "sequential" => SequentialField(name, prefix.getOrElse(""), pad.getOrElse(10))
+    case "regex" => RegexField(name,
+      pattern.getOrElse(throw new IllegalArgumentException(s"$name: regex needs pattern")))
+    case "template" | "faker" => TemplateField(name,
+      template.getOrElse(throw new IllegalArgumentException(s"$name: template needs template")))
+    case "date" => DateField(name, start.getOrElse("2022-01-01"), days.getOrElse(365))
+    case "timestamp" => TimestampField(name, start.getOrElse("2022-01-01 00:00:00"),
+      days.map(_ * 86400L).getOrElse(365L * 86400))
+    case "sql" | "computed" => SqlField(name,
+      sql.getOrElse(throw new IllegalArgumentException(s"$name: sql needs sql")))
+    case "boolean" => OneOfField(name, Seq(("true", 0.5), ("false", 0.5)))
+    case "alphanum" | "string" =>
+      AlphaNumField(name, minLen.getOrElse(5), maxLen.getOrElse(math.max(5, minLen.getOrElse(5))))
+    case other => throw new IllegalArgumentException(s"$name: unknown field type '$other'")
+  }
+}
+
+object MultiPlanRunner {
+
+  final case class MultiPlanOutcome(
+      plan: String,
+      insertOrder: Seq[String],
+      /** Final per-task row counts (after cardinality adjustment). */
+      counts: Map[String, Long],
+      frames: Map[String, DataFrame],
+      validations: Map[String, Seq[RuleResult]]) {
+    def success: Boolean = validations.values.flatten.forall(_.success)
+  }
+
+  def parseYaml(text: String): MultiPlanSpec = parseJson(PlanRunner.yamlToJson(text))
+
+  def parseJson(text: String): MultiPlanSpec = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val formats: Formats = DefaultFormats
+    JsonMethods.parse(text).extract[MultiPlanSpec]
+  }
+
+  /** Internal per-row identity for deterministic FK sampling: unique by
+    * construction, dropped before the frames are returned/written. */
+  private val RowId = "__graft_rid"
+
+  def run(spark: SparkSession, plan: MultiPlanSpec): MultiPlanOutcome = {
+    val taskByName = plan.tasks.map(t => t.name -> t).toMap
+    plan.relationships.foreach { r =>
+      require(taskByName.contains(r.childTable) && taskByName.contains(r.parentTable),
+        s"relationship ${r.from} -> ${r.to} references an undeclared task")
+    }
+    val edges = plan.relationships.map(r => r.parentTable -> r.childTable)
+    val order = ForeignKeys.insertOrder(plan.tasks.map(_.name), edges)
+    val counts = ForeignKeys.adjustCounts(
+      plan.tasks.map(t => t.name -> t.count).toMap,
+      plan.relationships.collect {
+        case r if r.ratio.isDefined => (r.parentTable, r.childTable, r.ratio.get)
+      })
+
+    // generate parents before children so every FK samples from a frame
+    // that already exists; one extra sequential field is the row identity
+    val frames = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
+    order.foreach { name =>
+      val task = taskByName(name)
+      val specs = task.fields.map(_.toSpec) :+ SequentialField(RowId, name + ":", 12)
+      var df = Generator.generate(spark, counts(name), specs,
+        seed = plan.seed ^ name.hashCode.toLong)
+      plan.relationships.filter(_.childTable == name).foreach { r =>
+        df = ForeignKeys.assignKeys(
+          df, RowId, r.childCol, frames(r.parentTable), r.parentCol,
+          seed = plan.seed)
+      }
+      frames(name) = df.drop(RowId)
+    }
+
+    // sinks, in insert order (FK-safe for a consuming system)
+    order.foreach { name =>
+      taskByName(name).sink.foreach { s =>
+        val w = frames(name).write.mode(s.mode).format(s.format)
+        val pw = if (s.partitionBy.nonEmpty) w.partitionBy(s.partitionBy: _*) else w
+        pw.save(s.path)
+      }
+    }
+
+    val validations = plan.validations.map { v =>
+      val df = frames.getOrElse(v.dataset,
+        throw new IllegalArgumentException(s"validation references unknown dataset '${v.dataset}'"))
+      val rules = v.rules.map(r => Rule(r.name, expr(r.expr)))
+      v.dataset -> RuleEngine.validateAllWithSamples(df, rules, v.errorThreshold)
+    }.toMap
+
+    MultiPlanOutcome(plan.name, order, counts, frames.toMap, validations)
+  }
+}

@@ -1,0 +1,157 @@
+package graft.plan
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Adapter for the reference's NATIVE plan/task YAML layout
+  * (`core/parser/PlanParser.scala` + `api/.../PlanModels.scala:9-125`):
+  * a plan file lists task summaries (`tasks: [{name, dataSourceName,
+  * enabled}]`) plus `sinkOptions.foreignKeys`, and each task FILE holds
+  * `steps` with `count.records` / `count.perField`, `options.path`, and
+  * `fields` whose generators hide in an `options` map (`regex`, `oneOf`,
+  * `min`/`max`, `isUnique`, `expression`, `sql`, `static`).
+  *
+  * This translates that layout verbatim into [[MultiPlanSpec]] — so a
+  * data-caterer user's existing YAML runs on this engine unchanged:
+  *
+  *  - each enabled task summary resolves its task file; each STEP becomes
+  *    one generation task named after the step;
+  *  - `sinkOptions.foreignKeys` (source → generate relations addressed by
+  *    (dataSource, step, fields)) become [[RelationshipDef]]s;
+  *  - a child step's `count.perField` on the FK fields becomes the
+  *    relationship's cardinality ratio (reference semantics: per parent
+  *    value, that many child rows — `CardinalityCountAdjustmentProcessor`);
+  *  - `options.path` + step `type` become the sink.
+  *
+  * Narrowings (documented): multi-field FKs key on their first field
+  * (assignKeys is single-column); `validations:` name references resolve
+  * only when a validation YAML is supplied to [[PlanRunner]] separately.
+  */
+object LegacyPlan {
+
+  private implicit val formats: Formats = DefaultFormats
+
+  private def toJson(text: String): JValue =
+    JsonMethods.parse(
+      if (text.trim.startsWith("{")) text else PlanRunner.yamlToJson(text))
+
+  private def str(j: JValue): Option[String] = j match {
+    case JString(s) => Some(s); case JInt(i) => Some(i.toString)
+    case JDouble(d) => Some(d.toString); case JBool(b) => Some(b.toString)
+    case _ => None
+  }
+  private def dbl(j: JValue): Option[Double] = j match {
+    case JInt(i) => Some(i.toDouble); case JDouble(d) => Some(d)
+    case JDecimal(d) => Some(d.toDouble); case JLong(l) => Some(l.toDouble)
+    case JString(s) => s.toDoubleOption; case _ => None
+  }
+  private def arr(j: JValue): Seq[JValue] = j match { case JArray(a) => a; case _ => Nil }
+
+  /** One reference field → a [[FieldDef]]. Generator hints live in the
+    * `options` map (`api/.../PlanModels.scala:118-125`).
+    */
+  private def field(j: JValue): FieldDef = {
+    val name = str(j \ "name").getOrElse(throw new IllegalArgumentException("field without name"))
+    val typ = str(j \ "type").getOrElse("string").toLowerCase
+    val o = j \ "options"
+    val static = str(j \ "static")
+    def opt(k: String) = o \ k match { case JNothing => None; case v => Some(v) }
+
+    static match {
+      // static value = a literal column (the reference emits lit(static))
+      case Some(v) => FieldDef(name, "sql", sql = Some(s"'${v.replace("'", "''")}'"))
+      case None =>
+        if (opt("sql").isDefined)
+          FieldDef(name, "sql", sql = str(o \ "sql"))
+        else if (opt("expression").isDefined) // faker expression
+          FieldDef(name, "template", template = str(o \ "expression"))
+        else if (opt("regex").isDefined)
+          FieldDef(name, "regex", pattern = str(o \ "regex"))
+        else if (opt("oneOf").isDefined)
+          FieldDef(name, "oneOf", values = Some(arr(o \ "oneOf").flatMap(str)))
+        else if (str(o \ "isUnique").contains("true"))
+          FieldDef(name, "sequential", prefix = Some(name.take(1).toUpperCase), pad = Some(10))
+        else typ match {
+          case "integer" | "int" | "long" =>
+            FieldDef(name, "int", lo = dbl(o \ "min").orElse(Some(0.0)),
+              hi = dbl(o \ "max").orElse(Some(1000000.0)))
+          case "double" | "float" | "decimal" =>
+            FieldDef(name, "double", lo = dbl(o \ "min").orElse(Some(0.0)),
+              hi = dbl(o \ "max").orElse(Some(1000.0)))
+          case "timestamp" => FieldDef(name, "timestamp")
+          case "date" => FieldDef(name, "date")
+          case "boolean" => FieldDef(name, "boolean")
+          case _ =>
+            FieldDef(name, "alphanum",
+              minLen = dbl(o \ "minLen").map(_.toInt),
+              maxLen = dbl(o \ "maxLen").map(_.toInt))
+        }
+    }
+  }
+
+  private final case class StepInfo(
+      task: TaskDef,
+      /** (fieldNames, perFieldCount) when count.perField is declared. */
+      perField: Option[(Seq[String], Double)])
+
+  /** One reference task FILE → its steps as generation tasks. */
+  def parseTaskFile(text: String): Seq[TaskDef] = parseSteps(text).map(_.task)
+
+  private def parseSteps(text: String): Seq[StepInfo] = {
+    val j = toJson(text)
+    arr(j \ "steps")
+      .filter(s => str(s \ "enabled").forall(_ != "false"))
+      .map { s =>
+        val name = str(s \ "name").getOrElse("step")
+        val records = dbl(s \ "count" \ "records").map(_.toLong).getOrElse(1000L)
+        val perField = (s \ "count" \ "perField") match {
+          case JNothing => None
+          case pf => Some((
+            arr(pf \ "fieldNames").flatMap(str),
+            dbl(pf \ "count").getOrElse(1.0)))
+        }
+        val sink = str(s \ "options" \ "path").map { p =>
+          SinkSpec(format = str(s \ "type").filter(t =>
+            Set("parquet", "csv", "json", "orc").contains(t)).getOrElse("parquet"), path = p)
+        }
+        val fields = arr(s \ "fields").map(field)
+        StepInfo(TaskDef(name, records, fields, sink), perField)
+      }
+  }
+
+  /** The reference plan file + its task files → one [[MultiPlanSpec]].
+    * `taskFiles` maps task-summary name → task file text (the reference
+    * resolves them from a task folder; callers read the files).
+    */
+  def parsePlan(planText: String, taskFiles: Map[String, String]): MultiPlanSpec = {
+    val j = toJson(planText)
+    val planName = str(j \ "name").getOrElse("plan")
+    val enabled = arr(j \ "tasks").filter(t => str(t \ "enabled").forall(_ != "false"))
+    val steps: Seq[StepInfo] = enabled.flatMap { t =>
+      val taskName = str(t \ "name").getOrElse(
+        throw new IllegalArgumentException("task summary without name"))
+      val text = taskFiles.getOrElse(taskName,
+        throw new IllegalArgumentException(s"no task file supplied for '$taskName'"))
+      parseSteps(text)
+    }
+    val byStep = steps.map(s => s.task.name -> s).toMap
+
+    val fks = arr(j \ "sinkOptions" \ "foreignKeys").flatMap { fk =>
+      val srcStep = str(fk \ "source" \ "step").getOrElse("")
+      val srcField = arr(fk \ "source" \ "fields").flatMap(str).headOption.getOrElse("")
+      arr(fk \ "generate").map { g =>
+        val childStep = str(g \ "step").getOrElse("")
+        val childField = arr(g \ "fields").flatMap(str).headOption.getOrElse(srcField)
+        // explicit cardinality on the relation wins; else the child step's
+        // count.perField on the FK fields is the reference's ratio spelling
+        val ratio = dbl(fk \ "source" \ "cardinality" \ "ratio")
+          .orElse(byStep.get(childStep).flatMap(_.perField).collect {
+            case (names, n) if names.contains(childField) => n
+          })
+        RelationshipDef(s"$childStep.$childField", s"$srcStep.$srcField", ratio)
+      }
+    }
+    val seed = str(j \ "sinkOptions" \ "seed").flatMap(_.toLongOption).getOrElse(42L)
+    MultiPlanSpec(planName, seed, steps.map(_.task), fks)
+  }
+}

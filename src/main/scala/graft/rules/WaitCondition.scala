@@ -76,12 +76,13 @@ final case class DataExistsWait(
     override val maxRetries: Int = 10,
     override val retryIntervalMs: Long = 2000L) extends WaitCondition {
   def check(spark: SparkSession): Boolean =
+    // a missing/unreadable PATH is the waiting state (the upstream hasn't
+    // written yet) — but once data loads, a bad EXPR must throw, not
+    // masquerade as "gate closed" for the whole retry budget
     scala.util.Try {
-      val df =
-        if (format == "table") spark.read.table(path)
-        else spark.read.format(format).load(path)
-      !df.where(expr).isEmpty
-    }.getOrElse(false) // path not there yet = gate closed, not an error
+      if (format == "table") spark.read.table(path)
+      else spark.read.format(format).load(path)
+    }.toOption.exists(df => !df.where(expr).isEmpty)
 }
 
 /** Open when `url` answers with one of `statusCodes`. Connection errors

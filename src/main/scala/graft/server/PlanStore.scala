@@ -1,0 +1,66 @@
+package graft.server
+
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+
+/** File-backed plan repository — the reference persists submitted plans and
+  * their run history under an install directory
+  * (`core/ui/plan/PlanRepository.scala` ~771 LoC of actor plumbing around
+  * save/get/list/remove + execution records). The storage contract is the
+  * part a headless engine needs; here it is one directory:
+  *
+  *   <dir>/<name>.plan   — the plan text as submitted (JSON or YAML)
+  *   <dir>/_runs.jsonl   — append-only run history, one JSON line per run
+  *
+  * Names are restricted to `[A-Za-z0-9_-]` — the name is a filename, and
+  * anything else would be a path-traversal hole in the REST surface.
+  */
+final class PlanStore(dir: String) {
+
+  private val base: Path = Files.createDirectories(Paths.get(dir))
+  private val runsFile: Path = base.resolve("_runs.jsonl")
+
+  private def validName(name: String): Boolean =
+    name.nonEmpty && name.length <= 128 && name.forall(c =>
+      c.isLetterOrDigit && c <= 'z' || c == '_' || c == '-')
+
+  private def planFile(name: String): Path = {
+    require(validName(name), s"invalid plan name '$name' (use [A-Za-z0-9_-])")
+    base.resolve(s"$name.plan")
+  }
+
+  def save(name: String, text: String): Unit =
+    Files.writeString(planFile(name), text)
+
+  def get(name: String): Option[String] = {
+    val f = planFile(name)
+    if (Files.exists(f)) Some(Files.readString(f)) else None
+  }
+
+  def list(): Seq[String] =
+    Files.list(base).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.endsWith(".plan"))
+      .map(_.stripSuffix(".plan"))
+      .toSeq.sorted
+
+  def remove(name: String): Boolean =
+    Files.deleteIfExists(planFile(name))
+
+  /** Append one run record (caller supplies the timestamp so replays and
+    * tests stay deterministic). */
+  def recordRun(planName: String, runId: String, status: String,
+      epochMs: Long, detail: String = ""): Unit = {
+    def j(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\x00-\\x1f]", " ") + "\""
+    val line = s"""{"plan":${j(planName)},"id":${j(runId)},"status":${j(status)},""" +
+      s""""ts":$epochMs,"detail":${j(detail)}}"""
+    Files.writeString(runsFile, line + "\n",
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  /** Raw history lines, oldest first. */
+  def runs(): Seq[String] =
+    if (!Files.exists(runsFile)) Nil
+    else Files.readAllLines(runsFile).asScala.filter(_.nonEmpty).toSeq
+}

@@ -154,13 +154,17 @@ object LoadPatterns {
       val client = java.net.http.HttpClient.newHttpClient()
       val t0 = System.nanoTime()
       var sent = 0L
+      val horizonSec = cum.length * tickSec
       it.foreach { row =>
-        // wait until the cumulative curve grants this partition its next row
+        // wait until the cumulative curve grants this partition its next
+        // row; past the declared horizon everything is granted — the shape
+        // constrains delivery WITHIN the duration, and rows beyond the
+        // pattern's total budget must still complete (not hang the task)
         var granted = false
         while (!granted) {
           val elapsed = (System.nanoTime() - t0) / 1e9
           val allowed = allowedRows(cum, tickSec, elapsed) / nParts
-          if (sent < allowed) granted = true
+          if (sent < allowed || elapsed >= horizonSec) granted = true
           else Thread.sleep(1L) // 1 ms poll — far below any meaningful tick
         }
         val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))

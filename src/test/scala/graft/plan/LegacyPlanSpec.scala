@@ -1,0 +1,125 @@
+package graft.plan
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Parses the reference's NATIVE plan/task YAML layout (modeled on
+  * `app/src/test/resources/sample/task/file/
+  * parquet-balance-transaction-task.yaml` + its plan) and runs it on this
+  * engine — the switch-without-rewriting-your-YAML contract.
+  */
+class LegacyPlanSpec extends SparkSuite {
+  private val s = graft.SharedSpark.spark
+
+  private def taskYaml(out: String): String =
+    s"""name: "parquet_balance_and_transactions"
+       |steps:
+       |  - name: "balances"
+       |    type: "parquet"
+       |    count:
+       |      records: 400
+       |    options:
+       |      path: "$out/balances"
+       |    fields:
+       |      - name: "account_number"
+       |        options:
+       |          regex: "ACC1[0-9]{5,10}"
+       |          isUnique: true
+       |      - name: "create_time"
+       |        type: "timestamp"
+       |      - name: "account_status"
+       |        type: "string"
+       |        options:
+       |          oneOf:
+       |            - "open"
+       |            - "closed"
+       |            - "suspended"
+       |      - name: "balance"
+       |        type: "double"
+       |        options: {min: 0, max: 10000}
+       |  - name: "transactions"
+       |    type: "parquet"
+       |    count:
+       |      records: 100
+       |      perField:
+       |        fieldNames:
+       |          - "account_number"
+       |        count: 5
+       |    options:
+       |      path: "$out/transactions"
+       |    fields:
+       |      - name: "account_number"
+       |      - name: "txn_id"
+       |        options:
+       |          regex: "txn-[0-9]{10}"
+       |      - name: "amount"
+       |        type: "double"
+       |      - name: "memo"
+       |        static: "batch"
+       |""".stripMargin
+
+  private val planYaml =
+    """name: "balance_transaction_plan"
+      |description: "Create balances then transactions"
+      |tasks:
+      |  - name: "parquet_transactions"
+      |    dataSourceName: "parquet"
+      |    enabled: true
+      |  - name: "disabled_task"
+      |    dataSourceName: "csv"
+      |    enabled: false
+      |sinkOptions:
+      |  seed: "7"
+      |  foreignKeys:
+      |    - source:
+      |        dataSource: "parquet"
+      |        step: "balances"
+      |        fields: [ "account_number" ]
+      |      generate:
+      |        - dataSource: "parquet"
+      |          step: "transactions"
+      |          fields: [ "account_number" ]
+      |""".stripMargin
+
+  test("reference-native plan+task YAML runs unchanged: FK, perField cardinality, sinks") {
+    val out = Files.createTempDirectory("graft_legacy").toString
+    val plan = LegacyPlan.parsePlan(planYaml,
+      Map("parquet_transactions" -> taskYaml(out)))
+
+    assert(plan.name == "balance_transaction_plan" && plan.seed == 7L)
+    assert(plan.tasks.map(_.name) == Seq("balances", "transactions"))
+    // the disabled task never resolved a file; FK picked up the child
+    // step's count.perField as the cardinality ratio
+    assert(plan.relationships ==
+      Seq(RelationshipDef("transactions.account_number", "balances.account_number", Some(5.0))))
+
+    val o = MultiPlanRunner.run(s, plan)
+    assert(o.insertOrder == Seq("balances", "transactions"))
+    // perField ratio drives the child count: 400 parents × 5
+    assert(o.counts("balances") == 400L && o.counts("transactions") == 2000L)
+
+    val balances = s.read.parquet(s"$out/balances")
+    val txns = s.read.parquet(s"$out/transactions")
+    assert(balances.count() == 400 && txns.count() == 2000)
+    // field-option generators made it through: regex, oneOf, bounds, static
+    assert(balances.where(!col("account_number").rlike("^ACC1[0-9]{5,10}$")).isEmpty)
+    assert(balances.where(!col("account_status").isin("open", "closed", "suspended")).isEmpty)
+    assert(balances.where(col("balance") < 0 || col("balance") > 10000).isEmpty)
+    assert(txns.where(col("memo") =!= "batch").isEmpty)
+    assert(txns.where(!col("txn_id").rlike("^txn-[0-9]{10}$")).isEmpty)
+    // referential integrity via the FK sampling join
+    assert(txns.join(balances.select("account_number"), Seq("account_number"), "left_anti").isEmpty)
+    // isUnique honored on the parent key
+    assert(balances.select("account_number").distinct().count() == 400)
+  }
+
+  test("task file alone parses to runnable tasks") {
+    val out = Files.createTempDirectory("graft_legacy2").toString
+    val tasks = LegacyPlan.parseTaskFile(taskYaml(out))
+    assert(tasks.map(_.name) == Seq("balances", "transactions"))
+    assert(tasks.head.sink.exists(_.path == s"$out/balances"))
+    val o = MultiPlanRunner.run(s, MultiPlanSpec("solo", 1L, tasks.take(1)))
+    assert(o.frames("balances").count() == 400)
+  }
+}

@@ -40,4 +40,100 @@ class RestServerSpec extends SparkSuite {
       assert(health.statusCode() == 200 && health.body().contains("ok"))
     } finally srv.stop()
   }
+
+  private def send(port: Int, method: String, path: String, body: String = ""): HttpResponse[String] =
+    HttpClient.newHttpClient().send(
+      HttpRequest.newBuilder(java.net.URI.create(s"http://127.0.0.1:$port$path"))
+        .method(method, if (body.isEmpty) HttpRequest.BodyPublishers.noBody()
+                        else HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("plan repository: save, list, get, run (with history), remove") {
+    val in = Files.createTempDirectory("graft_repo_in").toString
+    Seq((1L, "text one is long enough"), (2L, "x")).toDF("id", "text")
+      .write.mode("overwrite").parquet(in)
+    val repo = Files.createTempDirectory("graft_repo").toString
+    val srv = new RestServer(spark, repoDir = Some(repo)).start()
+    try {
+      val p = srv.boundPort
+      val plan = s"""{"name":"saved1","source":{"path":"$in"},
+                    |"rules":[{"name":"len","expr":"length(text) > 3"}]}""".stripMargin
+      assert(send(p, "PUT", "/plans/myplan", plan).statusCode() == 200)
+      assert(send(p, "GET", "/plans").body() == """["myplan"]""")
+      assert(send(p, "GET", "/plans/myplan").body().contains("saved1"))
+      // run the SAVED plan; history records it
+      val run = send(p, "POST", "/plans/myplan/run")
+      assert(run.statusCode() == 200, run.body())
+      assert(run.body().contains(""""success":false""")) // rule fails on row 2
+      val runs = send(p, "GET", "/runs").body()
+      assert(runs.contains(""""plan":"myplan"""") && runs.contains(""""status":"failed""""))
+      // persistence survives a server restart (same repo dir)
+      srv.stop()
+      val srv2 = new RestServer(spark, repoDir = Some(repo)).start()
+      try {
+        assert(send(srv2.boundPort, "GET", "/plans").body() == """["myplan"]""")
+        assert(send(srv2.boundPort, "DELETE", "/plans/myplan").body().contains("true"))
+        assert(send(srv2.boundPort, "GET", "/plans").body() == "[]")
+        // path traversal is rejected (400 invalid name / 405 extra segment),
+        // never resolved to a write outside the repo
+        assert(send(srv2.boundPort, "PUT", "/plans/..%2Fevil", "x").statusCode() >= 400)
+        assert(!Files.exists(java.nio.file.Paths.get(repo).resolveSibling("evil.plan")))
+        assert(send(srv2.boundPort, "GET", "/plans/missing").statusCode() == 404)
+      } finally srv2.stop()
+    } finally scala.util.Try(srv.stop())
+  }
+
+  test("saved multi-task plan runs via /plans/{name}/run with per-task counts") {
+    val srv = new RestServer(spark).start()
+    try {
+      val p = srv.boundPort
+      val yaml =
+        """name: rel
+          |tasks:
+          |  - {name: parents, count: 30, fields: [{name: pk, type: sequential, prefix: P, pad: 4}]}
+          |  - name: children
+          |    count: 1
+          |    fields:
+          |      - {name: ck, type: sequential, prefix: K, pad: 4}
+          |      - {name: pk, type: alphanum}
+          |relationships:
+          |  - {from: children.pk, to: parents.pk, ratio: 3}
+          |""".stripMargin
+      assert(send(p, "PUT", "/plans/rel", yaml).statusCode() == 200)
+      val run = send(p, "POST", "/plans/rel/run")
+      assert(run.statusCode() == 200, run.body())
+      assert(run.body().contains(""""parents":30""") && run.body().contains(""""children":90"""))
+      assert(send(p, "GET", "/runs").body().contains(""""status":"success""""))
+    } finally srv.stop()
+  }
+
+  test("POST /preview returns bounded samples for both plan dialects") {
+    val srv = new RestServer(spark).start()
+    try {
+      val p = srv.boundPort
+      // multi-task dialect: counts clamped to the sample size, no sinks
+      val multi =
+        """name: big
+          |tasks:
+          |  - name: users
+          |    count: 1000000000
+          |    fields:
+          |      - {name: user_id, type: sequential, prefix: U, pad: 6}
+          |      - {name: name, type: template, template: "#{name.firstName}"}
+          |""".stripMargin
+      val r = post(p, "/preview", multi)
+      assert(r.statusCode() == 200, r.body())
+      assert(r.body().contains(""""dataset":"users""""))
+      assert(r.body().split("user_id").length - 1 <= 11) // ~10 sample rows, not 1e9
+      // filter dialect: source limited, output sampled
+      val in = Files.createTempDirectory("graft_prev_in").toString
+      spark.range(100000).selectExpr("id", "repeat('word ', 10) as text")
+        .write.mode("overwrite").parquet(in)
+      val filt = post(p, "/preview",
+        s"""{"name":"f","source":{"path":"$in"},"rules":[{"name":"r","expr":"id >= 0"}]}""")
+      assert(filt.statusCode() == 200, filt.body())
+      assert(filt.body().contains(""""keep":true"""))
+      assert(post(p, "/preview", "][not-json").statusCode() == 400)
+    } finally srv.stop()
+  }
 }

@@ -70,6 +70,25 @@ class LoadPatternsSpec extends SparkSuite {
     assert(ok.breakingRate.isEmpty && ok.maxSustainedRate == 20.0)
   }
 
+  test("postJsonShaped: rows beyond the pattern's total budget drain after the horizon") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/ingest", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.getRequestBody.readAllBytes(); ex.sendResponseHeaders(200, -1); ex.close()
+    })
+    server.start()
+    try {
+      // 30 rows against a 10-row budget: the 20 extra must complete once the
+      // 1s horizon passes (a pure cumulative-curve wait would hang forever)
+      val df = (1 to 30).toDF("id").repartition(2)
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/ingest"
+      val t0 = System.nanoTime()
+      val (posted, failed) = postJsonShaped(df, url, Constant(10), durationSec = 1.0)
+      assert(posted == 30 && failed == 0)
+      assert((System.nanoTime() - t0) / 1e9 < 20.0)
+    } finally server.stop(0)
+  }
+
   test("postJsonShaped: delivered shape follows a step pattern within tolerance") {
     // in-JVM server records arrival times; 2 windows of 1s at 40/s then 120/s
     val arrivals = new java.util.concurrent.ConcurrentLinkedQueue[Long]()

@@ -154,4 +154,24 @@ object LegacyPlan {
     val seed = str(j \ "sinkOptions" \ "seed").flatMap(_.toLongOption).getOrElse(42L)
     MultiPlanSpec(planName, seed, steps.map(_.task), fks)
   }
+
+  /** Resolve the plan's `validations: [name, ...]` references against a set
+    * of validation-file texts (the reference reads its validation folder;
+    * callers read the files): returns the [[graft.rules.LegacyValidation]]
+    * configs whose `name:` the plan lists, in plan order. Unknown names
+    * throw — a silently-skipped validation is a validation that "passed".
+    */
+  def resolveValidations(planText: String, validationFiles: Seq[String])
+      : Seq[graft.rules.LegacyValidation.SourceValidations] = {
+    val wanted = arr(toJson(planText) \ "validations").flatMap(str)
+    if (wanted.isEmpty) return Nil
+    val byName = validationFiles.map { text =>
+      str(toJson(text) \ "name").getOrElse("") -> text
+    }.toMap
+    wanted.flatMap { name =>
+      val text = byName.getOrElse(name, throw new IllegalArgumentException(
+        s"plan references validation '$name' but no supplied file declares it"))
+      graft.rules.LegacyValidation.parse(text)
+    }
+  }
 }

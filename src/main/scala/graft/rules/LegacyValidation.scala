@@ -1,0 +1,203 @@
+package graft.rules
+
+import org.apache.spark.sql.DataFrame
+import org.json4s._
+
+/** Adapter for the reference's NATIVE validation YAML
+  * (`core/parser/PlanParser.scala` reads a validation folder;
+  * `api/.../ValidationModels.scala` + `ValidationOperations.scala` define
+  * the vocabulary — the full matrix lives in the reference's own
+  * `sample/validation/json/json-validation.yaml`). Shape:
+  *
+  * {{{
+  * name: "json_checks"
+  * dataSources:
+  *   json:
+  *     - options: {path: ...}
+  *       validations:
+  *         - expr: "STARTSWITH(transaction_id, 'txn')"
+  *         - field: amount
+  *           validation:
+  *             - {type: between, min: 1, max: 100, negate: true}
+  *             - {type: meanBetween, min: 1, max: 100}
+  * }}}
+  *
+  * Row-level types compile to [[Rule]]s (ONE projection for all of them,
+  * [[RuleEngine]]); aggregate/dataset-level types compile to named
+  * `DataFrame => Boolean` checks over [[GroupRules]] (each one bounded
+  * aggregate job — never a collect). `negate: true` flips either kind.
+  * A data-caterer user's validation folder runs unchanged via
+  * [[validate]].
+  */
+object LegacyValidation {
+
+  final case class SourceValidations(
+      dataSource: String,
+      options: Map[String, String],
+      rules: Seq[Rule],
+      /** (name, check) dataset-level validations. */
+      datasetChecks: Seq[(String, DataFrame => Boolean)])
+
+  def parse(text: String): Seq[SourceValidations] = {
+    val json = org.json4s.jackson.JsonMethods.parse(
+      if (text.trim.startsWith("{")) text else graft.plan.PlanRunner.yamlToJson(text))
+    (json \ "dataSources") match {
+      case JObject(sources) => sources.flatMap { case (ds, entries) =>
+        arr(entries).map { entry =>
+          val opts = (entry \ "options") match {
+            case JObject(fs) => fs.collect { case (k, JString(v)) => k -> v }.toMap
+            case _ => Map.empty[String, String]
+          }
+          val parsed = arr(entry \ "validations").map(parseValidation)
+          SourceValidations(ds, opts, parsed.flatMap(_._1), parsed.flatMap(_._2))
+        }
+      }
+      case _ => Nil
+    }
+  }
+
+  /** Run every entry against its frame (read from `options.path` +
+    * `format` when `df` isn't supplied): row rules in one projection,
+    * dataset checks one bounded job each.
+    */
+  def validate(df: DataFrame, sv: SourceValidations,
+      threshold: Double = 0.0): Seq[RuleResult] = {
+    val row = if (sv.rules.isEmpty) Nil
+      else RuleEngine.validateAllWithSamples(df, sv.rules, threshold)
+    val ds = sv.datasetChecks.map { case (name, check) =>
+      val ok = check(df)
+      RuleResult(name, 1, if (ok) 0 else 1, ok)
+    }
+    row ++ ds
+  }
+
+  // ---------- per-entry parsing ----------
+
+  private def arr(j: JValue): Seq[JValue] = j match { case JArray(a) => a; case _ => Nil }
+  private def str(j: JValue): Option[String] = j match {
+    case JString(s) => Some(s); case JInt(i) => Some(i.toString)
+    case JDouble(d) => Some(d.toString); case JBool(b) => Some(b.toString); case _ => None
+  }
+  private def dbl(j: JValue): Option[Double] = j match {
+    case JInt(i) => Some(i.toDouble); case JDouble(d) => Some(d)
+    case JDecimal(d) => Some(d.toDouble); case JLong(l) => Some(l.toDouble)
+    case JString(s) => s.toDoubleOption; case _ => None
+  }
+  private def anyVal(j: JValue): Any = j match {
+    case JInt(i) => i.toLong; case JDouble(d) => d; case JBool(b) => b
+    case JDecimal(d) => d.toDouble; case JLong(l) => l; case JString(s) => s; case _ => null
+  }
+  private def bool(j: JValue, default: Boolean = false): Boolean = j match {
+    case JBool(b) => b; case _ => default
+  }
+
+  /** One `validations:` list entry → (row rules, dataset checks); an entry
+    * is either `{expr: ...}` or `{field: f, validation: [...]}`, and a
+    * field's validation list can freely MIX row and aggregate types (the
+    * reference's sample files do).
+    */
+  private def parseValidation(v: JValue)
+      : (Seq[Rule], Seq[(String, DataFrame => Boolean)]) =
+    str(v \ "expr") match {
+      case Some(e) => (Seq(Rules.sqlExpr(s"expr_${e.hashCode.toHexString}", e)), Nil)
+      case None =>
+        val field = str(v \ "field").getOrElse(
+          throw new IllegalArgumentException("validation entry needs expr or field"))
+        val items = arr(v \ "validation")
+        (items.flatMap(rowRule(field, _)), items.flatMap(datasetCheck(field, _)))
+    }
+
+  private def rowRule(field: String, item: JValue): Option[Rule] = {
+    val negate = bool(item \ "negate")
+    def fin(r: Rule): Option[Rule] =
+      Some(if (negate) r.negate(r.name + "_not") else r)
+    val strictly = bool(item \ "strictly", default = true)
+    val value = item \ "value"
+    str(item \ "type").getOrElse("") match {
+      case "equal" => fin(Rules.isEqual(field, anyVal(value)))
+      case "null" => fin(Rules.isNull(field))
+      case "notNull" => fin(Rules.isNotNull(field))
+      case "contains" => fin(Rules.containsValue(field, str(value).getOrElse("")))
+      case "in" => fin(Rules.in(field, arr(item \ "values").map(anyVal)))
+      case "matches" => fin(Rules.matches(field, str(item \ "regex").getOrElse("")))
+      case "matchesList" => fin(Rules.matchesList(field,
+        arr(item \ "regexes").flatMap(str), bool(item \ "matchAll", default = true)))
+      case "startsWith" => fin(Rules.startsWith(field, str(value).getOrElse("")))
+      case "endsWith" => fin(Rules.endsWith(field, str(value).getOrElse("")))
+      case "luhnCheck" => fin(Rules.luhnCheck(field))
+      case "hasType" => arr(item \ "values") match {
+        case Nil => fin(Rules.hasType(field, str(value).getOrElse("string")))
+        case vs => fin(Rules.hasTypes(field, vs.flatMap(str)))
+      }
+      case "hasTypes" => fin(Rules.hasTypes(field, arr(item \ "values").flatMap(str)))
+      case "lengthBetween" => fin(Rules.lengthBetween(field,
+        dbl(item \ "min").getOrElse(0.0).toInt, dbl(item \ "max").getOrElse(Int.MaxValue.toDouble).toInt))
+      case "lengthEqual" => fin(Rules.lengthEqual(field, dbl(value).getOrElse(0.0).toInt))
+      case "isJsonParsable" => fin(Rules.isJsonParsable(field))
+      case "matchJsonSchema" => fin(Rules.matchJsonSchema(field, str(item \ "schema").getOrElse("")))
+      case "matchDateTimeFormat" => fin(Rules.matchDateTimeFormat(field,
+        str(item \ "format").getOrElse("yyyy-MM-dd")))
+      case "size" => fin(Rules.sizeEqual(field, dbl(value).getOrElse(0.0).toInt))
+      case "lessThanSize" => fin(Rules.sizeLessThan(field, dbl(value).getOrElse(0.0).toInt, strictly))
+      case "greaterThanSize" => fin(Rules.sizeGreaterThan(field, dbl(value).getOrElse(0.0).toInt, strictly))
+      case "lessThan" => fin(Rules.lessThan(field, anyVal(value), strictly))
+      case "greaterThan" => fin(Rules.greaterThan(field, anyVal(value), strictly))
+      case "between" => fin(Rules.between(field,
+        anyVal(item \ "min"), anyVal(item \ "max")))
+      case _ => None // dataset-level or unknown → handled by datasetCheck
+    }
+  }
+
+  private val AggBetween = Set("maxBetween", "minBetween", "meanBetween",
+    "medianBetween", "stdDevBetween", "sumBetween")
+
+  private def datasetCheck(field: String, item: JValue)
+      : Option[(String, DataFrame => Boolean)] = {
+    val negate = bool(item \ "negate")
+    def fin(name: String, f: DataFrame => Boolean): Option[(String, DataFrame => Boolean)] =
+      Some((if (negate) name + "_not" else name,
+        (df: DataFrame) => if (negate) !f(df) else f(df)))
+    val typ = str(item \ "type").getOrElse("")
+    val lo = dbl(item \ "min").getOrElse(Double.NegativeInfinity)
+    val hi = dbl(item \ "max").getOrElse(Double.PositiveInfinity)
+    typ match {
+      case t if AggBetween.contains(t) =>
+        val agg = t.stripSuffix("Between")
+        fin(s"${field}_$t", df =>
+          if (agg == "median") GroupRules.medianBetween(df, field, lo, hi)
+          else GroupRules.aggBetween(df, field, agg, lo, hi))
+      case "unique" => fin(s"${field}_unique",
+        df => GroupRules.duplicateGroups(df, Seq(field)).isEmpty)
+      case "distinctInSet" => fin(s"${field}_distinctInSet",
+        df => GroupRules.distinctInSet(df, field, arr(item \ "values").map(anyVal)))
+      case "distinctContainsSet" => fin(s"${field}_distinctContainsSet",
+        df => GroupRules.distinctContainsSet(df, field, arr(item \ "values").map(anyVal)))
+      case "distinctEqual" => fin(s"${field}_distinctEqual",
+        df => GroupRules.distinctEqual(df, field, arr(item \ "values").map(anyVal)))
+      case "mostCommonValueInSet" => fin(s"${field}_mostCommonValueInSet",
+        df => GroupRules.mostCommonValueInSet(df, field, arr(item \ "values").map(anyVal)))
+      case "uniqueValuesProportionBetween" => fin(s"${field}_uniqueProportion",
+        df => { val p = GroupRules.uniqueValuesProportion(df, field); p >= lo && p <= hi })
+      case "quantileValuesBetween" =>
+        val ranges = (item \ "quantileRanges") match {
+          case JObject(fs) => fs.flatMap { case (q, bounds) =>
+            q.toDoubleOption.zip(arr(bounds).flatMap(dbl) match {
+              case Seq(l, h) => Some((l, h)); case _ => None
+            })
+          }
+          case _ => Nil
+        }
+        fin(s"${field}_quantiles", df => {
+          val qs = GroupRules.quantiles(df, field, ranges.map(_._1))
+          qs.zip(ranges).forall { case (v, (_, (l, h))) => v >= l && v <= h }
+        })
+      case "isIncreasing" | "isDecreasing" =>
+        val strictly = bool(item \ "strictly", default = true)
+        fin(s"${field}_$typ", df =>
+          GroupRules.monotonicityViolations(df, field, orderBy = field,
+            partitionBy = Nil, increasing = typ == "isIncreasing",
+            strictly = strictly).isEmpty)
+      case _ => None
+    }
+  }
+}

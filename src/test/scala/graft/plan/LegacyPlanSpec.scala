@@ -114,6 +114,32 @@ class LegacyPlanSpec extends SparkSuite {
     assert(balances.select("account_number").distinct().count() == 400)
   }
 
+  test("plan validation references resolve to validation files and run") {
+    val plan = planYaml + "validations:\n  - \"balance_checks\"\n"
+    val vYaml =
+      """name: "balance_checks"
+        |dataSources:
+        |  parquet:
+        |    - options: {}
+        |      validations:
+        |        - field: balance
+        |          validation:
+        |            - {type: between, min: 0, max: 10000}
+        |            - {type: meanBetween, min: 100, max: 9000}
+        |""".stripMargin
+    val svs = LegacyPlan.resolveValidations(plan, Seq(vYaml))
+    assert(svs.size == 1 && svs.head.rules.size == 1 && svs.head.datasetChecks.size == 1)
+    // runs against the generated parent frame
+    val out = Files.createTempDirectory("graft_legacy3").toString
+    val o = MultiPlanRunner.run(s,
+      LegacyPlan.parsePlan(plan, Map("parquet_transactions" -> taskYaml(out))))
+    val results = graft.rules.LegacyValidation.validate(o.frames("balances"), svs.head)
+    assert(results.forall(_.success), results.filterNot(_.success).map(_.rule).toString)
+    // unknown reference throws rather than silently passing
+    intercept[IllegalArgumentException](
+      LegacyPlan.resolveValidations(plan, Nil))
+  }
+
   test("task file alone parses to runnable tasks") {
     val out = Files.createTempDirectory("graft_legacy2").toString
     val tasks = LegacyPlan.parseTaskFile(taskYaml(out))

@@ -23,18 +23,32 @@ object Main {
     if (args.headOption.contains("--plan")) {
       require(args.length == 2, "usage: graft.Main --plan <plan.yaml|plan.json>")
       val text = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args(1))))
-      val plan =
-        if (args(1).endsWith(".json")) graft.plan.PlanRunner.parseJson(text)
-        else graft.plan.PlanRunner.parseYaml(text)
       val spark = GraftSession.builder(
         sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]"),
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt).getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
-      val outcome = graft.plan.PlanRunner.run(spark, plan)
-      println(s"[graft] plan=${outcome.plan} rows_in=${outcome.rowsIn} rows_out=${outcome.rowsOut} " +
-        s"validations=${outcome.validations.count(_.success)}/${outcome.validations.size} ok")
-      outcome.validations.filterNot(_.success).foreach { v =>
-        println(s"[graft] FAILED ${v.rule}: ${v.errors}/${v.total} sample=${v.samples.headOption.getOrElse(Map.empty)}")
+      // dialect dispatch (reference UnifiedConfigDetector): unified config
+      // (version + dataSources) → Unified; `tasks:` → multi-task; else a
+      // single-step filter plan
+      val json = if (text.trim.startsWith("{")) text
+                 else graft.plan.PlanRunner.yamlToJson(text)
+      val parsed = org.json4s.jackson.JsonMethods.parse(json)
+      if (graft.plan.Unified.detect(text)) {
+        val o = graft.plan.Unified.run(spark, text)
+        val results = o.validations.flatMap(_.results)
+        println(s"[graft] unified=${o.name} tasks=${o.generation.insertOrder.mkString(",")} " +
+          s"validations=${results.count(_.success)}/${results.size} success=${o.success}")
+      } else if ((parsed \ "tasks") != org.json4s.JNothing) {
+        val o = graft.plan.MultiPlanRunner.run(spark, graft.plan.MultiPlanRunner.parseJson(json))
+        println(s"[graft] plan=${o.plan} order=${o.insertOrder.mkString(",")} " +
+          s"counts=${o.insertOrder.map(t => s"$t:${o.counts(t)}").mkString(",")} success=${o.success}")
+      } else {
+        val outcome = graft.plan.PlanRunner.run(spark, graft.plan.PlanRunner.parseJson(json))
+        println(s"[graft] plan=${outcome.plan} rows_in=${outcome.rowsIn} rows_out=${outcome.rowsOut} " +
+          s"validations=${outcome.validations.count(_.success)}/${outcome.validations.size} ok")
+        outcome.validations.filterNot(_.success).foreach { v =>
+          println(s"[graft] FAILED ${v.rule}: ${v.errors}/${v.total} sample=${v.samples.headOption.getOrElse(Map.empty)}")
+        }
       }
       spark.stop()
       return

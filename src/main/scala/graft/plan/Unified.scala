@@ -1,0 +1,138 @@
+package graft.plan
+
+import graft.rules.{LegacyValidation, RuleEngine, RuleResult}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.json4s._
+
+/** Adapter for the reference's UNIFIED single-file config — its modern
+  * entry format (`core/parser/unified/{UnifiedYamlParser,
+  * UnifiedConfigConverter,UnifiedConfigDetector}.scala` ~700 LoC,
+  * `api/.../unified/UnifiedConfigModels.scala`): one YAML holding data
+  * sources (connection + steps), per-step fields AND inline validations
+  * (with wait conditions), top-level foreign keys, and run config.
+  *
+  * Mapping onto this engine:
+  *  - every step of every data source → one generation task (field options
+  *    reuse the [[LegacyPlan]] vocabulary — same `options` map shape);
+  *  - file-typed connections (parquet/csv/json/orc) become sinks at
+  *    `options.path` (single-step source) or `options.path/<step>`;
+  *    non-file connections (jdbc/kafka/http) generate without a file sink —
+  *    delivery is a separate concern ([[graft.sources.Jdbc]],
+  *    [[graft.sinks.HttpSink]]);
+  *  - `foreignKeys` (source → generate, addressed by (dataSource, step,
+  *    fields)) → [[RelationshipDef]]s with cardinality ratios;
+  *  - inline step validations → [[LegacyValidation.parseValidation]]
+  *    (expr / field / groupBy / fieldNames — shared entry grammar), with
+  *    `waitCondition` gates awaited before validating;
+  *  - `config.validation.numSampleErrorRecords` → error-sample count;
+  *    `sinkOptions.seed` → the deterministic seed.
+  */
+object Unified {
+
+  final case class StepValidation(
+      step: String,
+      results: Seq[RuleResult],
+      waitMet: Boolean)
+
+  final case class UnifiedOutcome(
+      name: String,
+      generation: graft.plan.MultiPlanRunner.MultiPlanOutcome,
+      validations: Seq[StepValidation]) {
+    def success: Boolean =
+      validations.forall(v => v.waitMet && v.results.forall(_.success))
+  }
+
+  def detect(text: String): Boolean = {
+    val j = parseJ(text)
+    (j \ "dataSources") != JNothing && (j \ "version") != JNothing
+  }
+
+  private def parseJ(text: String): JValue =
+    org.json4s.jackson.JsonMethods.parse(
+      if (text.trim.startsWith("{")) text else PlanRunner.yamlToJson(text))
+
+  private def str(j: JValue): Option[String] = j match {
+    case JString(s) => Some(s); case JInt(i) => Some(i.toString)
+    case JDouble(d) => Some(d.toString); case JBool(b) => Some(b.toString); case _ => None
+  }
+  private def arr(j: JValue): Seq[JValue] = j match { case JArray(a) => a; case _ => Nil }
+
+  private val FileFormats = Set("parquet", "csv", "json", "orc")
+
+  /** Parse to the generation plan plus per-step raw validation entries. */
+  def parse(text: String): (MultiPlanSpec, Map[String, Seq[JValue]]) = {
+    val j = parseJ(text)
+    val name = str(j \ "name").getOrElse("unified")
+    val seed = str(j \ "sinkOptions" \ "seed").flatMap(_.toLongOption).getOrElse(42L)
+
+    val stepEntries = scala.collection.mutable.LinkedHashMap.empty[String, Seq[JValue]]
+    val tasks = arr(j \ "dataSources").flatMap { ds =>
+      val connType = str(ds \ "connection" \ "type").getOrElse("parquet")
+      val connPath = str(ds \ "connection" \ "options" \ "path")
+      val steps = arr(ds \ "steps")
+      steps.map { s =>
+        // the step grammar is the legacy task-file step — reuse its parser
+        // by wrapping the single step as a task file
+        val asTask = JObject(List("steps" -> JArray(List(s))))
+        val task = LegacyPlan.parseTaskFile(
+          org.json4s.jackson.JsonMethods.compact(
+            org.json4s.jackson.JsonMethods.render(asTask))).head
+        val stepName = task.name
+        stepEntries(stepName) = arr(s \ "validations")
+        val sink =
+          if (FileFormats.contains(connType))
+            connPath.map(p => SinkSpec(connType,
+              if (steps.size == 1) p else s"$p/$stepName"))
+          else None // jdbc/kafka/http: generation only; delivery is separate
+        task.copy(sink = sink.orElse(task.sink))
+      }
+    }
+
+    val fks = arr(j \ "foreignKeys").flatMap { fk =>
+      val srcStep = str(fk \ "source" \ "step").getOrElse("")
+      val srcField = arr(fk \ "source" \ "fields").flatMap(str).headOption.getOrElse("")
+      val ratio = (fk \ "source" \ "cardinality" \ "ratio") match {
+        case JInt(i) => Some(i.toDouble); case JDouble(d) => Some(d); case _ => None
+      }
+      arr(fk \ "generate").map { g =>
+        val childStep = str(g \ "step").getOrElse("")
+        val childField = arr(g \ "fields").flatMap(str).headOption.getOrElse(srcField)
+        RelationshipDef(s"$childStep.$childField", s"$srcStep.$srcField", ratio)
+      }
+    }
+
+    (MultiPlanSpec(name, seed, tasks, fks), stepEntries.toMap)
+  }
+
+  /** Generate, then validate each step's frame against its inline
+    * validations (gates awaited first). `numErrorSamples` defaults from
+    * `config.validation.numSampleErrorRecords`.
+    */
+  def run(spark: SparkSession, text: String): UnifiedOutcome = {
+    val j = parseJ(text)
+    val numSamples = (j \ "config" \ "validation" \ "numSampleErrorRecords") match {
+      case JInt(i) => i.toInt; case _ => 5
+    }
+    val (plan, entriesByStep) = parse(text)
+    val gen = MultiPlanRunner.run(spark, plan)
+    val validations = gen.insertOrder.flatMap { step =>
+      val entries = entriesByStep.getOrElse(step, Nil)
+      if (entries.isEmpty) None
+      else {
+        val waitMet = LegacyValidation.parseWaits(entries).forall(_.await(spark))
+        val parsed = entries.map(LegacyValidation.parseValidation)
+        val rules = parsed.flatMap(_._1)
+        val checks = parsed.flatMap(_._2)
+        val df: DataFrame = gen.frames(step)
+        val rowResults =
+          if (rules.isEmpty) Nil
+          else RuleEngine.validateAllWithSamples(df, rules, numSamples = numSamples)
+        val checkResults = checks.map { case (n, f) =>
+          val ok = f(df); RuleResult(n, 1, if (ok) 0 else 1, ok)
+        }
+        Some(StepValidation(step, rowResults ++ checkResults, waitMet))
+      }
+    }
+    UnifiedOutcome(plan.name, gen, validations)
+  }
+}

@@ -91,20 +91,82 @@ object LegacyValidation {
     case JBool(b) => b; case _ => default
   }
 
-  /** One `validations:` list entry → (row rules, dataset checks); an entry
-    * is either `{expr: ...}` or `{field: f, validation: [...]}`, and a
-    * field's validation list can freely MIX row and aggregate types (the
-    * reference's sample files do).
+  /** One `validations:` list entry → (row rules, dataset checks). Entry
+    * shapes (legacy validation files AND the unified config share them):
+    * `{expr: ...}`; `{field: f, validation: [...]}` (the list can freely
+    * MIX row and aggregate types — the reference's sample files do);
+    * `{groupByFields: [...], aggField, aggType, aggExpr}` (reference
+    * `GroupByValidationOps`: agg column named `aggType(aggField)`, aggExpr
+    * evaluated over the grouped frame); `{names: [...]}` (+ optional
+    * `fieldNameType`/`count`/`min`/`max` — `FieldNamesValidation`).
+    * Exposed for the unified-config adapter ([[graft.plan.Unified]]).
     */
-  private def parseValidation(v: JValue)
+  def parseValidation(v: JValue)
       : (Seq[Rule], Seq[(String, DataFrame => Boolean)]) =
-    str(v \ "expr") match {
-      case Some(e) => (Seq(Rules.sqlExpr(s"expr_${e.hashCode.toHexString}", e)), Nil)
-      case None =>
-        val field = str(v \ "field").getOrElse(
-          throw new IllegalArgumentException("validation entry needs expr or field"))
+    (str(v \ "expr"), v \ "groupByFields", v \ "names", str(v \ "field")) match {
+      case (Some(e), JNothing, _, _) =>
+        (Seq(Rules.sqlExpr(s"expr_${e.hashCode.toHexString}", e)), Nil)
+      case (_, JArray(gks), _, _) =>
+        val keys = gks.flatMap(str)
+        val aggField = str(v \ "aggField").getOrElse("")
+        val aggType = str(v \ "aggType").getOrElse("sum")
+        val aggExpr = str(v \ "aggExpr").getOrElse(
+          throw new IllegalArgumentException("groupBy validation needs aggExpr"))
+        (Nil, Seq((s"groupby_${keys.mkString("_")}_$aggType", (df: DataFrame) => {
+          import org.apache.spark.sql.functions.{col, expr, coalesce, lit}
+          // reference naming: agg column is `aggType(aggField)`; count with
+          // no field is groupBy().count()'s `count` column
+          val grouped =
+            if (aggField.isEmpty && aggType == "count")
+              df.groupBy(keys.map(col): _*).count()
+            else df.groupBy(keys.map(col): _*).agg(Map(aggField -> aggType))
+          grouped.where(!coalesce(expr(aggExpr), lit(false))).isEmpty
+        })))
+      case (_, _, JArray(ns), _) =>
+        val names = ns.flatMap(str)
+        val fnType = str(v \ "fieldNameType").getOrElse("matchSet")
+        (Nil, Seq((s"fieldNames_$fnType", (df: DataFrame) => (fnType match {
+          case "countEqual" => SchemaRules.fieldCountEqual(df, dbl(v \ "count").getOrElse(names.size.toDouble).toInt)
+          case "countBetween" => SchemaRules.fieldCountBetween(df,
+            dbl(v \ "min").getOrElse(0.0).toInt, dbl(v \ "max").getOrElse(Int.MaxValue.toDouble).toInt)
+          case "matchOrder" => SchemaRules.fieldNameMatchOrder(df, names)
+          case _ => SchemaRules.fieldNameMatchSet(df, names)
+        }).success)))
+      case (_, _, _, Some(field)) =>
         val items = arr(v \ "validation")
         (items.flatMap(rowRule(field, _)), items.flatMap(datasetCheck(field, _)))
+      case _ =>
+        throw new IllegalArgumentException(
+          "validation entry needs expr, field, groupByFields, or names")
+    }
+
+  /** The wait gates declared on a list of validation entries
+    * (unified-config `waitCondition` blocks) — run them before validating.
+    */
+  def parseWaits(entries: Seq[JValue]): Seq[WaitCondition] =
+    entries.flatMap { v =>
+      (v \ "waitCondition") match {
+        case JNothing => None
+        case w =>
+          val retries = dbl(w \ "maxRetries").map(_.toInt).getOrElse(10)
+          val intervalMs = dbl(w \ "waitBeforeRetrySeconds").map(s => (s * 1000).toLong).getOrElse(2000L)
+          str(w \ "type").getOrElse("pause") match {
+            case "pause" => Some(PauseWait(
+              dbl(w \ "pauseInSeconds").map(s => (s * 1000).toLong).getOrElse(0L)))
+            case "file" | "fileExists" => Some(FileExistsWait(
+              str(w \ "path").getOrElse(""), retries, intervalMs))
+            case "data" | "dataExists" => Some(DataExistsWait(
+              str(w \ "options" \ "format").getOrElse("parquet"),
+              str(w \ "path").orElse(str(w \ "options" \ "path")).getOrElse(""),
+              str(w \ "expr").getOrElse("true"), retries, intervalMs))
+            case "webhook" => Some(WebhookWait(str(w \ "url").getOrElse(""),
+              str(w \ "method").getOrElse("GET"),
+              arr(w \ "statusCodes").flatMap(dbl).map(_.toInt).toSet match {
+                case s if s.isEmpty => Set(200); case s => s
+              }, retries, intervalMs))
+            case other => throw new IllegalArgumentException(s"unknown waitCondition type '$other'")
+          }
+      }
     }
 
   private def rowRule(field: String, item: JValue): Option[Rule] = {

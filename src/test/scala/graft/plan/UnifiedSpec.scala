@@ -1,0 +1,131 @@
+package graft.plan
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The reference's unified single-file config (modeled on
+  * `misc/schema/examples/{minimal,validation-focused}.yaml`) running on
+  * this engine.
+  */
+class UnifiedSpec extends SparkSuite {
+  private val s = graft.SharedSpark.spark
+
+  private def unifiedYaml(out: String): String =
+    s"""version: "1.0"
+       |name: "validation_example"
+       |description: "Inline validations"
+       |config:
+       |  validation:
+       |    numSampleErrorRecords: 3
+       |dataSources:
+       |  - name: "customer_files"
+       |    connection:
+       |      type: "parquet"
+       |      options:
+       |        path: "$out/customers"
+       |    steps:
+       |      - name: "customers"
+       |        count:
+       |          records: 300
+       |        fields:
+       |          - name: "customer_id"
+       |            options:
+       |              regex: "CUST[0-9]{8}"
+       |          - name: "email"
+       |            options:
+       |              expression: "#{internet.emailAddress}"
+       |          - name: "age"
+       |            type: "integer"
+       |            options: {min: 18, max: 120}
+       |          - name: "account_balance"
+       |            type: "double"
+       |            options: {min: 0.0, max: 1000000.0}
+       |          - name: "status"
+       |            options:
+       |              oneOf: ["active", "inactive", "pending"]
+       |        validations:
+       |          - expr: "age >= 18 AND age <= 120"
+       |          - field: "status"
+       |            validation:
+       |              - type: "in"
+       |                values: ["active", "inactive", "pending"]
+       |          - field: "email"
+       |            validation:
+       |              - type: "null"
+       |                negate: true
+       |          - groupByFields: ["status"]
+       |            aggField: "account_balance"
+       |            aggType: "avg"
+       |            aggExpr: "`avg(account_balance)` > 0"
+       |          - names: ["customer_id", "email", "age", "account_balance", "status"]
+       |          - expr: "customer_id IS NOT NULL"
+       |            waitCondition:
+       |              type: "pause"
+       |              pauseInSeconds: 0
+       |  - name: "orders_files"
+       |    connection:
+       |      type: "parquet"
+       |      options:
+       |        path: "$out/orders"
+       |    steps:
+       |      - name: "orders"
+       |        count:
+       |          records: 10
+       |        fields:
+       |          - name: "order_id"
+       |            options:
+       |              regex: "ORD[0-9]{6}"
+       |          - name: "customer_id"
+       |foreignKeys:
+       |  - source:
+       |      dataSource: "customer_files"
+       |      step: "customers"
+       |      fields: ["customer_id"]
+       |      cardinality:
+       |        ratio: 2
+       |    generate:
+       |      - dataSource: "orders_files"
+       |        step: "orders"
+       |        fields: ["customer_id"]
+       |sinkOptions:
+       |  seed: "11"
+       |""".stripMargin
+
+  test("unified config: detect, generate, FK cardinality, inline validations, sinks") {
+    val out = Files.createTempDirectory("graft_unified").toString
+    val yaml = unifiedYaml(out)
+    assert(Unified.detect(yaml))
+    assert(!Unified.detect("name: x\ntasks: []\n")) // legacy plan ≠ unified
+
+    val o = Unified.run(s, yaml)
+    assert(o.name == "validation_example")
+    assert(o.generation.insertOrder == Seq("customers", "orders"))
+    // FK cardinality from the unified foreignKeys block: 300 × 2
+    assert(o.generation.counts("orders") == 600L)
+
+    // inline validations all green (expr, field, groupBy, names, waited expr)
+    assert(o.success, o.validations.flatMap(_.results).filterNot(_.success).map(_.rule).toString)
+    val v = o.validations.find(_.step == "customers").get
+    assert(v.waitMet)
+    assert(v.results.exists(_.rule.startsWith("groupby_status_avg")))
+    assert(v.results.exists(_.rule.startsWith("fieldNames_")))
+
+    // sinks at connection path; referential integrity on disk
+    val customers = s.read.parquet(s"$out/customers")
+    val orders = s.read.parquet(s"$out/orders")
+    assert(customers.count() == 300 && orders.count() == 600)
+    assert(orders.join(customers.select("customer_id"), Seq("customer_id"), "left_anti").isEmpty)
+    assert(customers.where(!col("email").contains("@")).isEmpty) // faker expression ran
+  }
+
+  test("unified config: failing inline validation surfaces with samples") {
+    val out = Files.createTempDirectory("graft_unified2").toString
+    val yaml = unifiedYaml(out)
+      .replace("\"age >= 18 AND age <= 120\"", "\"age >= 119\"")
+    val o = Unified.run(s, yaml)
+    assert(!o.success)
+    val failed = o.validations.flatMap(_.results).filterNot(_.success)
+    assert(failed.nonEmpty && failed.head.samples.size <= 3) // numSampleErrorRecords honored
+  }
+}

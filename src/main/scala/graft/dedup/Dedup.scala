@@ -343,8 +343,14 @@ object Dedup {
     * rather than returning wrong labels.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
-    val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+    // both orientations in ONE pass over the edge list: a union of two
+    // selects re-derives the (typically expensive, unpersisted) upstream
+    // candidate-pair pipeline once per branch — q31's edges are the whole
+    // q28 banded join, so that doubled the setup cost
+    val sym = edges.select(explode(array(
+        struct(col("a_id").as("src"), col("b_id").as("dst")),
+        struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).persist()

@@ -103,7 +103,9 @@ object LegacyPlan {
       .filter(s => str(s \ "enabled").forall(_ != "false"))
       .map { s =>
         val name = str(s \ "name").getOrElse("step")
-        val records = dbl(s \ "count" \ "records").map(_.toLong).getOrElse(1000L)
+        val records = dbl(s \ "count" \ "records").map(_.toLong)
+          .orElse(volumeFromRate(s \ "count"))
+          .getOrElse(1000L)
         val perField = (s \ "count" \ "perField") match {
           case JNothing => None
           case pf => Some((
@@ -117,6 +119,55 @@ object LegacyPlan {
         val fields = arr(s \ "fields").map(field)
         StepInfo(TaskDef(name, records, fields, sink), perField)
       }
+  }
+
+  /** `"30s" | "5m" | "2h" | "90"` → seconds. */
+  def durationSeconds(d: String): Double = {
+    val t = d.trim.toLowerCase
+    if (t.endsWith("ms")) t.dropRight(2).toDouble / 1000
+    else if (t.endsWith("s")) t.dropRight(1).toDouble
+    else if (t.endsWith("m")) t.dropRight(1).toDouble * 60
+    else if (t.endsWith("h")) t.dropRight(1).toDouble * 3600
+    else t.toDouble
+  }
+
+  /** Rate-based volumes (reference `Count.duration/rate/pattern`,
+    * `PlanModels.scala:102-110`): with no explicit `records`, the batch
+    * volume is the integral of the declared rate over the duration —
+    * constant rate × duration, or the load-pattern's cumulative budget
+    * ([[graft.sinks.LoadPatterns.schedule]]) when a pattern is declared.
+    * The temporal SHAPE applies at delivery time
+    * ([[graft.sinks.LoadPatterns.postJsonShaped]]); generation is batch.
+    */
+  private def volumeFromRate(count: JValue): Option[Long] = {
+    val durSec = str(count \ "duration").map(durationSeconds)
+    val pat = loadPattern(count \ "pattern")
+    (durSec, pat, dbl(count \ "rate")) match {
+      case (Some(d), Some(p), _) =>
+        Some(math.round(graft.sinks.LoadPatterns.schedule(p, d).last))
+      case (Some(d), None, Some(r)) => Some(math.round(r * d))
+      case _ => None
+    }
+  }
+
+  /** Reference `UnifiedLoadPattern` → [[graft.sinks.LoadPatterns]] shape. */
+  private[plan] def loadPattern(j: JValue): Option[graft.sinks.LoadPatterns.LoadPattern] = {
+    import graft.sinks.LoadPatterns._
+    str(j \ "type").map {
+      case "constant" => Constant(dbl(j \ "baseRate").orElse(dbl(j \ "startRate")).getOrElse(1.0))
+      case "ramp" => Ramp(dbl(j \ "startRate").getOrElse(1.0), dbl(j \ "endRate").getOrElse(10.0))
+      case "spike" => Spike(dbl(j \ "baseRate").getOrElse(1.0), dbl(j \ "spikeRate").getOrElse(10.0),
+        dbl(j \ "spikeStart").getOrElse(0.4), dbl(j \ "spikeDuration").getOrElse(0.2))
+      case "steps" | "stepped" => Steps(arr(j \ "steps").map(s =>
+        (dbl(s \ "rate").getOrElse(1.0), durationSeconds(str(s \ "duration").getOrElse("1s")))))
+      case "wave" | "sine" => Wave(dbl(j \ "baseRate").getOrElse(1.0),
+        dbl(j \ "amplitude").getOrElse(0.0), dbl(j \ "frequency").getOrElse(1.0))
+      case "breakingPoint" | "breaking-point" => BreakingPoint(
+        dbl(j \ "startRate").getOrElse(1.0), dbl(j \ "rateIncrement").getOrElse(1.0),
+        str(j \ "incrementInterval").map(durationSeconds).getOrElse(1.0),
+        dbl(j \ "maxRate"))
+      case other => throw new IllegalArgumentException(s"unknown load pattern type '$other'")
+    }
   }
 
   /** The reference plan file + its task files → one [[MultiPlanSpec]].

@@ -102,6 +102,22 @@ object LegacyValidation {
     * Exposed for the unified-config adapter ([[graft.plan.Unified]]).
     */
   def parseValidation(v: JValue)
+      : (Seq[Rule], Seq[(String, DataFrame => Boolean)]) = {
+    val (rules, checks) = parseValidation0(v)
+    // preFilterExpr (reference ValidationOperations.scala:26-28: the frame
+    // is filtered BEFORE validating): row rules admit non-matching rows in
+    // the same projection; dataset checks filter their input frame
+    str(v \ "preFilterExpr") match {
+      case None => (rules, checks)
+      case Some(pre) =>
+        import org.apache.spark.sql.functions.{expr, coalesce, lit}
+        val guard = !coalesce(expr(pre), lit(false))
+        (rules.map(r => Rule(r.name, guard || r.predicate)),
+          checks.map { case (n, f) => (n, (df: DataFrame) => f(df.where(pre))) })
+    }
+  }
+
+  private def parseValidation0(v: JValue)
       : (Seq[Rule], Seq[(String, DataFrame => Boolean)]) =
     (str(v \ "expr"), v \ "groupByFields", v \ "names", str(v \ "field")) match {
       case (Some(e), JNothing, _, _) =>

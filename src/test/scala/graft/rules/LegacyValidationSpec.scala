@@ -71,6 +71,52 @@ class LegacyValidationSpec extends SparkSuite {
     assert(results.forall(_.success), results.filterNot(_.success).map(_.rule).toString)
   }
 
+  test("preFilterExpr: validation applies only to matching rows (row + aggregate)") {
+    val yaml =
+      """name: "pref"
+        |dataSources:
+        |  parquet:
+        |    - options: {}
+        |      validations:
+        |        - field: amount
+        |          preFilterExpr: "status = 'open'"
+        |          validation:
+        |            - {type: between, min: 0, max: 100}
+        |            - {type: sumBetween, min: 1, max: 150}
+        |""".stripMargin
+    val sv = LegacyValidation.parse(yaml).head
+    import graft.SharedSpark.spark.implicits._
+    // closed rows violate both bounds — but the pre-filter excludes them
+    val df = Seq(("open", 50.0), ("open", 70.0), ("closed", 9999.0), ("closed", -5.0))
+      .toDF("status", "amount")
+    val results = LegacyValidation.validate(df, sv)
+    assert(results.forall(_.success), results.filterNot(_.success).map(_.rule).toString)
+    // without the filter the same data fails
+    val noPre = LegacyValidation.parse(
+      yaml.linesIterator.filterNot(_.contains("preFilterExpr")).mkString("\n")).head
+    assert(LegacyValidation.validate(df, noPre).exists(!_.success))
+  }
+
+  test("rate/duration/pattern counts: volume = integral of the declared rate") {
+    import graft.plan.LegacyPlan
+    val taskYaml =
+      """name: t
+        |steps:
+        |  - name: "by_rate"
+        |    count: {rate: 50, duration: "30s"}
+        |    fields: [{name: v, type: integer}]
+        |  - name: "by_pattern"
+        |    count:
+        |      duration: "10s"
+        |      pattern: {type: ramp, startRate: 10, endRate: 110}
+        |    fields: [{name: v, type: integer}]
+        |""".stripMargin
+    val tasks = LegacyPlan.parseTaskFile(taskYaml)
+    assert(tasks.find(_.name == "by_rate").get.count == 1500L) // 50/s × 30s
+    assert(math.abs(tasks.find(_.name == "by_pattern").get.count - 600L) <= 1) // mean 60 × 10s
+    assert(LegacyPlan.durationSeconds("5m") == 300.0 && LegacyPlan.durationSeconds("2h") == 7200.0)
+  }
+
   test("reference validation YAML: bad data fails the right checks, with samples") {
     val bad = Seq(
       ("pay9", "BAD", "frozen", 99999.0, "01/01/2024"),

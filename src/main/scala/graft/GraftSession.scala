@@ -41,7 +41,12 @@ object GraftSession {
     // session getOrCreate ignores builder configs anyway) — creating it per
     // call leaked one empty /tmp dir per builder() in long-lived processes
     // (REST server, test suites).
-    if (SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).isEmpty)
+    // a STOPPED session still occupies the active/default slots (Spark only
+    // filters isStopped inside its own getOrCreate) — without the filter, a
+    // stop-and-recreate JVM would skip the config and fall back to a stale
+    // ./spark-warehouse, resurrecting LOCATION_ALREADY_EXISTS
+    if (SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+        .forall(_.sparkContext.isStopped))
       b.config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
     b

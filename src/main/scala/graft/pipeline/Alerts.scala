@@ -66,7 +66,7 @@ object Alerts {
     */
   def send(url: String, text: String): Boolean =
     scala.util.Try {
-      val body = s"""{"text":${jsonStr(text)}}"""
+      val body = s"""{"text":${graft.util.Jsons.quote(text)}}"""
       val client = java.net.http.HttpClient.newBuilder()
         .connectTimeout(java.time.Duration.ofSeconds(5)).build()
       val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
@@ -86,8 +86,4 @@ object Alerts {
   /** Alert on a multi-task plan outcome. */
   def alert(o: MultiPlanOutcome, url: String, triggerOn: TriggerOn): Option[Boolean] =
     if (triggerOn.fires(o.success)) Some(send(url, summarize(o))) else None
-
-  private def jsonStr(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-      .replace("\n", "\\n").replaceAll("[\\x00-\\x1f]", " ") + "\""
 }

@@ -112,9 +112,15 @@ final class ResumableRunner(
     */
   private[pipeline] def bucketSlice(staging: String, bucket: Int): Dataset[ImageRow] = {
     import org.apache.spark.sql.Encoders
-    spark.read.parquet(staging)
+    val rowSchema = Encoders.product[ImageRow].schema
+    // explicit schema: when every remaining bucket is row-EMPTY (small
+    // inputs), staging holds only _SUCCESS and schema inference would throw
+    // UNABLE_TO_INFER_SCHEMA on every resume — an unrecoverable loop
+    spark.read
+      .schema(rowSchema.add("bucket", org.apache.spark.sql.types.IntegerType))
+      .parquet(staging)
       .where(col("bucket") === bucket)
-      .select("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+      .select(rowSchema.fieldNames.map(col): _*)
       .as(Encoders.product[ImageRow])
   }
 

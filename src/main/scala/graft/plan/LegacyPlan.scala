@@ -29,23 +29,9 @@ import org.json4s.jackson.JsonMethods
   */
 object LegacyPlan {
 
-  private implicit val formats: Formats = DefaultFormats
+  import graft.util.Jsons.{str, dbl, arr}
 
-  private def toJson(text: String): JValue =
-    JsonMethods.parse(
-      if (text.trim.startsWith("{")) text else PlanRunner.yamlToJson(text))
-
-  private def str(j: JValue): Option[String] = j match {
-    case JString(s) => Some(s); case JInt(i) => Some(i.toString)
-    case JDouble(d) => Some(d.toString); case JBool(b) => Some(b.toString)
-    case _ => None
-  }
-  private def dbl(j: JValue): Option[Double] = j match {
-    case JInt(i) => Some(i.toDouble); case JDouble(d) => Some(d)
-    case JDecimal(d) => Some(d.toDouble); case JLong(l) => Some(l.toDouble)
-    case JString(s) => s.toDoubleOption; case _ => None
-  }
-  private def arr(j: JValue): Seq[JValue] = j match { case JArray(a) => a; case _ => Nil }
+  private def toJson(text: String): JValue = graft.util.Jsons.parse(text)
 
   /** One reference field → a [[FieldDef]]. Generator hints live in the
     * `options` map (`api/.../PlanModels.scala:118-125`).
@@ -54,7 +40,8 @@ object LegacyPlan {
     val name = str(j \ "name").getOrElse(throw new IllegalArgumentException("field without name"))
     val typ = str(j \ "type").getOrElse("string").toLowerCase
     val o = j \ "options"
-    val static = str(j \ "static")
+    // the reference accepts `static` at the field level AND inside options
+    val static = str(j \ "static").orElse(str(o \ "static"))
     def opt(k: String) = o \ k match { case JNothing => None; case v => Some(v) }
 
     static match {

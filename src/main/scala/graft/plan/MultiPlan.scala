@@ -147,9 +147,13 @@ object MultiPlanRunner {
       var df = Generator.generate(spark, counts(name), specs,
         seed = plan.seed ^ name.hashCode.toLong)
       plan.relationships.filter(_.childTable == name).foreach { r =>
+        // seed mixed PER RELATIONSHIP: a shared seed makes every FK on this
+        // table hash the same (seed, row-id) pair — with equal parent key
+        // counts the sampled indices coincide row-for-row, a fully
+        // correlated joint distribution instead of independent draws
         df = ForeignKeys.assignKeys(
           df, RowId, r.childCol, frames(r.parentTable), r.parentCol,
-          seed = plan.seed)
+          seed = plan.seed ^ (r.childCol + "->" + r.parentTable).hashCode.toLong)
       }
       frames(name) = df.drop(RowId)
     }

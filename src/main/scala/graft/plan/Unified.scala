@@ -47,15 +47,9 @@ object Unified {
     (j \ "dataSources") != JNothing && (j \ "version") != JNothing
   }
 
-  private def parseJ(text: String): JValue =
-    org.json4s.jackson.JsonMethods.parse(
-      if (text.trim.startsWith("{")) text else PlanRunner.yamlToJson(text))
+  import graft.util.Jsons.{str, arr}
 
-  private def str(j: JValue): Option[String] = j match {
-    case JString(s) => Some(s); case JInt(i) => Some(i.toString)
-    case JDouble(d) => Some(d.toString); case JBool(b) => Some(b.toString); case _ => None
-  }
-  private def arr(j: JValue): Seq[JValue] = j match { case JArray(a) => a; case _ => Nil }
+  private def parseJ(text: String): JValue = graft.util.Jsons.parse(text)
 
   private val FileFormats = Set("parquet", "csv", "json", "orc")
 
@@ -121,13 +115,18 @@ object Unified {
       else {
         val waitMet = LegacyValidation.parseWaits(entries).forall(_.await(spark))
         val parsed = entries.map(LegacyValidation.parseValidation)
-        val rules = parsed.flatMap(_._1)
-        val checks = parsed.flatMap(_._2)
         val df: DataFrame = gen.frames(step)
-        val rowResults =
-          if (rules.isEmpty) Nil
-          else RuleEngine.validateAllWithSamples(df, rules, numSamples = numSamples)
-        val checkResults = checks.map { case (n, f) =>
+        // rules grouped by preFilter so fraction thresholds use the
+        // filtered denominator (None group = the whole frame)
+        val rowResults = parsed.groupBy(_.preFilter).toSeq
+          .sortBy(_._1.getOrElse(""))
+          .flatMap { case (pre, es) =>
+            val rules = es.flatMap(_.rules)
+            if (rules.isEmpty) Nil
+            else RuleEngine.validateAllWithSamples(
+              pre.fold(df)(df.where(_)), rules, numSamples = numSamples)
+          }
+        val checkResults = parsed.flatMap(_.datasetChecks).map { case (n, f) =>
           val ok = f(df); RuleResult(n, 1, if (ok) 0 else 1, ok)
         }
         Some(StepValidation(step, rowResults ++ checkResults, waitMet))

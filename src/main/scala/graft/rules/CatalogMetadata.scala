@@ -31,9 +31,7 @@ object OpenLineage {
       name: String,
       specs: Seq[FieldSpec])
 
-  private def str(j: JValue): Option[String] = j match {
-    case JString(s) => Some(s); case _ => None
-  }
+  import graft.util.Jsons.str
 
   /** Accepts a single Marquez dataset document or a ListDatasetResponse
     * (`{datasets: [...]}`).
@@ -77,10 +75,7 @@ object OpenMetadata {
       rules: Seq[Rule],
       datasetChecks: Seq[(String, DataFrame => Boolean)])
 
-  private def str(j: JValue): Option[String] = j match {
-    case JString(s) => Some(s); case JInt(i) => Some(i.toString)
-    case JDouble(d) => Some(d.toString); case _ => None
-  }
+  import graft.util.Jsons.str
 
   /** Parse an OpenMetadata test-case listing (`{data: [...]}` as the API
     * returns, or a bare array / single case). The target field comes from
@@ -112,6 +107,11 @@ object OpenMetadata {
     */
   def fromParams(params: Map[String, String], field: Option[String]): ImportedChecks = {
     def num(k: String): Option[Double] = params.get(k).flatMap(_.toDoubleOption)
+    // descriptive failure for table-scoped entityLinks on field checks —
+    // a bare None.get on a malformed registry payload names nothing
+    def reqField(kind: String): String = field.getOrElse(
+      throw new IllegalArgumentException(
+        s"$kind check needs a column-scoped entityLink (…::columns::<name>), got a table-level link"))
     def split(k: String): Seq[String] =
       params.get(k).toSeq.flatMap(_.split(',')).map(_.replace("\\\"", "").trim)
     def agg(kind: String, minKey: String, maxKey: String): Option[(String, DataFrame => Boolean)] =
@@ -148,18 +148,21 @@ object OpenMetadata {
     params.get("regex").foreach(r =>
       rules += Rules.matches(field.getOrElse("value"), r))
     if (params.contains("allowedValues"))
-      rules += Rules.in(field.get, split("allowedValues"))
+      rules += Rules.in(reqField("allowedValues"), split("allowedValues"))
     if (params.contains("forbiddenValues"))
-      rules += Rules.notIn(field.get, split("forbiddenValues"))
+      rules += Rules.notIn(reqField("forbiddenValues"), split("forbiddenValues"))
     if (params.contains("fieldValuesToBeNotNull"))
-      rules += Rules.isNotNull(field.get)
+      rules += Rules.isNotNull(reqField("fieldValuesToBeNotNull"))
     if (params.contains("fieldValuesToBeUnique"))
-      checks += ((s"${field.get}_unique", (df: DataFrame) =>
-        GroupRules.duplicateGroups(df, Seq(field.get)).isEmpty))
+      checks += {
+      val f = reqField("fieldValuesToBeUnique")
+      ((s"${f}_unique", (df: DataFrame) => GroupRules.duplicateGroups(df, Seq(f)).isEmpty))
+    }
     if (params.contains("missingCountValue")) {
-      rules += Rules.isNotNull(field.get)
-      rules += Rules.isNotEqual(field.get, "")
-      split("missingValueMatch").foreach(m => rules += Rules.isNotEqual(field.get, m))
+      val f = reqField("missingCountValue")
+      rules += Rules.isNotNull(f)
+      rules += Rules.isNotEqual(f, "")
+      split("missingValueMatch").foreach(m => rules += Rules.isNotEqual(f, m))
     }
     checks ++= agg("max", "minValueForMaxInCol", "maxValueForMaxInCol")
     checks ++= agg("mean", "minValueForMeanInCol", "maxValueForMeanInCol")

@@ -219,8 +219,14 @@ object GroupRules {
         else call_function("width_bucket", ord, lit(lo), lit(hi), lit(buckets))
       val bucketed = df.withColumn("__bkt", bucket)
       val w = Window.partitionBy(col("__bkt")).orderBy(col(orderBy))
+      // __first marks the bucket's PHYSICALLY first row — lag of a literal
+      // is null only when there is no previous row. lag(field) is null BOTH
+      // at the first row and when the previous row's FIELD is null, so
+      // using it as the boundary marker misclassified null-predecessor rows
+      // as bucket starts and compared them against the previous bucket
       val intra = bucketed
         .withColumn("__prev", lag(col(field), 1).over(w))
+        .withColumn("__first", lag(lit(1), 1).over(w).isNull)
       // in global order, the row preceding bucket b's first row is the last
       // row (max ordering key) of the previous NON-EMPTY bucket. Compute the
       // per-bucket last value (hash-agg, `buckets` rows total), then carry it
@@ -234,11 +240,13 @@ object GroupRules {
       val prevOfBucket = lasts
         .withColumn("__prev", last(col("__last"), ignoreNulls = false).over(wTiny))
         .select(col("__bkt"), col("__prev"))
-      val boundary = intra.where(prev.isNull).drop("__prev")
+      val boundary = intra.where(col("__first")).drop("__prev", "__first")
         .join(prevOfBucket, Seq("__bkt"), "left")
         .where(prev.isNotNull && !ok)
         .drop("__prev")
-      intra.where(prev.isNotNull && !ok).drop("__prev")
+      // null-predecessor rows are SKIPPED (same contract as the partitioned
+      // branch), not treated as boundaries
+      intra.where(!col("__first") && prev.isNotNull && !ok).drop("__prev", "__first")
         .unionByName(boundary)
         .drop("__bkt")
     }

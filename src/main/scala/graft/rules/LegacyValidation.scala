@@ -31,16 +31,21 @@ import org.json4s._
   */
 object LegacyValidation {
 
+  import graft.util.Jsons.{arr, str, dbl, anyVal, bool}
+
   final case class SourceValidations(
       dataSource: String,
       options: Map[String, String],
       rules: Seq[Rule],
       /** (name, check) dataset-level validations. */
-      datasetChecks: Seq[(String, DataFrame => Boolean)])
+      datasetChecks: Seq[(String, DataFrame => Boolean)],
+      /** Rules gated by a preFilterExpr, grouped by the filter — evaluated
+        * against the FILTERED frame so fractional error thresholds use the
+        * filtered denominator (reference semantics). */
+      filteredRules: Seq[(String, Seq[Rule])] = Nil)
 
   def parse(text: String): Seq[SourceValidations] = {
-    val json = org.json4s.jackson.JsonMethods.parse(
-      if (text.trim.startsWith("{")) text else graft.plan.PlanRunner.yamlToJson(text))
+    val json = graft.util.Jsons.parse(text)
     (json \ "dataSources") match {
       case JObject(sources) => sources.flatMap { case (ds, entries) =>
         arr(entries).map { entry =>
@@ -49,7 +54,13 @@ object LegacyValidation {
             case _ => Map.empty[String, String]
           }
           val parsed = arr(entry \ "validations").map(parseValidation)
-          SourceValidations(ds, opts, parsed.flatMap(_._1), parsed.flatMap(_._2))
+          val (plain, filtered) = parsed.partition(_.preFilter.isEmpty)
+          SourceValidations(ds, opts,
+            plain.flatMap(_.rules),
+            parsed.flatMap(_.datasetChecks),
+            filtered.groupBy(_.preFilter.get).toSeq.sortBy(_._1)
+              .map { case (pre, es) => pre -> es.flatMap(_.rules) }
+              .filter(_._2.nonEmpty))
         }
       }
       case _ => Nil
@@ -64,32 +75,19 @@ object LegacyValidation {
       threshold: Double = 0.0): Seq[RuleResult] = {
     val row = if (sv.rules.isEmpty) Nil
       else RuleEngine.validateAllWithSamples(df, sv.rules, threshold)
+    // pre-filtered groups validate against the FILTERED frame: the
+    // denominator for fractional thresholds is the rows the filter admits
+    val pref = sv.filteredRules.flatMap { case (pre, rules) =>
+      RuleEngine.validateAllWithSamples(df.where(pre), rules, threshold)
+    }
     val ds = sv.datasetChecks.map { case (name, check) =>
       val ok = check(df)
       RuleResult(name, 1, if (ok) 0 else 1, ok)
     }
-    row ++ ds
+    row ++ pref ++ ds
   }
 
   // ---------- per-entry parsing ----------
-
-  private def arr(j: JValue): Seq[JValue] = j match { case JArray(a) => a; case _ => Nil }
-  private def str(j: JValue): Option[String] = j match {
-    case JString(s) => Some(s); case JInt(i) => Some(i.toString)
-    case JDouble(d) => Some(d.toString); case JBool(b) => Some(b.toString); case _ => None
-  }
-  private def dbl(j: JValue): Option[Double] = j match {
-    case JInt(i) => Some(i.toDouble); case JDouble(d) => Some(d)
-    case JDecimal(d) => Some(d.toDouble); case JLong(l) => Some(l.toDouble)
-    case JString(s) => s.toDoubleOption; case _ => None
-  }
-  private def anyVal(j: JValue): Any = j match {
-    case JInt(i) => i.toLong; case JDouble(d) => d; case JBool(b) => b
-    case JDecimal(d) => d.toDouble; case JLong(l) => l; case JString(s) => s; case _ => null
-  }
-  private def bool(j: JValue, default: Boolean = false): Boolean = j match {
-    case JBool(b) => b; case _ => default
-  }
 
   /** One `validations:` list entry → (row rules, dataset checks). Entry
     * shapes (legacy validation files AND the unified config share them):
@@ -101,20 +99,30 @@ object LegacyValidation {
     * `fieldNameType`/`count`/`min`/`max` — `FieldNamesValidation`).
     * Exposed for the unified-config adapter ([[graft.plan.Unified]]).
     */
-  def parseValidation(v: JValue)
-      : (Seq[Rule], Seq[(String, DataFrame => Boolean)]) = {
+  /** One parsed entry. `preFilter` is the reference's preFilterExpr
+    * (ValidationOperations.scala:26-28: the frame is FILTERED before
+    * validating) — callers must evaluate the entry's rules against
+    * `df.where(preFilter)`, NOT guard them inside an unfiltered pass: a
+    * guard would count non-matching rows in `total`, silently diluting
+    * fractional error thresholds by the filter's selectivity.
+    */
+  final case class ParsedEntry(
+      rules: Seq[Rule],
+      datasetChecks: Seq[(String, DataFrame => Boolean)],
+      preFilter: Option[String]) {
+    def frame(df: DataFrame): DataFrame = preFilter.fold(df)(df.where(_))
+  }
+
+  def parseValidation(v: JValue): ParsedEntry = {
     val (rules, checks) = parseValidation0(v)
-    // preFilterExpr (reference ValidationOperations.scala:26-28: the frame
-    // is filtered BEFORE validating): row rules admit non-matching rows in
-    // the same projection; dataset checks filter their input frame
-    str(v \ "preFilterExpr") match {
-      case None => (rules, checks)
-      case Some(pre) =>
-        import org.apache.spark.sql.functions.{expr, coalesce, lit}
-        val guard = !coalesce(expr(pre), lit(false))
-        (rules.map(r => Rule(r.name, guard || r.predicate)),
-          checks.map { case (n, f) => (n, (df: DataFrame) => f(df.where(pre))) })
+    val pre = str(v \ "preFilterExpr")
+    // dataset checks close over the filter themselves; row rules stay
+    // unwrapped and the caller groups them by preFilter
+    val wrappedChecks = pre match {
+      case None => checks
+      case Some(p) => checks.map { case (n, f) => (n, (df: DataFrame) => f(df.where(p))) }
     }
+    ParsedEntry(rules, wrappedChecks, pre)
   }
 
   private def parseValidation0(v: JValue)

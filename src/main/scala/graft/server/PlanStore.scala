@@ -37,12 +37,17 @@ final class PlanStore(dir: String) {
     if (Files.exists(f)) Some(Files.readString(f)) else None
   }
 
-  def list(): Seq[String] =
-    Files.list(base).iterator().asScala
+  def list(): Seq[String] = {
+    // Files.list holds an open DirectoryStream — close it, or every
+    // GET /plans leaks one fd until the process ulimit
+    val stream = Files.list(base)
+    try stream.iterator().asScala
       .map(_.getFileName.toString)
       .filter(_.endsWith(".plan"))
       .map(_.stripSuffix(".plan"))
       .toSeq.sorted
+    finally stream.close()
+  }
 
   def remove(name: String): Boolean =
     Files.deleteIfExists(planFile(name))
@@ -51,8 +56,7 @@ final class PlanStore(dir: String) {
     * tests stay deterministic). */
   def recordRun(planName: String, runId: String, status: String,
       epochMs: Long, detail: String = ""): Unit = {
-    def j(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-      .replaceAll("[\\x00-\\x1f]", " ") + "\""
+    def j(s: String) = graft.util.Jsons.quote(s)
     val line = s"""{"plan":${j(planName)},"id":${j(runId)},"status":${j(status)},""" +
       s""""ts":$epochMs,"detail":${j(detail)}}"""
     Files.writeString(runsFile, line + "\n",

@@ -50,10 +50,18 @@ object Preview {
       case "table" => spark.read.table(src.path)
       case fmt => spark.read.format(fmt).load(src.path)
     }).limit(n * 10)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_preview").toString
-    df.write.mode("overwrite").parquet(tmp)
-    val outcome = PlanRunner.run(spark,
-      bounded.copy(source = SourceSpec("parquet", tmp)))
-    Seq(Sample(plan.name, outcome.output.limit(n).toJSON.collect().toSeq))
+    val tmpPath = java.nio.file.Files.createTempDirectory("graft_preview")
+    try {
+      df.write.mode("overwrite").parquet(tmpPath.toString)
+      val outcome = PlanRunner.run(spark,
+        bounded.copy(source = SourceSpec("parquet", tmpPath.toString)))
+      // collect BEFORE the temp copy is deleted — the frame's scan reads it
+      Seq(Sample(plan.name, outcome.output.limit(n).toJSON.collect().toSeq))
+    } finally {
+      // a long-lived REST server must not accumulate one /tmp dir per call
+      java.nio.file.Files.walk(tmpPath)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
   }
 }

@@ -87,6 +87,19 @@ class ResumableRunnerSpec extends SparkSuite {
     assert(!Files.exists(java.nio.file.Paths.get(staging)))
   }
 
+  test("bucketSlice survives a row-empty staging dir (explicit schema, no inference)") {
+    // when every remaining bucket holds zero rows (small inputs), staging
+    // is just _SUCCESS — schema INFERENCE threw UNABLE_TO_INFER_SCHEMA on
+    // every resume, an unrecoverable loop; the explicit-schema read must
+    // return an empty slice instead
+    val out = Files.createTempDirectory("graft_empty_stage").toString
+    val runner = new ResumableRunner(spark, out, numBuckets = 4)
+    val staging = java.nio.file.Paths.get(out, "_resume_staging")
+    Files.createDirectories(staging)
+    Files.createFile(staging.resolve("_SUCCESS"))
+    assert(runner.bucketSlice(staging.toString, 2).isEmpty)
+  }
+
   test("partition metrics agree with direct counts") {
     val corpus = SyntheticImages.generate(spark, 2000L, seed = 11L, partitions = 5)
     val annotated = QualityFilter.run(spark, corpus).cache()

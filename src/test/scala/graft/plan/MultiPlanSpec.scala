@@ -80,6 +80,36 @@ class MultiPlanSpecSuite extends SparkSuite {
     assert(a.sameElements(b))
   }
 
+  test("two FKs on one table sample independently (per-relationship seeds)") {
+    val yaml =
+      """name: twofk
+        |tasks:
+        |  - {name: pa, count: 100, fields: [{name: ka, type: sequential, prefix: A, pad: 5}]}
+        |  - {name: pb, count: 100, fields: [{name: kb, type: sequential, prefix: B, pad: 5}]}
+        |  - name: child
+        |    count: 2000
+        |    fields:
+        |      - {name: id, type: sequential, prefix: C, pad: 6}
+        |      - {name: ka, type: alphanum}
+        |      - {name: kb, type: alphanum}
+        |relationships:
+        |  - {from: child.ka, to: pa.ka}
+        |  - {from: child.kb, to: pb.kb}
+        |""".stripMargin
+    val o = MultiPlanRunner.run(s, MultiPlanRunner.parseYaml(yaml))
+    val child = o.frames("child")
+    // equal parent counts (100 = 100): a shared seed hashes both FKs to the
+    // IDENTICAL index per row — the two key ranks would coincide on every
+    // row. Independent draws coincide ~1/100 of the time.
+    val sameRank = child
+      .withColumn("ra", expr("cast(substring(ka, 2) as int)"))
+      .withColumn("rb", expr("cast(substring(kb, 2) as int)"))
+      .where(col("ra") === col("rb")).count()
+    assert(sameRank < 200, s"FK ranks coincide on $sameRank/2000 rows — correlated sampling")
+    assert(child.join(o.frames("pa").select("ka"), Seq("ka"), "left_anti").isEmpty)
+    assert(child.join(o.frames("pb").select("kb"), Seq("kb"), "left_anti").isEmpty)
+  }
+
   test("failing validation is reported, not thrown") {
     val yaml =
       """name: bad

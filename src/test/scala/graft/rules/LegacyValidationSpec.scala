@@ -85,12 +85,23 @@ class LegacyValidationSpec extends SparkSuite {
         |            - {type: sumBetween, min: 1, max: 150}
         |""".stripMargin
     val sv = LegacyValidation.parse(yaml).head
+    // the filtered row rule lives in its preFilter GROUP (so fractional
+    // thresholds divide by the filtered count), not among the plain rules
+    assert(sv.rules.isEmpty && sv.filteredRules.size == 1)
+    assert(sv.filteredRules.head._1 == "status = 'open'" && sv.filteredRules.head._2.size == 1)
     import graft.SharedSpark.spark.implicits._
     // closed rows violate both bounds — but the pre-filter excludes them
     val df = Seq(("open", 50.0), ("open", 70.0), ("closed", 9999.0), ("closed", -5.0))
       .toDF("status", "amount")
     val results = LegacyValidation.validate(df, sv)
     assert(results.forall(_.success), results.filterNot(_.success).map(_.rule).toString)
+    // threshold denominator = FILTERED rows: 1 violation / 2 open rows =
+    // 0.5 > 0.4 → fails even though 1/4 of ALL rows would pass the bar
+    val dfMixed = Seq(("open", 50.0), ("open", 9999.0), ("closed", 1.0), ("closed", 2.0))
+      .toDF("status", "amount")
+    val r = LegacyValidation.validate(dfMixed, sv, threshold = 0.4)
+      .find(_.rule == "amount_between").get
+    assert(r.total == 2 && r.errors == 1 && !r.success)
     // without the filter the same data fails
     val noPre = LegacyValidation.parse(
       yaml.linesIterator.filterNot(_.contains("preFilterExpr")).mkString("\n")).head

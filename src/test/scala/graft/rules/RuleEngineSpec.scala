@@ -93,6 +93,14 @@ class RuleEngineSpec extends SparkSuite {
     assert(GroupRules.monotonicityViolations(d.limit(0), "v", "t", Nil).count() == 0)
     val flat = Seq((1, 5.0), (1, 3.0)).toDF("t", "v")
     assert(GroupRules.monotonicityViolations(flat, "v", "t", Nil).count() <= 1)
+    // null FIELD values are skipped, NOT misread as bucket boundaries:
+    // lag(field) is null both at a bucket's first row and after a null
+    // field — the row after the null must not be compared against the
+    // previous bucket's last value (regression: t=12 was reported)
+    val withNull = (1 to 20).map(t =>
+      (t, if (t == 11) null.asInstanceOf[java.lang.Double] else java.lang.Double.valueOf(t * 10.0)))
+      .toDF("t", "v")
+    assert(GroupRules.monotonicityViolations(withNull, "v", "t", Nil, buckets = 5).count() == 0)
   }
 
   test("quantiles + uniqueValuesProportion") {

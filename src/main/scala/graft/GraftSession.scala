@@ -45,7 +45,8 @@ object GraftSession {
     // filters isStopped inside its own getOrCreate) — without the filter, a
     // stop-and-recreate JVM would skip the config and fall back to a stale
     // ./spark-warehouse, resurrecting LOCATION_ALREADY_EXISTS
-    if (SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+    if (SparkSession.getActiveSession.filterNot(_.sparkContext.isStopped)
+        .orElse(SparkSession.getDefaultSession)
         .forall(_.sparkContext.isStopped))
       b.config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_warehouse").toString)

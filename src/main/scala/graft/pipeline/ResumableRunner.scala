@@ -88,7 +88,7 @@ final class ResumableRunner(
     }
     // all remaining buckets committed — the staging copy has served its
     // purpose (a later resume would re-stage whatever is still missing)
-    deleteRecursively(Paths.get(staging))
+    graft.util.Fs.deleteRecursively(Paths.get(staging))
     processed
   }
 
@@ -124,11 +124,6 @@ final class ResumableRunner(
       .as(Encoders.product[ImageRow])
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => Files.deleteIfExists(f))
-    }
 
   /** Single-scan fresh path: one pipeline pass over the whole input, data and
     * metrics written `partitionBy(bucket)`, manifest committed for all

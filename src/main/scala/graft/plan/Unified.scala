@@ -114,22 +114,11 @@ object Unified {
       if (entries.isEmpty) None
       else {
         val waitMet = LegacyValidation.parseWaits(entries).forall(_.await(spark))
-        val parsed = entries.map(LegacyValidation.parseValidation)
-        val df: DataFrame = gen.frames(step)
-        // rules grouped by preFilter so fraction thresholds use the
-        // filtered denominator (None group = the whole frame)
-        val rowResults = parsed.groupBy(_.preFilter).toSeq
-          .sortBy(_._1.getOrElse(""))
-          .flatMap { case (pre, es) =>
-            val rules = es.flatMap(_.rules)
-            if (rules.isEmpty) Nil
-            else RuleEngine.validateAllWithSamples(
-              pre.fold(df)(df.where(_)), rules, numSamples = numSamples)
-          }
-        val checkResults = parsed.flatMap(_.datasetChecks).map { case (n, f) =>
-          val ok = f(df); RuleResult(n, 1, if (ok) 0 else 1, ok)
-        }
-        Some(StepValidation(step, rowResults ++ checkResults, waitMet))
+        // ONE shared implementation of the preFilter denominator semantics
+        val results = LegacyValidation.validateEntries(
+          gen.frames(step), entries.map(LegacyValidation.parseValidation),
+          numSamples = numSamples)
+        Some(StepValidation(step, results, waitMet))
       }
     }
     UnifiedOutcome(plan.name, gen, validations)

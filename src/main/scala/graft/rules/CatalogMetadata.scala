@@ -146,7 +146,7 @@ object OpenMetadata {
       checks += (("table_rowCountEqual", (df: DataFrame) =>
         num("value").contains(df.count().toDouble)))
     params.get("regex").foreach(r =>
-      rules += Rules.matches(field.getOrElse("value"), r))
+      rules += Rules.matches(reqField("regex"), r))
     if (params.contains("allowedValues"))
       rules += Rules.in(reqField("allowedValues"), split("allowedValues"))
     if (params.contains("forbiddenValues"))

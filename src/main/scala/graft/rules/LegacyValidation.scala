@@ -36,13 +36,20 @@ object LegacyValidation {
   final case class SourceValidations(
       dataSource: String,
       options: Map[String, String],
-      rules: Seq[Rule],
-      /** (name, check) dataset-level validations. */
-      datasetChecks: Seq[(String, DataFrame => Boolean)],
-      /** Rules gated by a preFilterExpr, grouped by the filter — evaluated
-        * against the FILTERED frame so fractional error thresholds use the
-        * filtered denominator (reference semantics). */
-      filteredRules: Seq[(String, Seq[Rule])] = Nil)
+      entries: Seq[ParsedEntry]) {
+    /** Rules with no preFilter — evaluated against the whole frame. */
+    def rules: Seq[Rule] = entries.filter(_.preFilter.isEmpty).flatMap(_.rules)
+    /** (name, check) dataset-level validations. */
+    def datasetChecks: Seq[(String, DataFrame => Boolean)] = entries.flatMap(_.datasetChecks)
+    /** Rules gated by a preFilterExpr, grouped by the filter — evaluated
+      * against the FILTERED frame so fractional error thresholds use the
+      * filtered denominator (reference semantics). */
+    def filteredRules: Seq[(String, Seq[Rule])] =
+      entries.filter(_.preFilter.isDefined)
+        .groupBy(_.preFilter.get).toSeq.sortBy(_._1)
+        .map { case (pre, es) => pre -> es.flatMap(_.rules) }
+        .filter(_._2.nonEmpty)
+  }
 
   def parse(text: String): Seq[SourceValidations] = {
     val json = graft.util.Jsons.parse(text)
@@ -53,14 +60,7 @@ object LegacyValidation {
             case JObject(fs) => fs.collect { case (k, JString(v)) => k -> v }.toMap
             case _ => Map.empty[String, String]
           }
-          val parsed = arr(entry \ "validations").map(parseValidation)
-          val (plain, filtered) = parsed.partition(_.preFilter.isEmpty)
-          SourceValidations(ds, opts,
-            plain.flatMap(_.rules),
-            parsed.flatMap(_.datasetChecks),
-            filtered.groupBy(_.preFilter.get).toSeq.sortBy(_._1)
-              .map { case (pre, es) => pre -> es.flatMap(_.rules) }
-              .filter(_._2.nonEmpty))
+          SourceValidations(ds, opts, arr(entry \ "validations").map(parseValidation))
         }
       }
       case _ => Nil
@@ -72,15 +72,30 @@ object LegacyValidation {
     * dataset checks one bounded job each.
     */
   def validate(df: DataFrame, sv: SourceValidations,
-      threshold: Double = 0.0): Seq[RuleResult] = {
-    val row = if (sv.rules.isEmpty) Nil
-      else RuleEngine.validateAllWithSamples(df, sv.rules, threshold)
-    // pre-filtered groups validate against the FILTERED frame: the
-    // denominator for fractional thresholds is the rows the filter admits
-    val pref = sv.filteredRules.flatMap { case (pre, rules) =>
-      RuleEngine.validateAllWithSamples(df.where(pre), rules, threshold)
-    }
-    val ds = sv.datasetChecks.map { case (name, check) =>
+      threshold: Double = 0.0): Seq[RuleResult] =
+    validateEntries(df, sv.entries, threshold)
+
+  /** Validate parsed entries against one frame — THE single implementation
+    * of the preFilter denominator semantics, shared by the validation-file
+    * path ([[validate]]) and the unified-config path
+    * ([[graft.plan.Unified]]): plain rules in one projection over the whole
+    * frame; pre-filtered groups each in one projection over the FILTERED
+    * frame (fractional thresholds divide by the filtered count); dataset
+    * checks one bounded job each.
+    */
+  def validateEntries(df: DataFrame, entries: Seq[ParsedEntry],
+      threshold: Double = 0.0, numSamples: Int = 5): Seq[RuleResult] = {
+    val plain = entries.filter(_.preFilter.isEmpty).flatMap(_.rules)
+    val row = if (plain.isEmpty) Nil
+      else RuleEngine.validateAllWithSamples(df, plain, threshold, numSamples)
+    val pref = entries.filter(_.preFilter.isDefined)
+      .groupBy(_.preFilter.get).toSeq.sortBy(_._1)
+      .flatMap { case (pre, es) =>
+        val rules = es.flatMap(_.rules)
+        if (rules.isEmpty) Nil
+        else RuleEngine.validateAllWithSamples(df.where(pre), rules, threshold, numSamples)
+      }
+    val ds = entries.flatMap(_.datasetChecks).map { case (name, check) =>
       val ok = check(df)
       RuleResult(name, 1, if (ok) 0 else 1, ok)
     }
@@ -109,9 +124,7 @@ object LegacyValidation {
   final case class ParsedEntry(
       rules: Seq[Rule],
       datasetChecks: Seq[(String, DataFrame => Boolean)],
-      preFilter: Option[String]) {
-    def frame(df: DataFrame): DataFrame = preFilter.fold(df)(df.where(_))
-  }
+      preFilter: Option[String])
 
   def parseValidation(v: JValue): ParsedEntry = {
     val (rules, checks) = parseValidation0(v)

@@ -59,9 +59,7 @@ object Preview {
       Seq(Sample(plan.name, outcome.output.limit(n).toJSON.collect().toSeq))
     } finally {
       // a long-lived REST server must not accumulate one /tmp dir per call
-      java.nio.file.Files.walk(tmpPath)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      graft.util.Fs.deleteRecursively(tmpPath)
     }
   }
 }

@@ -1,7 +1,6 @@
 package graft.plan
 
 import org.json4s._
-import org.json4s.jackson.JsonMethods
 
 /** Adapter for the reference's NATIVE plan/task YAML layout
   * (`core/parser/PlanParser.scala` + `api/.../PlanModels.scala:9-125`):

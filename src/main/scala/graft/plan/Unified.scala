@@ -1,7 +1,7 @@
 package graft.plan
 
-import graft.rules.{LegacyValidation, RuleEngine, RuleResult}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.rules.{LegacyValidation, RuleResult}
+import org.apache.spark.sql.SparkSession
 import org.json4s._
 
 /** Adapter for the reference's UNIFIED single-file config — its modern

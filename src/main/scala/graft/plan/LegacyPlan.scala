@@ -67,10 +67,18 @@ object LegacyPlan {
           case "timestamp" => FieldDef(name, "timestamp")
           case "date" => FieldDef(name, "date")
           case "boolean" => FieldDef(name, "boolean")
-          case _ =>
+          case "string" =>
             FieldDef(name, "alphanum",
               minLen = dbl(o \ "minLen").map(_.toInt),
               maxLen = dbl(o \ "maxLen").map(_.toInt))
+          case other =>
+            // a typo'd or wrong-dialect type silently generating random
+            // strings is data that LOOKS right and IS wrong — fail loudly
+            // with the supported set (the reference's own type names)
+            throw new IllegalArgumentException(
+              s"field '$name': unknown legacy field type '$other' " +
+                "(string|integer|long|double|float|decimal|date|timestamp|boolean; " +
+                "generators go in options: regex/oneOf/min/max/isUnique/expression/sql/static)")
         }
     }
   }
@@ -100,7 +108,7 @@ object LegacyPlan {
         }
         val sink = str(s \ "options" \ "path").map { p =>
           SinkSpec(format = str(s \ "type").filter(t =>
-            Set("parquet", "csv", "json", "orc").contains(t)).getOrElse("parquet"), path = p)
+            Set("parquet", "csv", "json", "orc", "xml").contains(t)).getOrElse("parquet"), path = p)
         }
         val fields = arr(s \ "fields").map(field)
         StepInfo(TaskDef(name, records, fields, sink), perField)

@@ -51,7 +51,7 @@ object Unified {
 
   private def parseJ(text: String): JValue = graft.util.Jsons.parse(text)
 
-  private val FileFormats = Set("parquet", "csv", "json", "orc")
+  private val FileFormats = Set("parquet", "csv", "json", "orc", "xml")
 
   /** Parse to the generation plan plus per-step raw validation entries. */
   def parse(text: String): (MultiPlanSpec, Map[String, Seq[JValue]]) = {

@@ -113,6 +113,43 @@ object ImageOps {
     }
   }
 
+  /** Ingest a DIRECTORY of image files as the pipeline's input table —
+    * Spark's built-in `binaryFile` source (one row per file: path +
+    * content, predicate pushdown on path/length/modTime) feeds the same
+    * decode batch as [[decodeMeta]], so a folder of real images becomes
+    * (image_id, bytes, w, h, fmt, caption, phash) rows ready for
+    * [[graft.pipeline.QualityFilter]]. `pathGlobFilter` narrows at the
+    * SOURCE (e.g. `*.png`); files without a JDK codec carry w = h = -1 and
+    * the quality rules drop them. Captions arrive separately (join on
+    * image_id) — a directory has none.
+    */
+  def readImageDirectory(
+      spark: SparkSession,
+      path: String,
+      globFilter: String = "*",
+      batchSize: Int = 256): Dataset[ImageRow] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", globFilter)
+      .load(path)
+      .select(
+        element_at(split(col("path"), "/"), -1).as("image_id"),
+        col("content").as("bytes"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            val fmt = sniff(bytes)
+            Pixels.decode(bytes) match {
+              case Some(d) =>
+                ImageRow(id, bytes, d.w, d.h, fmt, caption = "", Pixels.aHash64(d))
+              case None => ImageRow(id, bytes, -1, -1, fmt, caption = "", 0L)
+            }
+          }
+        }
+      }
+  }
+
   /** Frame sampling for video-like payloads: deterministic frame offsets
     * from the byte length (stub: frames are byte slices). Demonstrates the
     * explode-based fan-out shape real frame extraction would use.

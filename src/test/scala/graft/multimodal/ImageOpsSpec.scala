@@ -75,4 +75,25 @@ class ImageOpsSpec extends SparkSuite {
     assert(frames.count() == 400 * 4)
     assert(frames.where(col("frame_bytes").isNull).count() == 0)
   }
+
+  test("readImageDirectory: a folder of real files becomes input-table rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_imgdir")
+    // two real PNGs (decodable) + one non-image file
+    Seq(("a.png", 8, 6), ("b.png", 5, 5)).foreach { case (name, w, h) =>
+      val d = Pixels.Decoded(w, h, Array.fill(w * h)(0xFF336699))
+      java.nio.file.Files.write(dir.resolve(name), Pixels.encodePng(d))
+    }
+    java.nio.file.Files.write(dir.resolve("notes.txt"), "not an image".getBytes)
+
+    val rows = ImageOps.readImageDirectory(spark, dir.toString)
+      .collect().map(r => r.image_id -> r).toMap
+    assert(rows.keySet == Set("a.png", "b.png", "notes.txt"))
+    assert(rows("a.png").w == 8 && rows("a.png").h == 6 && rows("a.png").fmt == "png")
+    assert(rows("b.png").phash != 0L) // pixel-derived ahash present
+    assert(rows("notes.txt").w == -1 && rows("notes.txt").fmt == "unknown")
+
+    // source-side narrowing: the glob never reads the txt file
+    val pngOnly = ImageOps.readImageDirectory(spark, dir.toString, globFilter = "*.png")
+    assert(pngOnly.count() == 2)
+  }
 }

@@ -43,6 +43,15 @@ final case class RegexField(name: String, pattern: String) extends FieldSpec {
     RegexGen.toColumn(parts, key => uniform(s"$name#$key", seed, idx))
 }
 
+/** Deterministic binary payload: 16 bytes = unhex(md5(draw)) — the
+  * reference's binary type generates random bytes
+  * (`RandomDataGenerator.scala` binary case); here keyed off the row
+  * uniform so it is partitioning-invariant like every other field. */
+final case class BytesField(name: String) extends FieldSpec {
+  def toColumn(u: Column, idx: Column, seed: Long): Column =
+    unhex(md5(u.cast("string")))
+}
+
 /** Uniform long in [lo, hi]. */
 final case class IntField(name: String, lo: Long, hi: Long) extends FieldSpec {
   def toColumn(u: Column, idx: Column, seed: Long): Column =

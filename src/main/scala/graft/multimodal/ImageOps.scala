@@ -126,8 +126,7 @@ object ImageOps {
   def readImageDirectory(
       spark: SparkSession,
       path: String,
-      globFilter: String = "*",
-      batchSize: Int = 256): Dataset[ImageRow] = {
+      globFilter: String = "*"): Dataset[ImageRow] = {
     import spark.implicits._
     spark.read.format("binaryFile")
       .option("pathGlobFilter", globFilter)
@@ -136,16 +135,15 @@ object ImageOps {
         element_at(split(col("path"), "/"), -1).as("image_id"),
         col("content").as("bytes"))
       .as[(String, Array[Byte])]
-      .mapPartitions { it =>
-        it.grouped(batchSize).flatMap { batch =>
-          batch.map { case (id, bytes) =>
-            val fmt = sniff(bytes)
-            Pixels.decode(bytes) match {
-              case Some(d) =>
-                ImageRow(id, bytes, d.w, d.h, fmt, caption = "", Pixels.aHash64(d))
-              case None => ImageRow(id, bytes, -1, -1, fmt, caption = "", 0L)
-            }
-          }
+      .map { case (id, bytes) =>
+        // per-element decode: ImageIO holds no amortizable per-batch state
+        // (unlike the feature codecs), so a grouped() wrapper would only
+        // buffer image bytes without buying anything
+        val fmt = sniff(bytes)
+        Pixels.decode(bytes) match {
+          case Some(d) =>
+            ImageRow(id, bytes, d.w, d.h, fmt, caption = "", Pixels.aHash64(d))
+          case None => ImageRow(id, bytes, -1, -1, fmt, caption = "", 0L)
         }
       }
   }

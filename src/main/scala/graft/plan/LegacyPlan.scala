@@ -61,6 +61,13 @@ object LegacyPlan {
           case "integer" | "int" | "long" =>
             FieldDef(name, "int", lo = dbl(o \ "min").orElse(Some(0.0)),
               hi = dbl(o \ "max").orElse(Some(1000000.0)))
+          case "short" =>
+            FieldDef(name, "int", lo = dbl(o \ "min").orElse(Some(0.0)),
+              hi = dbl(o \ "max").orElse(Some(32767.0)))
+          case "byte" =>
+            FieldDef(name, "int", lo = dbl(o \ "min").orElse(Some(0.0)),
+              hi = dbl(o \ "max").orElse(Some(127.0)))
+          case "binary" | "bytes" => FieldDef(name, "binary")
           case "double" | "float" | "decimal" =>
             FieldDef(name, "double", lo = dbl(o \ "min").orElse(Some(0.0)),
               hi = dbl(o \ "max").orElse(Some(1000.0)))
@@ -77,8 +84,10 @@ object LegacyPlan {
             // with the supported set (the reference's own type names)
             throw new IllegalArgumentException(
               s"field '$name': unknown legacy field type '$other' " +
-                "(string|integer|long|double|float|decimal|date|timestamp|boolean; " +
-                "generators go in options: regex/oneOf/min/max/isUnique/expression/sql/static)")
+                "(string|int|integer|long|short|byte|double|float|decimal|date|" +
+                "timestamp|boolean|binary; nested array/struct fields: use the " +
+                "Scala API's ArraySpec/StructSpec; generators go in options: " +
+                "regex/oneOf/min/max/isUnique/expression/sql/static)")
         }
     }
   }
@@ -107,8 +116,15 @@ object LegacyPlan {
             dbl(pf \ "count").getOrElse(1.0)))
         }
         val sink = str(s \ "options" \ "path").map { p =>
-          SinkSpec(format = str(s \ "type").filter(t =>
-            Set("parquet", "csv", "json", "orc", "xml").contains(t)).getOrElse("parquet"), path = p)
+          val fmt = str(s \ "type").filter(t =>
+            Set("parquet", "csv", "json", "orc", "xml").contains(t)).getOrElse("parquet")
+          // Spark 4's built-in XML writer REQUIRES rowTag — default it to
+          // the step name (overridable via options.rowTag) so `type: xml`
+          // sinks work end-to-end instead of failing at write time
+          val opts =
+            if (fmt == "xml") Map("rowTag" -> str(s \ "options" \ "rowTag").getOrElse(name))
+            else Map.empty[String, String]
+          SinkSpec(format = fmt, path = p, options = opts)
         }
         val fields = arr(s \ "fields").map(field)
         StepInfo(TaskDef(name, records, fields, sink), perField)

@@ -93,6 +93,7 @@ final case class FieldDef(
     case "sql" | "computed" => SqlField(name,
       sql.getOrElse(throw new IllegalArgumentException(s"$name: sql needs sql")))
     case "boolean" => OneOfField(name, Seq(("true", 0.5), ("false", 0.5)))
+    case "binary" | "bytes" => BytesField(name)
     case "alphanum" | "string" =>
       AlphaNumField(name, minLen.getOrElse(5), maxLen.getOrElse(math.max(5, minLen.getOrElse(5))))
     case other => throw new IllegalArgumentException(s"$name: unknown field type '$other'")
@@ -161,7 +162,7 @@ object MultiPlanRunner {
     // sinks, in insert order (FK-safe for a consuming system)
     order.foreach { name =>
       taskByName(name).sink.foreach { s =>
-        val w = frames(name).write.mode(s.mode).format(s.format)
+        val w = frames(name).write.mode(s.mode).format(s.format).options(s.options)
         val pw = if (s.partitionBy.nonEmpty) w.partitionBy(s.partitionBy: _*) else w
         pw.save(s.path)
       }

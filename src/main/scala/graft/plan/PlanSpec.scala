@@ -39,7 +39,9 @@ final case class SinkSpec(
     format: String = "parquet",
     path: String,
     mode: String = "overwrite",
-    partitionBy: Seq[String] = Nil)
+    partitionBy: Seq[String] = Nil,
+    /** Writer options (e.g. xml's required `rowTag`). */
+    options: Map[String, String] = Map.empty)
 
 /** Wait-gate IR: `typ` ∈ pause|fileExists|dataExists|webhook; the other
   * fields are per-type (pause→pauseMs; fileExists→path; dataExists→

@@ -76,7 +76,9 @@ object Unified {
         val sink =
           if (FileFormats.contains(connType))
             connPath.map(p => SinkSpec(connType,
-              if (steps.size == 1) p else s"$p/$stepName"))
+              if (steps.size == 1) p else s"$p/$stepName",
+              options = if (connType == "xml") Map("rowTag" -> stepName)
+                        else Map.empty))
           else None // jdbc/kafka/http: generation only; delivery is separate
         task.copy(sink = sink.orElse(task.sink))
       }

@@ -56,6 +56,22 @@ object AvroSource {
   private def hadoopConf = org.apache.spark.sql.SparkSession.active
     .sparkContext.hadoopConfiguration
 
+  /** The session's hadoop conf as serializable key-values: executors must
+    * see the SAME filesystem settings the driver planned with (s3a
+    * credentials/endpoints, fs.defaultFS, kerberos) — a fresh empty
+    * Configuration on the task side works only by accident on file: paths.
+    */
+  private[v2] def confEntries: Array[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    hadoopConf.iterator().asScala.map(e => e.getKey -> e.getValue).toArray
+  }
+
+  private[v2] def rebuild(entries: Array[(String, String)]): org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    entries.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
   private[v2] def listAvroFiles(path: String): Seq[String] = {
     val p = new Path(path)
     val fs = p.getFileSystem(hadoopConf)
@@ -142,9 +158,10 @@ private class AvroTable(path: String, schema0: StructType) extends Table
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
-      override def truncate(): WriteBuilder = this // overwrite = rewrite files
+      private var doTruncate = false
+      override def truncate(): WriteBuilder = { doTruncate = true; this }
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new AvroBatchWrite(path, info.schema())
+        override def toBatch: BatchWrite = new AvroBatchWrite(path, info.schema(), doTruncate)
       }
     }
 }
@@ -156,22 +173,34 @@ private class AvroScan(path: String, schema: StructType) extends Scan with Batch
   override def planInputPartitions(): Array[InputPartition] =
     AvroSource.listAvroFiles(path).map(AvroFilePartition.apply).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new AvroReaderFactory(schema)
+    new AvroReaderFactory(schema, AvroSource.confEntries)
 }
 
 private case class AvroFilePartition(file: String) extends InputPartition
 
-private class AvroReaderFactory(schema: StructType) extends PartitionReaderFactory {
+private class AvroReaderFactory(schema: StructType, conf: Array[(String, String)])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new AvroPartitionReader(partition.asInstanceOf[AvroFilePartition].file, schema)
+    new AvroPartitionReader(partition.asInstanceOf[AvroFilePartition].file, schema, conf)
 }
 
-private class AvroPartitionReader(file: String, schema: StructType)
-    extends PartitionReader[InternalRow] {
-  private val conf = new org.apache.hadoop.conf.Configuration()
+private class AvroPartitionReader(file: String, schema: StructType,
+    confEntries: Array[(String, String)]) extends PartitionReader[InternalRow] {
+  private val conf = AvroSource.rebuild(confEntries)
   private val reader = new DataFileReader[GenericRecord](
     new org.apache.avro.mapred.FsInput(new Path(file), conf),
     new GenericDatumReader[GenericRecord]())
+  // heterogeneous directories must fail loudly, not read nulls: GenericData
+  // .Record.get returns null for UNKNOWN field names, so a file written
+  // with a different schema than the inferred one would silently null out
+  // whole columns (or ClassCastException deep in execution on type drift)
+  locally {
+    val fileFields = reader.getSchema.getFields.asScala.map(_.name()).toSet
+    val missing = schema.fieldNames.filterNot(fileFields.contains)
+    require(missing.isEmpty,
+      s"avro file $file lacks expected fields ${missing.mkString(",")} — " +
+        "directory holds heterogeneous schemas (inference uses the first file)")
+  }
   private var current: InternalRow = _
 
   override def next(): Boolean =
@@ -200,25 +229,45 @@ private class AvroPartitionReader(file: String, schema: StructType)
 
 // ---------- write side ----------
 
-private class AvroBatchWrite(path: String, schema: StructType) extends BatchWrite {
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new AvroWriterFactory(path, schema)
+private class AvroBatchWrite(path: String, schema: StructType, truncate: Boolean)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    if (truncate) {
+      // overwrite must CLEAR the destination before tasks write — stale
+      // part files have different task ids and would otherwise survive,
+      // silently returning old+new rows on the next read
+      val p = new Path(path)
+      val fs = p.getFileSystem(AvroSource.rebuild(AvroSource.confEntries))
+      AvroSource.listAvroFiles(path).foreach(f => fs.delete(new Path(f), false))
+    }
+    new AvroWriterFactory(path, schema, AvroSource.confEntries)
+  }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    // a failed JOB must not leave the parts its successful tasks committed
+    val fs = new Path(path).getFileSystem(AvroSource.rebuild(AvroSource.confEntries))
+    messages.collect { case AvroCommit(file) => fs.delete(new Path(file), false) }
+  }
 }
 
-private class AvroWriterFactory(path: String, schema: StructType) extends DataWriterFactory {
+private class AvroWriterFactory(path: String, schema: StructType,
+    conf: Array[(String, String)]) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new AvroDataWriter(path, schema, partitionId, taskId)
+    new AvroDataWriter(path, schema, partitionId, taskId, conf)
 }
 
 private class AvroDataWriter(dir: String, schema: StructType,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    partitionId: Int, taskId: Long, confEntries: Array[(String, String)])
+    extends DataWriter[InternalRow] {
 
   private val avroSchema = AvroSource.toAvro(schema, "row")
+  // write to an .inprogress name, rename on task COMMIT: a task that dies
+  // mid-write leaves only a file the reader's .avro filter never lists —
+  // truncated containers are never visible under final names
   private val filePath = new Path(dir, f"part-$partitionId%05d-$taskId.avro")
-  private val fs = filePath.getFileSystem(new org.apache.hadoop.conf.Configuration())
-  private val out = { fs.mkdirs(filePath.getParent); fs.create(filePath, true) }
+  private val tmpPath = new Path(dir, filePath.getName + ".inprogress")
+  private val fs = filePath.getFileSystem(AvroSource.rebuild(confEntries))
+  private val out = { fs.mkdirs(filePath.getParent); fs.create(tmpPath, true) }
   private val writer = {
     val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](avroSchema))
     w.create(avroSchema, out)
@@ -244,8 +293,12 @@ private class AvroDataWriter(dir: String, schema: StructType,
     writer.append(rec)
   }
 
-  override def commit(): WriterCommitMessage = { writer.close(); AvroCommit(filePath.toString) }
-  override def abort(): Unit = { scala.util.Try(writer.close()); fs.delete(filePath, false); () }
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    require(fs.rename(tmpPath, filePath), s"rename $tmpPath -> $filePath failed")
+    AvroCommit(filePath.toString)
+  }
+  override def abort(): Unit = { scala.util.Try(writer.close()); fs.delete(tmpPath, false); () }
   override def close(): Unit = ()
 }
 

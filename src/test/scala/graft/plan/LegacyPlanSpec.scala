@@ -140,6 +140,32 @@ class LegacyPlanSpec extends SparkSuite {
       LegacyPlan.resolveValidations(plan, Nil))
   }
 
+  test("all reference scalar types parse; unknown types fail loudly") {
+    val yaml =
+      """name: types
+        |steps:
+        |  - name: "t"
+        |    count: {records: 40}
+        |    fields:
+        |      - {name: a, type: short}
+        |      - {name: b, type: byte}
+        |      - {name: c, type: binary}
+        |      - {name: d, type: long, options: {min: 5, max: 9}}
+        |""".stripMargin
+    val o = MultiPlanRunner.run(s,
+      MultiPlanSpec("ty", 3L, LegacyPlan.parseTaskFile(yaml)))
+    val df = o.frames("t")
+    assert(df.schema("c").dataType == org.apache.spark.sql.types.BinaryType)
+    assert(df.where(col("a") < 0 || col("a") > 32767).isEmpty)
+    assert(df.where(col("b") < 0 || col("b") > 127).isEmpty)
+    assert(df.where(col("d") < 5 || col("d") > 9).isEmpty)
+    assert(df.select(length(col("c"))).distinct().head().getInt(0) == 16)
+    // unknown type names are a loud parse error, not silent random strings
+    val e = intercept[IllegalArgumentException](LegacyPlan.parseTaskFile(
+      yaml.replace("type: short", "type: sequentail")))
+    assert(e.getMessage.contains("unknown legacy field type 'sequentail'"))
+  }
+
   test("task file alone parses to runnable tasks") {
     val out = Files.createTempDirectory("graft_legacy2").toString
     val tasks = LegacyPlan.parseTaskFile(taskYaml(out))

@@ -37,13 +37,12 @@ class XmlFormatSpec extends SparkSuite {
          |      - {name: kind, options: {oneOf: [click, view]}}
          |""".stripMargin
     val tasks = graft.plan.LegacyPlan.parseTaskFile(yaml)
-    assert(tasks.head.sink.exists(_.format == "xml"))
-    // MultiPlanRunner writes format-agnostically; xml needs its rowTag so
-    // route the write here the way a deployment would configure it
-    val o = graft.plan.MultiPlanRunner.run(spark,
-      graft.plan.MultiPlanSpec("x", 1L, Seq(tasks.head.copy(sink = None))))
-    o.frames("events").write.option("rowTag", "event").format("xml").save(s"$out/events")
-    val back = spark.read.option("rowTag", "event").format("xml").load(s"$out/events")
+    // the sink carries the required rowTag (defaulted to the step name)
+    assert(tasks.head.sink.exists(s => s.format == "xml" && s.options("rowTag") == "events"))
+    // END-TO-END through the runner's own sink write — no manual rewrite
+    graft.plan.MultiPlanRunner.run(spark,
+      graft.plan.MultiPlanSpec("x", 1L, tasks))
+    val back = spark.read.option("rowTag", "events").format("xml").load(s"$out/events")
     assert(back.count() == 25)
     assert(back.where(!col("kind").isin("click", "view")).isEmpty)
   }

@@ -41,9 +41,12 @@ class AvroSourceSpec extends SparkSuite {
     Seq((9L, "z")).toDF("id", "v").coalesce(1)
       .write.mode("overwrite").format("graft-avro").save(dir)
     val back = spark.read.format("graft-avro").load(dir)
-    // overwrite wrote its own part files; stale parts with other names may
-    // remain (documented: truncate-as-rewrite) — the new data is present
+    // overwrite TRUNCATES: stale part files (different task ids) are
+    // deleted before the new tasks write — old+new would be corruption
+    assert(back.count() == 1)
     assert(back.where(col("id") === 9L).count() == 1)
+    // no .inprogress remnants after committed writes
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.endsWith(".inprogress")))
     val nested = Seq((1L, Seq("x"))).toDF("id", "arr")
     val e = intercept[Exception](
       nested.write.mode("append").format("graft-avro").save(dir + "2"))

@@ -235,10 +235,15 @@ private class AvroBatchWrite(path: String, schema: StructType, truncate: Boolean
     if (truncate) {
       // overwrite must CLEAR the destination before tasks write — stale
       // part files have different task ids and would otherwise survive,
-      // silently returning old+new rows on the next read
+      // silently returning old+new rows on the next read. Stale
+      // .inprogress remnants (tasks that died mid-write in older jobs) go
+      // with them — readers never list them, but they'd pile up forever.
       val p = new Path(path)
       val fs = p.getFileSystem(AvroSource.rebuild(AvroSource.confEntries))
-      AvroSource.listAvroFiles(path).foreach(f => fs.delete(new Path(f), false))
+      if (fs.exists(p)) fs.listStatus(p)
+        .filter(s => s.isFile && (s.getPath.getName.endsWith(".avro") ||
+          s.getPath.getName.endsWith(".inprogress")))
+        .foreach(s => fs.delete(s.getPath, false))
     }
     new AvroWriterFactory(path, schema, AvroSource.confEntries)
   }

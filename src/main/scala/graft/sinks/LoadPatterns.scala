@@ -93,6 +93,25 @@ object LoadPatterns {
     }
   }
 
+  /** Warmup / cooldown phases around a main pattern — the reference's
+    * `WarmupCooldownManager.scala` (175 LoC) holds a constant rate before
+    * and after the measured window so JIT/conn-pool effects don't pollute
+    * it. As a pattern COMBINATOR the whole composite stays declarative:
+    * the main pattern's own clock starts after the warmup (its `t` is
+    * shifted), and measurement tooling drops the warmup/cooldown windows.
+    */
+  final case class Phased(
+      warmupRate: Double, warmupSec: Double,
+      main: LoadPattern, mainSec: Double,
+      cooldownRate: Double, cooldownSec: Double) extends LoadPattern {
+    require(warmupSec >= 0 && mainSec > 0 && cooldownSec >= 0, "invalid phase durations")
+    def totalSec: Double = warmupSec + mainSec + cooldownSec
+    def rateAt(t: Double, total: Double): Double =
+      if (t < warmupSec) warmupRate
+      else if (t < warmupSec + mainSec) main.rateAt(t - warmupSec, mainSec)
+      else cooldownRate
+  }
+
   /** Sample the pattern into a cumulative row-budget curve: entry i = total
     * rows allowed by time (i+1)·tickSec. Pure and deterministic — the unit
     * under test for every shape, and the broadcastable artifact the

@@ -55,6 +55,20 @@ class LoadPatternsSpec extends SparkSuite {
     assert(p.rateAt(20.0, 100) == 22.0) // cap
   }
 
+  test("phased: warmup and cooldown bracket the main pattern on a shifted clock") {
+    val p = Phased(warmupRate = 5, warmupSec = 2,
+      main = Ramp(10, 110), mainSec = 10,
+      cooldownRate = 2, cooldownSec = 3)
+    assert(p.totalSec == 15.0)
+    assert(p.rateAt(1.0, 15) == 5.0) // warmup
+    assert(p.rateAt(14.0, 15) == 2.0) // cooldown
+    // main's clock starts at warmupSec: t=2 is the ramp's OWN t=0
+    assert(math.abs(p.rateAt(2.0, 15) - 10.0) < 1e-9)
+    assert(math.abs(p.rateAt(12.0 - 1e-9, 15) - 110.0) < 0.1)
+    // budget = 5*2 + mean(60)*10 + 2*3 = 616
+    assert(math.abs(schedule(p, p.totalSec).last - 616.0) < 1.5)
+  }
+
   test("findBreakingPoint: locates the capacity cliff without a clock") {
     // synthetic system: flawless to 30 req/interval-second, then 50% failures
     val capacity = 30.0

@@ -27,34 +27,61 @@ object ForeignKeys {
       source: DataFrame,
       sourceCol: String,
       seed: Long = 42L,
-      maxLookup: Long = 50000000L): DataFrame = {
-    // null keys are never assignable FK values; dropping them up front also
-    // keeps `n` consistent with the lookup (collect_list skips nulls)
-    val keys = source.select(col(sourceCol)).where(col(sourceCol).isNotNull).distinct()
+      maxLookup: Long = 50000000L): DataFrame =
+    assignKeys(target, identityCol, Seq(targetCol), source, Seq(sourceCol), seed, maxLookup)
+
+  /** Composite (multi-field) FK assignment — the reference's relations are
+    * field LISTS (`api/.../model/PlanModels.scala:27-76`): the sampled unit
+    * is the distinct TUPLE of source fields, so child rows always carry a
+    * (col1, col2, ...) combination that exists together in the parent, never
+    * an independent per-column mix. Same shape as the single-column path:
+    * sorted-array + posexplode indexes the bounded tuple domain on the
+    * lookup side only (struct sort = lexicographic by field order, a total
+    * order over distinct tuples), every target row derives a deterministic
+    * index from its own identity, and the lookup is broadcast — the big side
+    * never shuffles.
+    */
+  def assignKeys(
+      target: DataFrame,
+      identityCol: String,
+      targetCols: Seq[String],
+      source: DataFrame,
+      sourceCols: Seq[String],
+      seed: Long,
+      maxLookup: Long): DataFrame = {
+    require(targetCols.nonEmpty && targetCols.size == sourceCols.size,
+      s"assignKeys: target fields $targetCols and source fields $sourceCols must pair up")
+    // null keys are never assignable FK values; a tuple with ANY null field
+    // is excluded (SQL composite-key semantics: null never equals anything)
+    val keys = source.select(sourceCols.map(col): _*)
+      .where(sourceCols.map(col(_).isNotNull).reduce(_ && _))
+      .distinct()
     // contiguous ordered index on the lookup side only: bounded by the
     // distinct key count (asserted below — a fact-sized "lookup" must fail
     // fast, not silently sort terabytes on one node). sorted-array +
     // posexplode replaces the global row_number window: collect_list does a
     // map-side partial per partition, the merged array lives in ONE bounded
     // row, and posexplode re-expands with the 0-based ascending-key index —
-    // identical to row_number()-1 over ORDER BY key (NULLS FIRST both ways).
+    // identical to row_number()-1 over ORDER BY key.
     val n = keys.count()
-    require(n > 0, s"assignKeys: source '$sourceCol' has no distinct keys")
+    require(n > 0, s"assignKeys: source '${sourceCols.mkString(",")}' has no distinct keys")
     require(n <= maxLookup,
       s"assignKeys: lookup side has $n distinct keys > maxLookup=$maxLookup — " +
         "the index array is single-row by design and only safe on a " +
         "bounded dimension side; raise maxLookup deliberately if intended")
     val lookup = keys
-      .agg(sort_array(collect_list(col(sourceCol))).as("__ks"))
-      .select(posexplode(col("__ks")).as(Seq("__idx", sourceCol)))
-      .select(col("__idx").cast("long").as("__idx"), col(sourceCol))
-    val renamed = lookup.withColumnRenamed(sourceCol, s"__fk_$targetCol")
-    target
-      .drop(targetCol) // replaced by the sampled assignment
+      .agg(sort_array(collect_list(struct(sourceCols.map(col): _*))).as("__ks"))
+      .select(posexplode(col("__ks")).as(Seq("__idx", "__k")))
+      .select(col("__idx").cast("long").as("__idx") +:
+        sourceCols.zip(targetCols).map { case (s, t) =>
+          col("__k").getField(s).as(s"__fk_$t")
+        }: _*)
+    val joined = target
+      .drop(targetCols: _*) // replaced by the sampled assignment
       .withColumn("__idx", pmod(xxhash64(lit(seed), col(identityCol)), lit(n)))
-      .join(broadcast(renamed), Seq("__idx"), "left")
+      .join(broadcast(lookup), Seq("__idx"), "left")
       .drop("__idx")
-      .withColumnRenamed(s"__fk_$targetCol", targetCol)
+    targetCols.foldLeft(joined)((d, t) => d.withColumnRenamed(s"__fk_$t", t))
   }
 
   /** Kahn topological sort over FK edges (parent -> child). Returns tables

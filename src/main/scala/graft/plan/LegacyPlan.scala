@@ -22,13 +22,14 @@ import org.json4s._
   *    value, that many child rows — `CardinalityCountAdjustmentProcessor`);
   *  - `options.path` + step `type` become the sink.
   *
-  * Narrowings (documented): multi-field FKs key on their first field
-  * (assignKeys is single-column); `validations:` name references resolve
+  * Narrowings (documented): `validations:` name references resolve
   * only when a validation YAML is supplied to [[PlanRunner]] separately.
   */
 object LegacyPlan {
 
   import graft.util.Jsons.{str, dbl, arr}
+
+  private val FileFormats = Set("parquet", "csv", "json", "orc", "xml")
 
   private def toJson(text: String): JValue = graft.util.Jsons.parse(text)
 
@@ -44,8 +45,11 @@ object LegacyPlan {
     def opt(k: String) = o \ k match { case JNothing => None; case v => Some(v) }
 
     static match {
-      // static value = a literal column (the reference emits lit(static))
-      case Some(v) => FieldDef(name, "sql", sql = Some(s"'${v.replace("'", "''")}'"))
+      // static value = a literal column (the reference emits lit(static)).
+      // Spark SQL's lexer uses BACKSLASH escaping, not ''-doubling — an
+      // apostrophe value (O'Brien) must round-trip through the parser intact
+      case Some(v) => FieldDef(name, "sql",
+        sql = Some("'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"))
       case None =>
         if (opt("sql").isDefined)
           FieldDef(name, "sql", sql = str(o \ "sql"))
@@ -115,17 +119,23 @@ object LegacyPlan {
             arr(pf \ "fieldNames").flatMap(str),
             dbl(pf \ "count").getOrElse(1.0)))
         }
-        val sink = str(s \ "options" \ "path").map { p =>
-          val fmt = str(s \ "type").filter(t =>
-            Set("parquet", "csv", "json", "orc", "xml").contains(t)).getOrElse("parquet")
-          // Spark 4's built-in XML writer REQUIRES rowTag — default it to
-          // the step name (overridable via options.rowTag) so `type: xml`
-          // sinks work end-to-end instead of failing at write time
-          val opts =
-            if (fmt == "xml") Map("rowTag" -> str(s \ "options" \ "rowTag").getOrElse(name))
-            else Map.empty[String, String]
-          SinkSpec(format = fmt, path = p, options = opts)
-        }
+        // a sink only exists for file-typed steps (or no declared type →
+        // parquet). A jdbc/kafka step with an options.path must NOT fall
+        // back to writing parquet at that path — data that looks written
+        // but to the wrong system; delivery for those is a separate concern
+        val typOpt = str(s \ "type")
+        val sink =
+          if (!typOpt.forall(FileFormats.contains)) None
+          else str(s \ "options" \ "path").map { p =>
+            val fmt = typOpt.getOrElse("parquet")
+            // Spark 4's built-in XML writer REQUIRES rowTag — default it to
+            // the step name (overridable via options.rowTag) so `type: xml`
+            // sinks work end-to-end instead of failing at write time
+            val opts =
+              if (fmt == "xml") Map("rowTag" -> str(s \ "options" \ "rowTag").getOrElse(name))
+              else Map.empty[String, String]
+            SinkSpec(format = fmt, path = p, options = opts)
+          }
         val fields = arr(s \ "fields").map(field)
         StepInfo(TaskDef(name, records, fields, sink), perField)
       }
@@ -195,21 +205,37 @@ object LegacyPlan {
         throw new IllegalArgumentException(s"no task file supplied for '$taskName'"))
       parseSteps(text)
     }
+    // byStep below and MultiPlanRunner's taskByName are name-keyed — a step
+    // name appearing twice (same name under two data sources is legal
+    // reference YAML, addressed there by (dataSource, step)) would silently
+    // drop one and run the other twice. Fail at parse time with the fix.
+    locally {
+      val dups = steps.groupBy(_.task.name).collect { case (n, ss) if ss.size > 1 => n }
+      require(dups.isEmpty,
+        s"plan '$planName' resolves duplicate step names ${dups.mkString(", ")} across " +
+          "its task files — rename the steps so each is unique plan-wide")
+    }
     val byStep = steps.map(s => s.task.name -> s).toMap
 
     val fks = arr(j \ "sinkOptions" \ "foreignKeys").flatMap { fk =>
       val srcStep = str(fk \ "source" \ "step").getOrElse("")
-      val srcField = arr(fk \ "source" \ "fields").flatMap(str).headOption.getOrElse("")
+      // reference relations are field LISTS (PlanModels.scala:27-76) — keep
+      // the whole tuple; assignKeys samples distinct parent tuples
+      val srcFields = arr(fk \ "source" \ "fields").flatMap(str)
       arr(fk \ "generate").map { g =>
         val childStep = str(g \ "step").getOrElse("")
-        val childField = arr(g \ "fields").flatMap(str).headOption.getOrElse(srcField)
+        val childFields = arr(g \ "fields").flatMap(str) match {
+          case Nil => srcFields
+          case fs => fs
+        }
         // explicit cardinality on the relation wins; else the child step's
         // count.perField on the FK fields is the reference's ratio spelling
         val ratio = dbl(fk \ "source" \ "cardinality" \ "ratio")
           .orElse(byStep.get(childStep).flatMap(_.perField).collect {
-            case (names, n) if names.contains(childField) => n
+            case (names, n) if childFields.nonEmpty && childFields.forall(names.contains) => n
           })
-        RelationshipDef(s"$childStep.$childField", s"$srcStep.$srcField", ratio)
+        RelationshipDef(s"$childStep.${childFields.mkString(",")}",
+          s"$srcStep.${srcFields.mkString(",")}", ratio)
       }
     }
     val seed = str(j \ "sinkOptions" \ "seed").flatMap(_.toLongOption).getOrElse(42L)

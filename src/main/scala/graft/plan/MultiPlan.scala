@@ -37,16 +37,28 @@ final case class TaskDef(
     sink: Option[SinkSpec] = None)
 
 /** `from` = child `"table.column"`, `to` = parent `"table.column"`;
-  * `ratio` = children per parent (optional cardinality). */
+  * `ratio` = children per parent (optional cardinality). Composite keys
+  * (reference FK relations are field LISTS, `PlanModels.scala:27-76`) spell
+  * the column part as a comma list: `"transactions.account_number,year"` —
+  * the sampled unit is then the parent's distinct field TUPLE.
+  */
 final case class RelationshipDef(from: String, to: String, ratio: Option[Double] = None) {
-  private def split(s: String): (String, String) = s.split('.') match {
-    case Array(t, c) => (t, c)
-    case _ => throw new IllegalArgumentException(s"relationship endpoint '$s' is not table.column")
+  private def split(s: String): (String, Seq[String]) = {
+    val i = s.indexOf('.')
+    val cols =
+      if (i <= 0 || i == s.length - 1) Nil
+      else s.drop(i + 1).split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    if (cols.isEmpty)
+      throw new IllegalArgumentException(
+        s"relationship endpoint '$s' is not table.column[,column...]")
+    (s.take(i), cols)
   }
   def childTable: String = split(from)._1
-  def childCol: String = split(from)._2
+  def childCols: Seq[String] = split(from)._2
+  def childCol: String = childCols.head
   def parentTable: String = split(to)._1
-  def parentCol: String = split(to)._2
+  def parentCols: Seq[String] = split(to)._2
+  def parentCol: String = parentCols.head
 }
 
 final case class ValidationDef(
@@ -126,10 +138,21 @@ object MultiPlanRunner {
   private val RowId = "__graft_rid"
 
   def run(spark: SparkSession, plan: MultiPlanSpec): MultiPlanOutcome = {
+    // duplicate task names would silently corrupt the run: taskByName is
+    // last-wins, insertOrder emits the name once per occurrence — one task
+    // never generates and the survivor runs twice. Fail loudly instead.
+    locally {
+      val dups = plan.tasks.groupBy(_.name).collect { case (n, ts) if ts.size > 1 => n }
+      require(dups.isEmpty,
+        s"plan '${plan.name}' declares duplicate task names ${dups.mkString(", ")} — " +
+          "rename the steps (e.g. qualify as <dataSource>.<step>)")
+    }
     val taskByName = plan.tasks.map(t => t.name -> t).toMap
     plan.relationships.foreach { r =>
       require(taskByName.contains(r.childTable) && taskByName.contains(r.parentTable),
         s"relationship ${r.from} -> ${r.to} references an undeclared task")
+      require(r.childCols.size == r.parentCols.size,
+        s"relationship ${r.from} -> ${r.to}: child and parent field lists differ in arity")
     }
     val edges = plan.relationships.map(r => r.parentTable -> r.childTable)
     val order = ForeignKeys.insertOrder(plan.tasks.map(_.name), edges)
@@ -153,8 +176,9 @@ object MultiPlanRunner {
         // counts the sampled indices coincide row-for-row, a fully
         // correlated joint distribution instead of independent draws
         df = ForeignKeys.assignKeys(
-          df, RowId, r.childCol, frames(r.parentTable), r.parentCol,
-          seed = plan.seed ^ (r.childCol + "->" + r.parentTable).hashCode.toLong)
+          df, RowId, r.childCols, frames(r.parentTable), r.parentCols,
+          seed = plan.seed ^ (r.childCols.mkString(",") + "->" + r.parentTable).hashCode.toLong,
+          maxLookup = 50000000L)
       }
       frames(name) = df.drop(RowId)
     }

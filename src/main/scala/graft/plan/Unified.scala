@@ -84,16 +84,30 @@ object Unified {
       }
     }
 
+    // stepEntries and the downstream name-keyed maps are last-wins — a step
+    // name shared by two data sources would silently merge; fail at parse
+    locally {
+      val dups = tasks.groupBy(_.name).collect { case (n, ts) if ts.size > 1 => n }
+      require(dups.isEmpty,
+        s"unified config '$name' declares duplicate step names ${dups.mkString(", ")} — " +
+          "rename the steps so each is unique config-wide")
+    }
+
     val fks = arr(j \ "foreignKeys").flatMap { fk =>
       val srcStep = str(fk \ "source" \ "step").getOrElse("")
-      val srcField = arr(fk \ "source" \ "fields").flatMap(str).headOption.getOrElse("")
+      // field LISTS — composite keys sample the parent's distinct tuple
+      val srcFields = arr(fk \ "source" \ "fields").flatMap(str)
       val ratio = (fk \ "source" \ "cardinality" \ "ratio") match {
         case JInt(i) => Some(i.toDouble); case JDouble(d) => Some(d); case _ => None
       }
       arr(fk \ "generate").map { g =>
         val childStep = str(g \ "step").getOrElse("")
-        val childField = arr(g \ "fields").flatMap(str).headOption.getOrElse(srcField)
-        RelationshipDef(s"$childStep.$childField", s"$srcStep.$srcField", ratio)
+        val childFields = arr(g \ "fields").flatMap(str) match {
+          case Nil => srcFields
+          case fs => fs
+        }
+        RelationshipDef(s"$childStep.${childFields.mkString(",")}",
+          s"$srcStep.${srcFields.mkString(",")}", ratio)
       }
     }
 

@@ -176,13 +176,13 @@ object GroupRules {
     * single-partition shuffle of the whole dataset (SURVEY §4 anti-pattern).
     * Here the window is ALWAYS distributed:
     *  - with partition keys: one window per group, the natural case;
-    *  - with NO partition keys (the reference's global check): the ordering
-    *    key is range-bucketed by value (one cheap min/max agg → `buckets`
-    *    equal-width ranges), the lag window runs per bucket, and the
-    *    bucket-boundary pairs are checked via a `buckets`-row aggregate
+    *  - with NO partition keys (the reference's global check): the frame is
+    *    `repartitionByRange`d on the ordering key into `buckets` ranges
+    *    (Spark's range partitioner — a sampling pass, works for ANY
+    *    orderable type incl. strings, which a numeric-cast bucketing would
+    *    silently null out), the lag window runs per range, and the
+    *    range-boundary pairs are checked via a `buckets`-row aggregate
     *    joined back — no single-partition sort of row data ever happens.
-    *    Requires a numeric/date/timestamp ordering column (anything
-    *    castable to double for bucketing).
     */
   def monotonicityViolations(
       df: DataFrame,
@@ -207,17 +207,14 @@ object GroupRules {
         .where(prev.isNotNull && !ok)
         .drop("__prev")
     } else {
-      val ord = col(orderBy).cast("double")
-      val bounds = df.agg(min(ord).as("lo"), max(ord).as("hi")).head()
-      if (bounds.isNullAt(0)) return df.limit(0)
-      val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
-      // equal-width value buckets over [lo, hi]; ties at bucket edges are
-      // fine — bucketing only needs to respect the global order, and
-      // width_bucket is monotone in its input
-      val bucket =
-        if (lo == hi) lit(1L)
-        else call_function("width_bucket", ord, lit(lo), lit(hi), lit(buckets))
-      val bucketed = df.withColumn("__bkt", bucket)
+      // range-partition on the ordering key: partition i holds only keys <=
+      // every key in partition i+1 (equal keys never straddle), so the
+      // partition id IS a global-order-respecting bucket — for strings,
+      // dates, numerics alike. The former width_bucket(cast-to-double)
+      // bucketing silently cast strings to null and returned zero
+      // violations; range partitioning has no such type hole.
+      val bucketed = df.repartitionByRange(buckets, col(orderBy))
+        .withColumn("__bkt", spark_partition_id())
       val w = Window.partitionBy(col("__bkt")).orderBy(col(orderBy))
       // __first marks the bucket's PHYSICALLY first row — lag of a literal
       // is null only when there is no previous row. lag(field) is null BOTH

@@ -85,6 +85,8 @@ object LegacyValidation {
     */
   def validateEntries(df: DataFrame, entries: Seq[ParsedEntry],
       threshold: Double = 0.0, numSamples: Int = 5): Seq[RuleResult] = {
+    // per-validation errorThreshold (reference ValidationModels) rides on
+    // each Rule — mixed-tolerance sets still evaluate in ONE projection
     val plain = entries.filter(_.preFilter.isEmpty).flatMap(_.rules)
     val row = if (plain.isEmpty) Nil
       else RuleEngine.validateAllWithSamples(df, plain, threshold, numSamples)
@@ -127,7 +129,12 @@ object LegacyValidation {
       preFilter: Option[String])
 
   def parseValidation(v: JValue): ParsedEntry = {
-    val (rules, checks) = parseValidation0(v)
+    val (rules0, checks) = parseValidation0(v)
+    // errorThreshold at the ENTRY level (expr entries) applies to rules
+    // that didn't set their own at the ITEM level (field/validation lists)
+    val entryTh = dbl(v \ "errorThreshold")
+    val rules = rules0.map(r =>
+      if (r.threshold.isDefined) r else r.withThreshold(entryTh))
     val pre = str(v \ "preFilterExpr")
     // dataset checks close over the filter themselves; row rules stay
     // unwrapped and the caller groups them by preFilter
@@ -208,8 +215,11 @@ object LegacyValidation {
 
   private def rowRule(field: String, item: JValue): Option[Rule] = {
     val negate = bool(item \ "negate")
-    def fin(r: Rule): Option[Rule] =
+    val th = dbl(item \ "errorThreshold")
+    def fin(r0: Rule): Option[Rule] = {
+      val r = r0.withThreshold(th)
       Some(if (negate) r.negate(r.name + "_not") else r)
+    }
     val strictly = bool(item \ "strictly", default = true)
     val value = item \ "value"
     str(item \ "type").getOrElse("") match {

@@ -22,10 +22,15 @@ import org.apache.spark.sql.functions._
   * default, so we document the deviation here and make it explicit with
   * `coalesce(pred, false)` at evaluation time.
   */
-final case class Rule(name: String, predicate: Column) {
+final case class Rule(name: String, predicate: Column,
+    /** Per-rule error tolerance (reference `errorThreshold`: <1 = fraction
+      * of rows, >=1 = absolute count); None = the engine default. Carried on
+      * the rule so mixed-tolerance rule sets still evaluate in ONE pass. */
+    threshold: Option[Double] = None) {
   def &&(other: Rule): Rule = Rule(s"$name&${other.name}", predicate && other.predicate)
   def ||(other: Rule): Rule = Rule(s"$name|${other.name}", predicate || other.predicate)
-  def negate(newName: String): Rule = Rule(newName, !predicate)
+  def negate(newName: String): Rule = Rule(newName, !predicate, threshold)
+  def withThreshold(t: Option[Double]): Rule = if (t.isEmpty) this else copy(threshold = t)
   /** Predicate with NULL coerced to fail — what the engine actually runs. */
   def strict: Column = coalesce(predicate, lit(false))
 }

@@ -54,14 +54,21 @@ object RuleEngine {
       .head()
     val total = row.getLong(0)
     val errors = row.getLong(1)
-    val ok =
-      if (threshold >= 1) errors <= threshold
-      else total == 0 || errors.toDouble / total <= threshold
-    RuleResult(rule.name, total, errors, ok)
+    RuleResult(rule.name, total, errors,
+      underThreshold(errors, total, rule.threshold.getOrElse(threshold)))
   }
 
+  /** `threshold` < 1 is a fraction of rows, >= 1 an absolute error count —
+    * the reference's errorThreshold contract
+    * (`ValidationOperations.scala:44-51`). */
+  private def underThreshold(errors: Long, total: Long, threshold: Double): Boolean =
+    if (threshold >= 1) errors <= threshold
+    else total == 0 || errors.toDouble / total <= threshold
+
   /** All-rule error counts in ONE pass (vs the reference's N passes):
-    * a single aggregate with one count_if per rule.
+    * a single aggregate with one count_if per rule. A rule's own
+    * `threshold` (reference per-validation errorThreshold) overrides the
+    * call-level default — still one pass for mixed-tolerance sets.
     */
   def validateAll(df: DataFrame, rules: Seq[Rule], threshold: Double = 0.0): Seq[RuleResult] = {
     require(rules.nonEmpty, "empty rule set")
@@ -71,10 +78,8 @@ object RuleEngine {
     val total = row.getLong(0)
     rules.zipWithIndex.map { case (r, i) =>
       val errors = row.getLong(i + 1)
-      val ok =
-        if (threshold >= 1) errors <= threshold
-        else total == 0 || errors.toDouble / total <= threshold
-      RuleResult(r.name, total, errors, ok)
+      RuleResult(r.name, total, errors,
+        underThreshold(errors, total, r.threshold.getOrElse(threshold)))
     }
   }
   /** Up to `n` offending rows for a rule, nested structs flattened to dotted

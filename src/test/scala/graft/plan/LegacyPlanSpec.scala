@@ -166,6 +166,114 @@ class LegacyPlanSpec extends SparkSuite {
     assert(e.getMessage.contains("unknown legacy field type 'sequentail'"))
   }
 
+  test("composite (multi-field) FK: child tuples exist together in the parent") {
+    // reference FK relations are field LISTS (api/.../model/PlanModels.scala:
+    // 27-76) — the sampled unit must be the parent's (account, currency)
+    // TUPLE: independent per-column sampling would fabricate combinations
+    // no parent row has
+    val planY =
+      """name: "composite_fk"
+        |tasks:
+        |  - name: "t"
+        |    dataSourceName: "parquet"
+        |sinkOptions:
+        |  foreignKeys:
+        |    - source:
+        |        dataSource: "parquet"
+        |        step: "accounts"
+        |        fields: [ "account_number", "currency" ]
+        |      generate:
+        |        - dataSource: "parquet"
+        |          step: "payments"
+        |          fields: [ "account_number", "currency" ]
+        |""".stripMargin
+    val taskY =
+      """name: "t"
+        |steps:
+        |  - name: "accounts"
+        |    count: {records: 30}
+        |    fields:
+        |      - {name: account_number, options: {isUnique: true}}
+        |      - name: currency
+        |        options: {oneOf: ["USD", "EUR", "SGD"]}
+        |  - name: "payments"
+        |    count: {records: 500}
+        |    fields:
+        |      - {name: account_number}
+        |      - {name: currency}
+        |      - {name: amount, type: double}
+        |""".stripMargin
+    val plan = LegacyPlan.parsePlan(planY, Map("t" -> taskY))
+    assert(plan.relationships == Seq(RelationshipDef(
+      "payments.account_number,currency", "accounts.account_number,currency", None)))
+    val o = MultiPlanRunner.run(s, plan)
+    val accounts = o.frames("accounts")
+    val payments = o.frames("payments")
+    // every child PAIR appears together in a parent row — per-column
+    // containment alone would also hold for fabricated cross-combinations,
+    // the tuple anti-join is the real assertion
+    assert(payments.join(accounts.select("account_number", "currency"),
+      Seq("account_number", "currency"), "left_anti").isEmpty)
+    // 30 parents × 3 currencies would allow 90 fake combos; only the 30
+    // real tuples may occur
+    assert(payments.select("account_number", "currency").distinct().count() <= 30)
+    // deterministic across runs
+    val again = MultiPlanRunner.run(s, plan)
+    assert(payments.exceptAll(again.frames("payments")).isEmpty)
+  }
+
+  test("static values with apostrophes/backslashes survive the SQL round-trip") {
+    val y =
+      """name: t
+        |steps:
+        |  - name: "st"
+        |    count: {records: 5}
+        |    fields:
+        |      - {name: who, static: "O'Brien"}
+        |      - {name: path, static: "C:\\dir"}
+        |""".stripMargin
+    val o = MultiPlanRunner.run(s, MultiPlanSpec("st", 1L, LegacyPlan.parseTaskFile(y)))
+    assert(o.frames("st").where(col("who") =!= "O'Brien" || col("path") =!= "C:\\dir").isEmpty)
+  }
+
+  test("non-file step types with an options.path do NOT silently write parquet") {
+    val y =
+      """name: t
+        |steps:
+        |  - name: "db"
+        |    type: "jdbc"
+        |    count: {records: 5}
+        |    options: {path: "/tmp/should_not_exist_graft"}
+        |    fields: [{name: v, type: integer}]
+        |""".stripMargin
+    val tasks = LegacyPlan.parseTaskFile(y)
+    assert(tasks.head.sink.isEmpty) // delivery for jdbc is a separate concern
+  }
+
+  test("duplicate step names are a loud parse error, not silent last-wins") {
+    val dupTask =
+      """name: t
+        |steps:
+        |  - name: "same"
+        |    count: {records: 5}
+        |    fields: [{name: v, type: integer}]
+        |""".stripMargin
+    val planY =
+      """name: dup
+        |tasks:
+        |  - {name: "a", dataSourceName: "parquet"}
+        |  - {name: "b", dataSourceName: "csv"}
+        |""".stripMargin
+    val e = intercept[IllegalArgumentException](
+      LegacyPlan.parsePlan(planY, Map("a" -> dupTask, "b" -> dupTask)))
+    assert(e.getMessage.contains("duplicate step names"))
+    // and the runner itself guards direct MultiPlanSpec construction
+    val t = TaskDef("same", 5, Seq(FieldDef("v", "int")))
+    val e2 = intercept[IllegalArgumentException](
+      MultiPlanRunner.run(s, MultiPlanSpec("dup", 1L, Seq(t, t))))
+    assert(e2.getMessage.contains("duplicate task names"))
+  }
+
   test("task file alone parses to runnable tasks") {
     val out = Files.createTempDirectory("graft_legacy2").toString
     val tasks = LegacyPlan.parseTaskFile(taskYaml(out))

@@ -149,4 +149,40 @@ class LegacyValidationSpec extends SparkSuite {
     val negated = Rules.between("amount", 0, 1000).negate("amount_not_between")
     assert(RuleEngine.validateAll(bad.limit(1), Seq(negated)).head.success)
   }
+
+  test("per-validation errorThreshold: entry-level and item-level tolerances honored") {
+    // reference sample/validation/simple/simple-validation.yaml carries
+    // errorThreshold both on expr ENTRIES and inside field validation ITEMS;
+    // mixed tolerances must still evaluate in one pass with each applied
+    val yaml =
+      """name: th
+        |dataSources:
+        |  json:
+        |    - options: {}
+        |      validations:
+        |        - field: amount
+        |          validation:
+        |            - {type: between, min: 1, max: 10, errorThreshold: 2}
+        |            - {type: "null", negate: true}
+        |        - expr: "amount < 100"
+        |          errorThreshold: 0.5
+        |        - expr: "amount != 42"
+        |""".stripMargin
+    val sv = LegacyValidation.parse(yaml).head
+    // 10 rows: two out of [1,10] (50, 42) → between has 2 errors (<=2 OK);
+    // amount<100 has 0 errors; amount!=42 has 1 error and NO tolerance
+    val df = ((1 to 8).map(_.toDouble) ++ Seq(50.0, 42.0)).toDF("amount")
+    val byName = LegacyValidation.validateEntries(df, sv.entries).map(r => r.rule -> r).toMap
+    assert(byName("amount_between").success && byName("amount_between").errors == 2)
+    assert(!byName.filter(_._1.startsWith("expr_")).values.forall(_.success)) // the 42 rule
+    // entry-level fractional threshold: 4/10 rows over 100 stays under 0.5
+    val df2 = ((1 to 6).map(_.toDouble) ++ Seq(150.0, 200.0, 300.0, 400.0)).toDF("amount")
+    val r2 = LegacyValidation.validateEntries(df2, sv.entries)
+    val exprRules = r2.filter(_.rule.startsWith("expr_"))
+    assert(exprRules.exists(r => r.errors == 4 && r.success)) // amount<100 @ 0.5
+    // a third error on the item-level count threshold breaks it
+    val df3 = ((1 to 7).map(_.toDouble) ++ Seq(50.0, 60.0, 70.0)).toDF("amount")
+    val r3 = LegacyValidation.validateEntries(df3, sv.entries).map(r => r.rule -> r).toMap
+    assert(!r3("amount_between").success && r3("amount_between").errors == 3)
+  }
 }

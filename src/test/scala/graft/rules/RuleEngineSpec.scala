@@ -103,6 +103,24 @@ class RuleEngineSpec extends SparkSuite {
     assert(GroupRules.monotonicityViolations(withNull, "v", "t", Nil, buckets = 5).count() == 0)
   }
 
+  test("global monotonicity on STRING ordering columns (lexicographic, not silently green)") {
+    // regression: the former cast-to-double bucketing nulled every string
+    // ordering key and returned ZERO violations — a silent pass. Range
+    // partitioning orders any orderable type, so lexicographic checks work.
+    val d = (1 to 20).map(i => (f"k$i%02d", i match {
+      case 3 => 15.0
+      case 9 => 75.0
+      case _ => i * 10.0
+    })).toDF("t", "v")
+    val bad = GroupRules.monotonicityViolations(d, "v", "t", Nil, buckets = 5)
+    assert(bad.select("t").as[String].collect().sorted.toSeq == Seq("k03", "k09"))
+    // isIncreasing-on-a-string-field shape (orderBy == field): strictly
+    // increasing flags exactly the duplicate pair
+    val dup = Seq("a", "b", "b", "c").toDF("s")
+    assert(GroupRules.monotonicityViolations(
+      dup, "s", "s", Nil, strictly = true, buckets = 3).count() == 1)
+  }
+
   test("quantiles + uniqueValuesProportion") {
     val d = (1 to 100).toDF("x")
     val qs = GroupRules.quantiles(d, "x", Seq(0.5))

@@ -44,10 +44,21 @@ object Bench {
     SparkEntry.queries.get("q1_agg").foreach(fn => fn(spark, sfDir).count())
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    // two passes, min per query: the first query after session start pays
+    // load indicator: this host shows 2-3x run-to-run variance under
+    // contention — record 1-min loadavg before and after so a contended
+    // artifact is self-diagnosing instead of reading as a code regression
+    def loadAvg(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadBefore = loadAvg()
+    // three passes, min per query: the first query after session start pays
     // one-time costs (broadcast thread pools, window/aggregate codegen) that
-    // would otherwise land on whichever query sorts first alphabetically
-    (1 to 2).foreach { _ =>
+    // would otherwise land on whichever query sorts first alphabetically,
+    // and min-of-3 across separate windows resists transient host load
+    // (min-of-2 inside one contended window inflated every query together)
+    val passes = 3
+    (1 to passes).foreach { _ =>
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
@@ -68,8 +79,13 @@ object Bench {
       // drop caches left by the dedup queries (persisted minhash signatures)
       spark.catalog.clearCache()
     }
+    // one UNTIMED pipeline pass warms scan/codegen/noop paths so the timed
+    // min reflects steady state (the driver-visible img/s under-reported
+    // steady state ~4x when rep 1's warmup cost was part of the min pool)
+    pipelineRun(spark, pipelineRows, cpus * 4)
     val pipeSec = (1 to 3).map(_ => pipelineRun(spark, pipelineRows, cpus * 4)._1).min
     results("pipeline_synth") = pipeSec
+    val loadAfter = loadAvg()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -79,7 +95,7 @@ object Bench {
     val total = results.values.sum
     val imgsPerSec = (pipelineRows / pipeSec).toLong
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_rows":$pipelineRows,"pipeline_images_per_sec":$imgsPerSec,"n_errors":${errors.size},"errors":$errJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_rows":$pipelineRows,"pipeline_images_per_sec":$imgsPerSec,"passes":$passes,"load_hint":[$loadBefore,$loadAfter],"n_errors":${errors.size},"errors":$errJson}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
     spark.stop()
     // after spark.stop() so no executor/log lines can follow it on stdout

@@ -341,8 +341,28 @@ object Dedup {
     * is garbage-collected; no caller-side unpersist contract. Throws
     * IllegalStateException if maxIter rounds don't reach the fixpoint
     * rather than returning wrong labels.
+    *
+    * Cost shape (the per-round constant dominates small graphs — a 1.3k-edge
+    * frame at 32 shuffle partitions paid ~0.4 s/round of pure scheduling):
+    *  - ONE join + ONE aggregate per round: the neighbor-min, own-label and
+    *    pointer-jump lookups are FUSED by augmenting the edge list with
+    *    self-loops (tagged, carrying the old label out through the agg) and
+    *    id→label pointer edges, so min over the augmented neighbors' labels
+    *    = min(own, neighbors', label-of-label) in a single groupBy;
+    *  - checkpoint every `checkpointEvery` rounds, not every round: rounds
+    *    in between are plan-composed and execute inside one job (convergence
+    *    is still sound — label propagation is monotone, so a final round
+    *    that changes nothing IS the fixpoint, whichever round preceded it);
+    *  - per-round shuffle partitions sized from the observed edge count
+    *    (~250k edges/partition, min 2) instead of the session default —
+    *    at sf0.1 that is 2 tasks per stage, not 32; at 10^10 edges it
+    *    scales past the default instead of bottlenecking on it. The conf
+    *    is session-scoped: set around the loop and restored (callers run
+    *    queries sequentially; concurrent sessions should clone).
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 30,
+      checkpointEvery: Int = 2): DataFrame = {
+    val spark = edges.sparkSession
     // both orientations in ONE pass over the edge list: a union of two
     // selects re-derives the (typically expensive, unpersisted) upstream
     // candidate-pair pipeline once per branch — q31's edges are the whole
@@ -352,62 +372,68 @@ object Dedup {
         struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).persist()
-    var i = 0
-    var done = false
-    while (!done && i < maxIter) {
-      val neighborMin = sym
-        .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), Seq("dst"))
-        .groupBy(col("src")).agg(min(col("dlabel")).as("nlabel"))
-      val withNb = labels
-        .join(neighborMin.select(col("src").as("id"), col("nlabel")), Seq("id"), "left")
-        .select(col("id"), col("label").as("__old"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-      // pointer jump: label := min(label, label(label)). Invariant-safe —
-      // a label is always a node of the same component, so its label is too;
-      // mins only ever decrease toward the component minimum.
-      val jumped =
-        if (i < 2) withNb
-        else withNb
-          .join(labels.select(col("id").as("__lid"), col("label").as("__llabel")),
-            col("label") === col("__lid"), "left")
-          .select(col("id"), col("__old"),
-            least(col("label"), coalesce(col("__llabel"), col("label"))).as("label"))
-      // change detection rides the SAME materialization via observe() —
-      // a separate join-with-old-labels job per iteration doubled the cost.
-      // localCheckpoint (eager) both materializes and TRUNCATES LINEAGE:
-      // each round references `labels` three times (neighbor join, own row,
-      // jump join), so an un-truncated logical plan grows 3^rounds — at
-      // round 12 that is ~500k tree nodes and Catalyst's recursive plan
-      // walk stack-overflows. Checkpointing keeps the plan O(1) per round.
-      val obs = org.apache.spark.sql.Observation()
-      val updated = jumped
-        .observe(obs, count_if(col("label") =!= col("__old")).as("changed"))
-        .drop("__old")
-        .localCheckpoint(true)
-      val changed = obs.get("changed").asInstanceOf[Long]
-      labels.unpersist()
-      labels = updated
-      done = changed == 0
-      i += 1
+    val m = sym.count() // materializes the persist AND sizes the loop
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val p = math.max(2, math.min((m / 250000L + 1).toInt, 10000))
+    spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+    var labels: DataFrame = null
+    try {
+      labels = sym.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")).localCheckpoint(true)
+
+      // one fused round. aug = graph edges + self-loops + (from round 2,
+      // labels still == ids before that) id→label pointer edges; then
+      // new label(v) = min over aug-neighbors u of label(u) covers own
+      // label (self-loop), neighbor labels, and label(label(v)) — the
+      // pointer jump that makes deep chains O(log d). The tagged self-loop
+      // carries the OLD label through the agg for change detection.
+      def round(l: DataFrame, withJump: Boolean): DataFrame = {
+        val graphE = sym.select(col("src"), col("dst"), lit(false).as("self"))
+        val selfE = l.select(col("id").as("src"), col("id").as("dst"), lit(true).as("self"))
+        val jumpE = l.select(col("id").as("src"), col("label").as("dst"), lit(false).as("self"))
+        val aug = if (withJump) graphE.union(selfE).union(jumpE) else graphE.union(selfE)
+        aug.join(l.select(col("id").as("dst"), col("label").as("dlabel")), Seq("dst"))
+          .groupBy(col("src"))
+          .agg(min(col("dlabel")).as("label"),
+            min(when(col("self"), col("dlabel"))).as("__old"))
+          .select(col("src").as("id"), col("label"), col("__old"))
+      }
+
+      var i = 0
+      var done = false
+      while (!done && i < maxIter) {
+        val block = math.min(checkpointEvery, maxIter - i)
+        // intermediate rounds compose into the same job (no action, no
+        // checkpoint); only the block's last round observes + materializes.
+        // Lineage grows 3^block between checkpoints — bounded by the small
+        // checkpointEvery, never by the total round count.
+        var cur = labels
+        for (k <- 0 until block - 1) cur = round(cur, i + k >= 2).drop("__old")
+        val obs = org.apache.spark.sql.Observation()
+        val updated = round(cur, i + block - 1 >= 2)
+          .observe(obs, count_if(col("label") =!= col("__old")).as("changed"))
+          .drop("__old")
+          .localCheckpoint(true)
+        // zero changes in the block's FINAL round = fixpoint (monotone
+        // propagation): earlier rounds of the block don't need inspecting
+        val changed = obs.get("changed").asInstanceOf[Long]
+        labels = updated
+        done = changed == 0
+        i += block
+      }
+      sym.unpersist()
+      // silent truncation would ship WRONG clusters (and q31's oracle would
+      // catch it only when a deep chain occurs) — fail loudly instead
+      if (!done)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter iterations " +
+            "(even with pointer-jumping, ~2^maxIter reach); raise maxIter")
+      // already localCheckpoint'ed: materialized, lineage truncated, blocks
+      // GC-cleaned with the frame — safe to hand back as-is
+      labels
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }
-    sym.unpersist()
-    // silent truncation would ship WRONG clusters (and q31's oracle would
-    // catch it only when a deep chain occurs) — fail loudly instead
-    if (!done) {
-      labels.unpersist()
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter iterations " +
-          "(even with pointer-jumping, ~2^maxIter reach); raise maxIter")
-    }
-    // hand back a self-cleaning result: localCheckpoint materializes the
-    // labels and truncates the iterative lineage, so the loop's cache entry
-    // can be dropped now and the checkpoint blocks are GC-cleaned with the
-    // frame (a plain persisted return leaked one cache entry per call)
-    val out = labels.localCheckpoint(true)
-    labels.unpersist()
-    out
   }
 
   // ---------- n-gram Jaccard ----------

@@ -136,6 +136,38 @@ class DedupSpec extends SparkSuite {
     assert(labels.length == 1001 && labels.forall(_._2 == 0L))
   }
 
+  test("connectedComponents matches a union-find oracle on a mixed deep/shallow graph") {
+    // sf0.1-scale fixture: ~3.5k edges mixing a 2000-node path (depth — the
+    // pointer-jump's worst case) with random pairs over a separate node range
+    // (breadth/cliques). Labels must equal the exact min-reachable id from a
+    // driver-side union-find — an exact oracle with no Spark involved, so
+    // the O(log d) loop is correctness-checked beyond the 1000-path pin.
+    val rnd = new scala.util.Random(7)
+    val edges = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    (0L until 2000L).foreach(i => edges += ((i, i + 1)))
+    (0 until 1500).foreach { _ =>
+      val a = 3000L + rnd.nextInt(3000)
+      val b = 3000L + rnd.nextInt(3000)
+      if (a != b) edges += ((a, b))
+    }
+    // union-find with min-root union + path compression: find(x) ends as
+    // the smallest id in x's component — exactly the engine's label contract
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct.map(x => x -> find(x)).toMap
+    val got = Dedup.connectedComponents(edges.toSeq.toDF("a_id", "b_id"), maxIter = 16)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == expected.size)
+    assert(got == expected)
+  }
+
   test("size-gated newRows: anti-join path above the sketch gate, exact semantics") {
     val previous = (1 to 1000).map(i => s"key$i").toDF("k")
     val current = ((900 to 1100).map(i => s"key$i") :+ null).toDF("k")

@@ -1,0 +1,104 @@
+package graft.rules
+
+import graft.SparkSuite
+import graft.generator.Generator
+import org.apache.spark.sql.functions._
+
+/** Drives the Confluent Schema Registry REST protocol against a hermetic
+  * in-JVM server (the same harness as HttpSinkSpec): subjects listing,
+  * subject/version fetch, id fetch, AVRO + JSON dispatch, and the
+  * fetch → generate → validate round-trip the reference's importer exists
+  * for (`ConfluentSchemaRegistryMetadata.scala`).
+  */
+class SchemaRegistrySpec extends SparkSuite {
+  private val s = graft.SharedSpark.spark
+
+  private val avroSchema =
+    """{"type":"record","name":"Txn","fields":[
+      |  {"name":"txn_id","type":"string"},
+      |  {"name":"amount","type":"double"},
+      |  {"name":"status","type":{"type":"enum","name":"St","symbols":["open","closed"]}},
+      |  {"name":"memo","type":["null","string"]}
+      |]}""".stripMargin
+  private val jsonSchema =
+    """{"type":"object","required":["id"],"properties":{
+      |  "id":{"type":"integer","minimum":1,"maximum":99},
+      |  "tag":{"type":"string","enum":["a","b"]}
+      |}}""".stripMargin
+
+  private def jstr(sch: String): String =
+    sch.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ")
+
+  private def withRegistry[T](body: String => T): T = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def respond(ex: com.sun.net.httpserver.HttpExchange, code: Int, payload: String): Unit = {
+      val bytes = payload.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.getRequestURI.getPath match {
+        case "/subjects" => respond(ex, 200, """["txns-value","events-value"]""")
+        case "/subjects/txns-value/versions/latest" | "/subjects/txns-value/versions/3" =>
+          // Confluent omits schemaType for AVRO — the default must apply
+          respond(ex, 200,
+            s"""{"subject":"txns-value","version":3,"id":7,"schema":"${jstr(avroSchema)}"}""")
+        case "/subjects/events-value/versions/latest" =>
+          respond(ex, 200,
+            s"""{"subject":"events-value","version":1,"id":8,"schemaType":"JSON","schema":"${jstr(jsonSchema)}"}""")
+        case "/schemas/ids/7" =>
+          respond(ex, 200, s"""{"schema":"${jstr(avroSchema)}"}""")
+        case "/subjects/protos-value/versions/latest" =>
+          respond(ex, 200,
+            s"""{"subject":"protos-value","version":1,"schemaType":"PROTOBUF","schema":"syntax = \\"proto3\\";"}""")
+        case _ => respond(ex, 404, """{"error_code":40401,"message":"not found"}""")
+      }
+    })
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}")
+    finally server.stop(0)
+  }
+
+  test("subjects + AVRO subject: fetch, generate, rules hold") {
+    withRegistry { base =>
+      assert(SchemaRegistry.listSubjects(base) == Seq("txns-value", "events-value"))
+      val imp = SchemaRegistry.importSubject(base, "txns-value")
+      assert(imp.subject == "txns-value")
+      assert(imp.specs.map(_.name) == Seq("txn_id", "amount", "status", "memo"))
+      assert(imp.nullable.contains("memo")) // union-with-null → nullable hint
+      val df = Generator.generate(s, 300, imp.specs, seed = 5L, nullProb = imp.nullable)
+      assert(df.count() == 300)
+      assert(df.where(!col("status").isin("open", "closed")).isEmpty)
+      assert(RuleEngine.validateAll(df, imp.rules, threshold = 0.0)
+        .forall(_.success))
+      // id addressing returns the same schema (schemaType defaulted to AVRO)
+      val byId = SchemaRegistry.fetchSchemaById(base, 7)
+      // (jstr flattens newlines for JSON transport — compare parsed trees)
+      assert(byId.schemaType == "AVRO" &&
+        graft.util.Jsons.parse(byId.schema) == graft.util.Jsons.parse(avroSchema))
+    }
+  }
+
+  test("JSON subject dispatches to the JSON-schema importer") {
+    withRegistry { base =>
+      val imp = SchemaRegistry.importSubject(base, "events-value")
+      val df = Generator.generate(s, 200, imp.specs, seed = 6L)
+      assert(df.where(col("id") < 1 || col("id") > 99).isEmpty)
+      assert(df.where(!col("tag").isin("a", "b")).isEmpty)
+      assert(RuleEngine.validateAll(df, imp.rules).forall(_.success))
+    }
+  }
+
+  test("protobuf and HTTP errors fail loudly") {
+    withRegistry { base =>
+      val e = intercept[IllegalArgumentException](
+        SchemaRegistry.importSubject(base, "protos-value"))
+      assert(e.getMessage.contains("PROTOBUF"))
+      val e2 = intercept[IllegalStateException](
+        SchemaRegistry.fetchSchema(base, "missing-subject"))
+      assert(e2.getMessage.contains("404"))
+    }
+  }
+}

@@ -29,12 +29,24 @@ final class PlanStore(dir: String) {
     base.resolve(s"$name.plan")
   }
 
-  def save(name: String, text: String): Unit =
-    Files.writeString(planFile(name), text)
+  /** Overwrite-or-create, ATOMICALLY: concurrent PUTs of the same name (the
+    * REST executor is a thread pool) must each leave a complete document —
+    * a plain truncate+write interleaving could leave a torn mix of two
+    * bodies. Temp file + atomic move; last writer wins, wholly.
+    */
+  def save(name: String, text: String): Unit = {
+    val target = planFile(name)
+    val tmp = Files.createTempFile(base, s".$name", ".tmp")
+    Files.writeString(tmp, text)
+    Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
 
   def get(name: String): Option[String] = {
     val f = planFile(name)
-    if (Files.exists(f)) Some(Files.readString(f)) else None
+    // exists→read races with a concurrent DELETE; treat the vanish as absent
+    try { if (Files.exists(f)) Some(Files.readString(f)) else None }
+    catch { case _: java.nio.file.NoSuchFileException => None }
   }
 
   def list(): Seq[String] = {
@@ -59,8 +71,12 @@ final class PlanStore(dir: String) {
     def j(s: String) = graft.util.Jsons.quote(s)
     val line = s"""{"plan":${j(planName)},"id":${j(runId)},"status":${j(status)},""" +
       s""""ts":$epochMs,"detail":${j(detail)}}"""
-    Files.writeString(runsFile, line + "\n",
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    // one line per append, serialized: concurrent /run completions must not
+    // interleave bytes within the history file
+    synchronized {
+      Files.writeString(runsFile, line + "\n",
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    }
   }
 
   /** Raw history lines, oldest first. */

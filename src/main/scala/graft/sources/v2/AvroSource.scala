@@ -35,9 +35,12 @@ import scala.jdk.CollectionConverters._
   *  - write: one container file per task via the normal BatchWrite
   *    lifecycle (writers produce `part-<pid>-<tid>.avro`, abort deletes its
   *    own file);
-  *  - types: flat rows of string/int/long/float/double/boolean/binary,
-  *    nullable as `union(null, T)` — the generated-table surface; nested
-  *    structures stay on parquet (documented narrowing).
+  *  - types: string/int/long/float/double/boolean/binary, the standard
+  *    logical types (date on int, timestamp-micros on long — millis
+  *    upconverted on read, decimal on bytes with precision/scale), and
+  *    nested records + arrays (recursive, nullable as `union(null, T)` at
+  *    every level). Avro maps and multi-branch unions throw loudly —
+  *    documented narrowing, use parquet for those.
   */
 class AvroSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-avro"
@@ -97,51 +100,165 @@ object AvroSource {
       StructField(f.name(), t, nullable)
     })
 
-  private def unwrap(s: Schema): (DataType, Boolean) = s.getType match {
+  /** Strip the `[null, T]` union wrapper, recursively typing T. */
+  private[v2] def unwrap(s: Schema): (DataType, Boolean) = s.getType match {
     case Schema.Type.UNION =>
       val branches = s.getTypes.asScala
       val nonNull = branches.filterNot(_.getType == Schema.Type.NULL)
       require(nonNull.size == 1, s"unsupported union $s (only [null, T])")
-      (primitive(nonNull.head), branches.size > nonNull.size)
-    case _ => (primitive(s), false)
+      (sparkType(nonNull.head), branches.size > nonNull.size)
+    case _ => (sparkType(s), false)
   }
 
-  private def primitive(s: Schema): DataType = s.getType match {
-    case Schema.Type.STRING => StringType
-    case Schema.Type.INT => IntegerType
-    case Schema.Type.LONG => LongType
-    case Schema.Type.FLOAT => FloatType
-    case Schema.Type.DOUBLE => DoubleType
-    case Schema.Type.BOOLEAN => BooleanType
-    case Schema.Type.BYTES => BinaryType
-    case other => throw new IllegalArgumentException(
-      s"unsupported avro type $other (flat primitive rows only — use parquet for nested)")
+  private def sparkType(s: Schema): DataType = s.getLogicalType match {
+    case _: org.apache.avro.LogicalTypes.Date => DateType
+    case _: org.apache.avro.LogicalTypes.TimestampMicros => TimestampType
+    case _: org.apache.avro.LogicalTypes.TimestampMillis => TimestampType
+    case d: org.apache.avro.LogicalTypes.Decimal => DecimalType(d.getPrecision, d.getScale)
+    case _ => s.getType match {
+      case Schema.Type.STRING => StringType
+      case Schema.Type.INT => IntegerType
+      case Schema.Type.LONG => LongType
+      case Schema.Type.FLOAT => FloatType
+      case Schema.Type.DOUBLE => DoubleType
+      case Schema.Type.BOOLEAN => BooleanType
+      case Schema.Type.BYTES | Schema.Type.FIXED => BinaryType
+      case Schema.Type.RECORD => toSpark(s)
+      case Schema.Type.ARRAY =>
+        val (et, en) = unwrap(s.getElementType)
+        ArrayType(et, containsNull = en)
+      case other => throw new IllegalArgumentException(
+        s"unsupported avro type $other (maps/enums/multi-branch unions — use parquet)")
+    }
   }
+
+  /** Spark type → Avro schema, recursive; `path` names nested records
+    * uniquely (Avro record names must not collide within one schema). */
+  private[v2] def avroType(t: DataType, path: String): Schema = t match {
+    case StringType => Schema.create(Schema.Type.STRING)
+    case IntegerType => Schema.create(Schema.Type.INT)
+    case LongType => Schema.create(Schema.Type.LONG)
+    case FloatType => Schema.create(Schema.Type.FLOAT)
+    case DoubleType => Schema.create(Schema.Type.DOUBLE)
+    case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+    case BinaryType => Schema.create(Schema.Type.BYTES)
+    case DateType =>
+      org.apache.avro.LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+    case TimestampType =>
+      org.apache.avro.LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+    case d: DecimalType =>
+      org.apache.avro.LogicalTypes.decimal(d.precision, d.scale)
+        .addToSchema(Schema.create(Schema.Type.BYTES))
+    case st: StructType => toAvro(st, path + "_rec")
+    case ArrayType(et, containsNull) =>
+      Schema.createArray(maybeNullable(avroType(et, path + "_item"), containsNull))
+    case other => throw new IllegalArgumentException(
+      s"column '$path': unsupported type $other for graft-avro " +
+        "(primitives, date/timestamp/decimal, struct, array — use parquet for maps)")
+  }
+
+  private def maybeNullable(base: Schema, nullable: Boolean): Schema =
+    if (nullable) Schema.createUnion(Schema.create(Schema.Type.NULL), base) else base
 
   private[v2] def toAvro(schema: StructType, record: String): Schema = {
     var fields = SchemaBuilder.record(record).namespace("graft").fields()
     schema.fields.foreach { f =>
-      val base = f.dataType match {
-        case StringType => Schema.create(Schema.Type.STRING)
-        case IntegerType => Schema.create(Schema.Type.INT)
-        case LongType => Schema.create(Schema.Type.LONG)
-        case FloatType => Schema.create(Schema.Type.FLOAT)
-        case DoubleType => Schema.create(Schema.Type.DOUBLE)
-        case BooleanType => Schema.create(Schema.Type.BOOLEAN)
-        case BinaryType => Schema.create(Schema.Type.BYTES)
-        case other => throw new IllegalArgumentException(
-          s"column '${f.name}': unsupported type $other for graft-avro (flat primitives only)")
-      }
+      val base = avroType(f.dataType, s"${record}_${f.name}")
       // null default is only legal when null is the union's FIRST branch;
       // non-nullable fields get no default at all
       fields =
         if (f.nullable)
-          fields.name(f.name)
-            .`type`(Schema.createUnion(Schema.create(Schema.Type.NULL), base))
-            .withDefault(null)
+          fields.name(f.name).`type`(maybeNullable(base, nullable = true)).withDefault(null)
         else fields.name(f.name).`type`(base).noDefault()
     }
     fields.endRecord()
+  }
+
+  /** Avro runtime value → Catalyst value for `t`, driven by the FILE's
+    * schema (`avro`) so millis-vs-micros timestamps and decimal scales
+    * convert correctly. Built once per reader, applied per value.
+    */
+  private[v2] def fromAvroValue(v: Any, avro: Schema, t: DataType): Any = {
+    if (v == null) return null
+    val a = avro.getType match {
+      case Schema.Type.UNION =>
+        avro.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+      case _ => avro
+    }
+    (t, a.getLogicalType) match {
+      case (TimestampType, _: org.apache.avro.LogicalTypes.TimestampMillis) =>
+        v.asInstanceOf[Long] * 1000L
+      case (TimestampType, _) => v.asInstanceOf[Long]
+      case (DateType, _) => v.asInstanceOf[Int]
+      case (d: DecimalType, _: org.apache.avro.LogicalTypes.Decimal) =>
+        val bytes = v match {
+          case b: java.nio.ByteBuffer =>
+            val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
+          case f: org.apache.avro.generic.GenericFixed => f.bytes()
+        }
+        org.apache.spark.sql.types.Decimal(
+          new java.math.BigDecimal(new java.math.BigInteger(bytes), d.scale), d.precision, d.scale)
+      case (st: StructType, _) =>
+        val rec = v.asInstanceOf[GenericRecord]
+        val vals = st.fields.map { f =>
+          val af = a.getField(f.name)
+          fromAvroValue(rec.get(f.name), af.schema(), f.dataType)
+        }
+        new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+      case (ArrayType(et, _), _) =>
+        val coll = v.asInstanceOf[java.util.Collection[Any]].asScala
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          coll.map(e => fromAvroValue(e, a.getElementType, et)).toArray)
+      case _ => v match {
+        case u: org.apache.avro.util.Utf8 => UTF8String.fromString(u.toString)
+        case s: String => UTF8String.fromString(s)
+        case b: java.nio.ByteBuffer =>
+          val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
+        case other => other // int/long/float/double/boolean box fine
+      }
+    }
+  }
+
+  /** Catalyst value at ordinal `i` → Avro runtime value, recursive on
+    * struct/array; `avro` is the field's (possibly union-wrapped) schema so
+    * nested records are constructed against their exact declared schema. */
+  private[v2] def toAvroValue(row: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+      i: Int, t: DataType, avro: Schema): Any = {
+    if (row.isNullAt(i)) return null
+    val a = avro.getType match {
+      case Schema.Type.UNION =>
+        avro.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+      case _ => avro
+    }
+    t match {
+      case StringType => row.getUTF8String(i).toString
+      case IntegerType => row.getInt(i)
+      case LongType => row.getLong(i)
+      case FloatType => row.getFloat(i)
+      case DoubleType => row.getDouble(i)
+      case BooleanType => row.getBoolean(i)
+      case BinaryType => java.nio.ByteBuffer.wrap(row.getBinary(i))
+      case DateType => row.getInt(i) // days since epoch, both sides
+      case TimestampType => row.getLong(i) // micros, both sides
+      case d: DecimalType =>
+        java.nio.ByteBuffer.wrap(
+          row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal.unscaledValue().toByteArray)
+      case st: StructType =>
+        val nested = row.getStruct(i, st.size)
+        val rec = new GenericData.Record(a)
+        st.fields.zipWithIndex.foreach { case (f, j) =>
+          rec.put(f.name, toAvroValue(nested, j, f.dataType, a.getField(f.name).schema()))
+        }
+        rec
+      case ArrayType(et, _) =>
+        val arr = row.getArray(i)
+        val out = new java.util.ArrayList[Any](arr.numElements())
+        (0 until arr.numElements()).foreach { j =>
+          out.add(toAvroValue(arr, j, et, a.getElementType))
+        }
+        out
+      case other => throw new IllegalStateException(s"unreachable type $other")
+    }
   }
 }
 
@@ -207,21 +324,13 @@ private class AvroPartitionReader(file: String, schema: StructType,
     if (!reader.hasNext) false
     else {
       val rec = reader.next()
+      val fileSchema = reader.getSchema
       val values = schema.fields.map { f =>
-        fromAvro(rec.get(f.name), f.dataType)
+        AvroSource.fromAvroValue(rec.get(f.name), fileSchema.getField(f.name).schema(), f.dataType)
       }
       current = new GenericInternalRow(values.asInstanceOf[Array[Any]])
       true
     }
-
-  private def fromAvro(v: Any, t: DataType): Any = v match {
-    case null => null
-    case u: org.apache.avro.util.Utf8 => UTF8String.fromString(u.toString)
-    case s: String => UTF8String.fromString(s)
-    case b: java.nio.ByteBuffer =>
-      val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
-    case other => other // int/long/float/double/boolean box fine
-  }
 
   override def get(): InternalRow = current
   override def close(): Unit = reader.close()
@@ -281,19 +390,8 @@ private class AvroDataWriter(dir: String, schema: StructType,
   override def write(row: InternalRow): Unit = {
     val rec = new GenericData.Record(avroSchema)
     schema.fields.zipWithIndex.foreach { case (f, i) =>
-      val v: Any =
-        if (row.isNullAt(i)) null
-        else f.dataType match {
-          case StringType => row.getUTF8String(i).toString
-          case IntegerType => row.getInt(i)
-          case LongType => row.getLong(i)
-          case FloatType => row.getFloat(i)
-          case DoubleType => row.getDouble(i)
-          case BooleanType => row.getBoolean(i)
-          case BinaryType => java.nio.ByteBuffer.wrap(row.getBinary(i))
-          case other => throw new IllegalStateException(s"unreachable type $other")
-        }
-      rec.put(f.name, v)
+      rec.put(f.name,
+        AvroSource.toAvroValue(row, i, f.dataType, avroSchema.getField(f.name).schema()))
     }
     writer.append(rec)
   }

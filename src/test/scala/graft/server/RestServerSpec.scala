@@ -107,6 +107,56 @@ class RestServerSpec extends SparkSuite {
     } finally srv.stop()
   }
 
+  test("repeated saves overwrite whole documents; concurrent PUT/run never tear") {
+    val in = Files.createTempDirectory("graft_conc_in").toString
+    spark.range(10).selectExpr("id", "'some long enough text' as text")
+      .write.mode("overwrite").parquet(in)
+    val repo = Files.createTempDirectory("graft_conc_repo").toString
+    val srv = new RestServer(spark, repoDir = Some(repo)).start()
+    val p = srv.boundPort
+    try {
+      def planBody(tag: String): String =
+        s"""{"name":"plan_$tag","source":{"path":"$in"},
+           |"rules":[{"name":"r_$tag","expr":"length(text) >= 3"}]}""".stripMargin
+      // the reference's PlanRepository handles repeated saves of one name:
+      // PUT twice → second body wins, wholly
+      assert(send(p, "PUT", "/plans/mine", planBody("v1")).statusCode() == 200)
+      assert(send(p, "PUT", "/plans/mine", planBody("v2")).statusCode() == 200)
+      assert(send(p, "GET", "/plans/mine").body().contains("plan_v2"))
+
+      // 16 concurrent PUTs of DIFFERENT full documents to the same name:
+      // afterwards the stored text must equal exactly ONE of them (atomic
+      // replace — no torn mixes), and the store still lists one plan
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+      val futures = (0 until 16).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = send(p, "PUT", "/plans/mine", planBody(f"c$i%02d")).statusCode()
+        })
+      }
+      assert(futures.map(_.get()).forall(_ == 200))
+      val stored = send(p, "GET", "/plans/mine").body()
+      assert((0 until 16).count(i => stored.contains(f"plan_c$i%02d")) == 1, stored)
+
+      // concurrent runs append distinct, well-formed history lines
+      val runFutures = (0 until 4).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = send(p, "POST", "/plans/mine/run").statusCode()
+        })
+      }
+      assert(runFutures.map(_.get()).forall(_ == 200))
+      pool.shutdown()
+      val runs = send(p, "GET", "/runs").body()
+      val parsed = graft.util.Jsons.parse(runs)
+      assert(parsed.children.size == 4) // every line parses, none torn
+      // delete removes; a second delete reports false; GET turns 404
+      assert(send(p, "DELETE", "/plans/mine").body().contains("true"))
+      assert(send(p, "DELETE", "/plans/mine").body().contains("false"))
+      assert(send(p, "GET", "/plans/mine").statusCode() == 404)
+      // path traversal names rejected, not resolved
+      assert(send(p, "PUT", "/plans/..%2Fevil", "x").statusCode() >= 400)
+    } finally srv.stop()
+  }
+
   test("POST /preview returns bounded samples for both plan dialects") {
     val srv = new RestServer(spark).start()
     try {

@@ -47,10 +47,45 @@ class AvroSourceSpec extends SparkSuite {
     assert(back.where(col("id") === 9L).count() == 1)
     // no .inprogress remnants after committed writes
     assert(!new java.io.File(dir).listFiles().exists(_.getName.endsWith(".inprogress")))
-    val nested = Seq((1L, Seq("x"))).toDF("id", "arr")
+    // maps remain a loud narrowing (use parquet)
+    val mapped = Seq((1L, Map("k" -> "v"))).toDF("id", "m")
     val e = intercept[Exception](
-      nested.write.mode("append").format("graft-avro").save(dir + "2"))
-    assert(String.valueOf(e.getMessage).contains("flat primitives") ||
-      Option(e.getCause).exists(_.getMessage.contains("flat primitives")))
+      mapped.write.mode("append").format("graft-avro").save(dir + "2"))
+    assert(String.valueOf(e.getMessage).contains("unsupported type") ||
+      Option(e.getCause).exists(_.getMessage.contains("unsupported type")))
+  }
+
+  test("logical types + nesting round-trip: date, timestamp, decimal, struct, array") {
+    val dir = Files.createTempDirectory("graft_avro3").toString + "/t"
+    val df = spark.range(0, 500, 1, 3).select(
+      col("id"),
+      date_add(to_date(lit("2024-01-01")), (col("id") % 365).cast("int")).as("d"),
+      timestamp_seconds(lit(1700000000L) + col("id") * 61).as("ts"),
+      (col("id").cast("decimal(12,2)") / 7).cast("decimal(12,2)").as("dec"),
+      struct(
+        concat(lit("c"), col("id")).as("city"),
+        (col("id") % 100).cast("int").as("zip"),
+        when(col("id") % 5 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("s"), col("id"))).as("opt")).as("addr"),
+      array(col("id"), col("id") * 2, col("id") * 3).as("nums"),
+      // array of structs: one level down each way
+      array(struct(lit("a").as("k"), col("id").as("v")),
+        struct(lit("b").as("k"), (col("id") + 1).as("v"))).as("pairs"))
+    df.write.mode("append").format("graft-avro").save(dir)
+
+    val back = spark.read.format("graft-avro").load(dir)
+    assert(back.schema("d").dataType == org.apache.spark.sql.types.DateType)
+    assert(back.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(back.schema("dec").dataType == org.apache.spark.sql.types.DecimalType(12, 2))
+    assert(back.count() == 500)
+    assert(df.exceptAll(back).isEmpty && back.exceptAll(df).isEmpty)
+    // nested nullability survived
+    assert(back.where(col("addr.opt").isNull).count() == 100)
+    assert(back.select(explode(col("pairs")).as("p")).where(col("p.k") === "b").count() == 500)
+    // negative decimals keep sign through the two's-complement bytes
+    val neg = spark.range(3).select((col("id").cast("decimal(6,2)") - 10).as("n"))
+    neg.write.mode("append").format("graft-avro").save(dir + "_neg")
+    val backNeg = spark.read.format("graft-avro").load(dir + "_neg")
+    assert(backNeg.agg(min(col("n"))).head().getDecimal(0).toString == "-10.00")
   }
 }

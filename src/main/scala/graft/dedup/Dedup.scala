@@ -362,6 +362,9 @@ object Dedup {
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 30,
       checkpointEvery: Int = 2): DataFrame = {
+    // <= 0 would make the block size 0: rounds execute but `i` never
+    // advances, silently disabling the maxIter non-convergence guard
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     val spark = edges.sparkSession
     // both orientations in ONE pass over the edge list: a union of two
     // selects re-derives the (typically expensive, unpersisted) upstream
@@ -417,6 +420,7 @@ object Dedup {
         // zero changes in the block's FINAL round = fixpoint (monotone
         // propagation): earlier rounds of the block don't need inspecting
         val changed = obs.get("changed").asInstanceOf[Long]
+        freeCheckpoint(labels) // superseded snapshot's blocks, not GC-deferred
         labels = updated
         done = changed == 0
         i += block
@@ -435,6 +439,19 @@ object Dedup {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }
   }
+
+  /** Release a superseded localCheckpoint's storage blocks NOW instead of
+    * waiting for driver GC + ContextCleaner: each loop block snapshots the
+    * full |V|-row label frame, and a deep graph would otherwise hold every
+    * superseded snapshot in executor storage for the whole loop. The
+    * checkpointed RDD sits inside the frame's LogicalRDD node; unpersisting
+    * it is safe because the NEXT checkpoint is already materialized and has
+    * no dependency on it.
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(false))
 
   // ---------- n-gram Jaccard ----------
 

@@ -90,7 +90,11 @@ object DataContractCli {
       case "int" | "integer" | "long" | "bigint" =>
         val lo = dbl(f \ "minimum").getOrElse(0.0).toLong
         val hi = dbl(f \ "maximum").map(_.toLong).getOrElse(lo + 1000000L)
-        if (unique) SqlField(name, "cast(__index_inc as bigint)")
+        // unique ints ride the row index OFFSET BY the declared minimum, so
+        // the generated data satisfies the contract's own range rule (a
+        // declared maximum caps uniqueness at hi-lo+1 rows — beyond that the
+        // two constraints are unsatisfiable together and validation reports it)
+        if (unique) SqlField(name, s"cast(__index_inc + ($lo) as bigint)")
         else IntField(name, lo, math.max(hi, lo))
       case "number" | "numeric" | "double" | "decimal" | "float" =>
         val lo = dbl(f \ "minimum").getOrElse(0.0)
@@ -115,6 +119,10 @@ object DataContractCli {
         ArraySpec(name, elem, 0, 5)
       case _ => // string | text | varchar | null
         (pattern, unique) match {
+          // pattern wins over unique for GENERATION (sequential values
+          // can't conform to an arbitrary regex); the uniqueness CHECK
+          // stays registered, so a low-entropy pattern that collides is
+          // reported by validate() instead of silently ignored
           case (Some(p), _) => RegexField(name, p)
           case (None, true) => SequentialField(name, name.take(1), 10)
           case _ =>

@@ -207,6 +207,9 @@ object GroupRules {
         .where(prev.isNotNull && !ok)
         .drop("__prev")
     } else {
+      // an all-null ordering column has no order to violate: report nothing
+      // (deterministically), never arbitrary-order adjacent comparisons
+      if (df.where(col(orderBy).isNotNull).isEmpty) return df.limit(0)
       // range-partition on the ordering key: partition i holds only keys <=
       // every key in partition i+1 (equal keys never straddle), so the
       // partition id IS a global-order-respecting bucket — for strings,

@@ -63,10 +63,15 @@ object SchemaRegistry {
       case other => throw new IllegalStateException(s"unexpected /subjects response: $other")
     }
 
+  /** Confluent allows '/', spaces, '#' in subject names — path segments
+    * must be percent-encoded or the request resolves to the wrong path. */
+  private def enc(segment: String): String =
+    java.net.URLEncoder.encode(segment, "UTF-8").replace("+", "%20")
+
   /** Fetch one schema by subject+version (the reference's
     * subject/version/id addressing; version defaults to `latest`). */
   def fetchSchema(baseUrl: String, subject: String, version: String = "latest"): RegistrySchema =
-    parseResponse(get(s"$baseUrl/subjects/$subject/versions/$version"), subject)
+    parseResponse(get(s"$baseUrl/subjects/${enc(subject)}/versions/${enc(version)}"), subject)
 
   /** Fetch one schema by registry id (`GET /schemas/ids/{id}`). */
   def fetchSchemaById(baseUrl: String, id: Int): RegistrySchema =

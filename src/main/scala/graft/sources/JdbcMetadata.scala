@@ -106,12 +106,19 @@ object JdbcMetadata {
         }
         // composite FKs: group by FK_NAME, order by KEY_SEQ — the field
         // LISTS feed multi-field RelationshipDefs
+        // unnamed FKs (FK_NAME null — some drivers omit it) must NOT merge
+        // into one bogus composite key: per the JDBC contract rows of one FK
+        // are consecutive with KEY_SEQ restarting at 1, so segment on that
+        // and key groups by (name-or-segment)
         val fkRows = scala.collection.mutable.ArrayBuffer[(String, Int, String, String, String)]()
         locally {
           val rs = md.getImportedKeys(null, sch, tab)
+          var segment = 0
           while (rs.next()) {
-            fkRows += ((Option(rs.getString("FK_NAME")).getOrElse("fk"),
-              rs.getInt("KEY_SEQ"), rs.getString("FKCOLUMN_NAME"),
+            val seq = rs.getInt("KEY_SEQ")
+            if (seq <= 1) segment += 1
+            fkRows += ((Option(rs.getString("FK_NAME")).getOrElse(s"__unnamed_$segment"),
+              seq, rs.getString("FKCOLUMN_NAME"),
               rs.getString("PKTABLE_NAME"), rs.getString("PKCOLUMN_NAME")))
           }
           rs.close()
@@ -148,9 +155,13 @@ object JdbcMetadata {
       case TINYINT => FieldDef(c.name, "int", lo = Some(0.0), hi = Some(127.0))
       case DOUBLE | FLOAT | REAL => FieldDef(c.name, "double", lo = Some(0.0), hi = Some(1000.0))
       case DECIMAL | NUMERIC =>
-        // stay inside precision-scale digits so DB inserts never overflow
-        val intDigits = math.max(1, math.min(c.size - math.max(c.scale, 0), 9))
-        FieldDef(c.name, "double", lo = Some(0.0), hi = Some(math.pow(10, intDigits) - 1))
+        // stay inside precision-scale digits so DB inserts never overflow:
+        // max = 10^(p-s) - 2*10^(-s) leaves headroom for the database
+        // rounding a generated double UP at scale s (DECIMAL(5,5) gets
+        // [0, ~0.99998], not [0, 9] — p-s can be zero)
+        val intDigits = math.min(math.max(c.size - math.max(c.scale, 0), 0), 9)
+        val hi = math.pow(10, intDigits) - 2 * math.pow(10, -math.max(c.scale, 0))
+        FieldDef(c.name, "double", lo = Some(0.0), hi = Some(math.max(hi, 0.0)))
       case CHAR if c.isUnique => FieldDef(c.name, "sequential",
         prefix = Some(""), pad = Some(math.max(1, math.min(c.size, 18))))
       case VARCHAR | LONGVARCHAR | CLOB if c.isUnique => FieldDef(c.name, "sequential",

@@ -190,18 +190,27 @@ object AvroSource {
         v.asInstanceOf[Long] * 1000L
       case (TimestampType, _) => v.asInstanceOf[Long]
       case (DateType, _) => v.asInstanceOf[Int]
-      case (d: DecimalType, _: org.apache.avro.LogicalTypes.Decimal) =>
+      case (d: DecimalType, fd: org.apache.avro.LogicalTypes.Decimal) =>
         val bytes = v match {
           case b: java.nio.ByteBuffer =>
             val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
           case f: org.apache.avro.generic.GenericFixed => f.bytes()
         }
+        // unscaled bytes carry the FILE's scale (fd), not the target's: a
+        // directory mixing decimal(10,3) and decimal(10,2) files must not
+        // silently shift values 10x. Rescale exactly; lossy rescales throw.
+        val fileVal = new java.math.BigDecimal(new java.math.BigInteger(bytes), fd.getScale)
         org.apache.spark.sql.types.Decimal(
-          new java.math.BigDecimal(new java.math.BigInteger(bytes), d.scale), d.precision, d.scale)
+          fileVal.setScale(d.scale, java.math.RoundingMode.UNNECESSARY), d.precision, d.scale)
       case (st: StructType, _) =>
         val rec = v.asInstanceOf[GenericRecord]
         val vals = st.fields.map { f =>
+          // the top-level heterogeneity require only covers top-level names;
+          // nested drift must fail with the same loud message, not NPE
           val af = a.getField(f.name)
+          if (af == null) throw new IllegalStateException(
+            s"avro nested record '${a.getName}' lacks expected field '${f.name}' — " +
+              "directory holds heterogeneous schemas (inference uses the first file)")
           fromAvroValue(rec.get(f.name), af.schema(), f.dataType)
         }
         new GenericInternalRow(vals.asInstanceOf[Array[Any]])
@@ -214,6 +223,8 @@ object AvroSource {
         case s: String => UTF8String.fromString(s)
         case b: java.nio.ByteBuffer =>
           val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
+        // plain (non-decimal) FIXED maps to BinaryType — unwrap to bytes
+        case f: org.apache.avro.generic.GenericFixed => f.bytes()
         case other => other // int/long/float/double/boolean box fine
       }
     }

@@ -17,10 +17,10 @@ import org.json4s._
   * Schema-type dispatch: `AVRO` (the registry default when `schemaType` is
   * absent) delegates to [[AvroSchema]]; `JSON` to [[JsonSchema]] — both
   * yield [[FieldSpec]]s plus constraint [[Rule]]s evaluated in one
-  * projection. The reference supports only `PROTOBUF` (its avro/json
-  * branches are a TODO); here protobuf throws with a clear message rather
-  * than silently importing nothing, and the two formats the registry
-  * actually defaults to are fully supported.
+  * projection; `PROTOBUF` (the only type the reference supports — its
+  * avro/json branches are a TODO) parses via [[Proto3Schema]], with
+  * schema `references` resolved through the registry transitively the way
+  * the reference fetches referenced subjects.
   *
   * Transport is a plain `java.net.http.HttpClient` GET — registry metadata
   * is one small document, not data; generation driven by the imported
@@ -32,8 +32,11 @@ object SchemaRegistry {
       subject: String,
       version: Int,
       schemaType: String,
-      /** The schema document itself (Avro/JSON schema as a string). */
-      schema: String)
+      /** The schema document itself (Avro/JSON/proto3 schema as a string). */
+      schema: String,
+      /** Schema references: (name, subject, version) — protobuf imports
+        * resolve through these (Confluent's references array). */
+      references: Seq[(String, String, Int)] = Nil)
 
   final case class Imported(
       subject: String,
@@ -79,33 +82,59 @@ object SchemaRegistry {
 
   private[rules] def parseResponse(body: String, fallbackSubject: String): RegistrySchema = {
     val j = graft.util.Jsons.parse(body)
-    import graft.util.Jsons.{str, dbl}
+    import graft.util.Jsons.{str, dbl, arr}
     val schema = str(j \ "schema").getOrElse(
       throw new IllegalStateException("registry response has no 'schema' field"))
+    val refs = arr(j \ "references").flatMap { r =>
+      str(r \ "subject").map(s => (
+        str(r \ "name").getOrElse(s), s, dbl(r \ "version").map(_.toInt).getOrElse(1)))
+    }
     RegistrySchema(
       str(j \ "subject").getOrElse(fallbackSubject),
       dbl(j \ "version").map(_.toInt).getOrElse(1),
       // Confluent omits schemaType for AVRO (the registry default)
       str(j \ "schemaType").getOrElse("AVRO"),
-      schema)
+      schema, refs)
   }
 
   /** Schema document → generation specs + constraint rules, dispatched on
-    * the registry's schemaType. */
-  def toImported(rs: RegistrySchema): Imported = rs.schemaType.toUpperCase match {
-    case "AVRO" =>
-      val imp = AvroSchema.parse(rs.schema)
-      Imported(rs.subject, imp.specs, imp.rules, imp.nullable)
-    case "JSON" =>
-      val p = JsonSchema.parse(rs.schema)
-      Imported(rs.subject, JsonSchema.toFieldSpecs(p), JsonSchema.toRules(p), Map.empty)
-    case other =>
-      throw new IllegalArgumentException(
-        s"subject '${rs.subject}': registry schema type '$other' not supported " +
-          "(AVRO and JSON are; protobuf schemas need a proto compiler)")
-  }
+    * the registry's schemaType. `importTexts` supplies referenced schema
+    * texts for protobuf imports (resolved from `references` by
+    * [[importSubject]]). */
+  def toImported(rs: RegistrySchema, importTexts: Seq[String] = Nil): Imported =
+    rs.schemaType.toUpperCase match {
+      case "AVRO" =>
+        val imp = AvroSchema.parse(rs.schema)
+        Imported(rs.subject, imp.specs, imp.rules, imp.nullable)
+      case "JSON" =>
+        val p = JsonSchema.parse(rs.schema)
+        Imported(rs.subject, JsonSchema.toFieldSpecs(p), JsonSchema.toRules(p), Map.empty)
+      case "PROTOBUF" =>
+        // the reference supports ONLY protobuf here (ProtobufParser over the
+        // registry's primary schema format); [[Proto3Schema]] parses the
+        // schema text from scratch, imports resolved via references
+        val (specs, nullable) = Proto3Schema.toSpecs(Proto3Schema.parse(rs.schema, importTexts))
+        Imported(rs.subject, specs, Nil, nullable)
+      case other =>
+        throw new IllegalArgumentException(
+          s"subject '${rs.subject}': registry schema type '$other' not supported " +
+            "(AVRO, JSON, PROTOBUF are)")
+    }
 
-  /** One-call convenience: fetch + convert. */
-  def importSubject(baseUrl: String, subject: String, version: String = "latest"): Imported =
-    toImported(fetchSchema(baseUrl, subject, version))
+  /** One-call convenience: fetch + convert, resolving protobuf schema
+    * references through the registry (one extra GET per referenced
+    * subject, transitively). */
+  def importSubject(baseUrl: String, subject: String, version: String = "latest"): Imported = {
+    val rs = fetchSchema(baseUrl, subject, version)
+    val imports = scala.collection.mutable.LinkedHashMap[String, String]()
+    def resolve(refs: Seq[(String, String, Int)]): Unit = refs.foreach {
+      case (_, refSubject, refVersion) if !imports.contains(refSubject) =>
+        val r = fetchSchema(baseUrl, refSubject, refVersion.toString)
+        imports(refSubject) = r.schema
+        resolve(r.references)
+      case _ => ()
+    }
+    resolve(rs.references)
+    toImported(rs, imports.values.toSeq)
+  }
 }

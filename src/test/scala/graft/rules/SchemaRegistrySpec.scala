@@ -51,8 +51,18 @@ class SchemaRegistrySpec extends SparkSuite {
         case "/schemas/ids/7" =>
           respond(ex, 200, s"""{"schema":"${jstr(avroSchema)}"}""")
         case "/subjects/protos-value/versions/latest" =>
+          // main schema references an import subject — the shape of the
+          // reference's own registry fixtures (get-example.json)
           respond(ex, 200,
-            s"""{"subject":"protos-value","version":1,"schemaType":"PROTOBUF","schema":"syntax = \\"proto3\\";"}""")
+            s"""{"subject":"protos-value","version":1,"schemaType":"PROTOBUF",
+               |"references":[{"name":"my-import","subject":"my-import","version":1}],
+               |"schema":"syntax = \\"proto3\\"; import \\"my-import.proto\\"; message Order { int64 qty = 1; Imported ext = 2; optional string note = 3; }"}""".stripMargin.replace("\n", ""))
+        case "/subjects/my-import/versions/1" =>
+          respond(ex, 200,
+            s"""{"subject":"my-import","version":1,"schemaType":"PROTOBUF","schema":"syntax = \\"proto3\\"; message Imported { string tag = 1; }"}""")
+        case "/subjects/thrifty/versions/latest" =>
+          respond(ex, 200,
+            s"""{"subject":"thrifty","version":1,"schemaType":"THRIFT","schema":"struct X {}"}""")
         case _ => respond(ex, 404, """{"error_code":40401,"message":"not found"}""")
       }
     })
@@ -91,11 +101,23 @@ class SchemaRegistrySpec extends SparkSuite {
     }
   }
 
-  test("protobuf and HTTP errors fail loudly") {
+  test("protobuf subject: schema references resolve through the registry") {
+    withRegistry { base =>
+      val imp = SchemaRegistry.importSubject(base, "protos-value")
+      assert(imp.specs.map(_.name) == Seq("qty", "ext", "note"))
+      assert(imp.nullable.contains("note")) // optional → nullable hint
+      val df = Generator.generate(s, 100, imp.specs, seed = 7L, nullProb = imp.nullable)
+      // the imported subject's message resolved as a nested struct
+      assert(df.where(col("ext.tag").isNull).isEmpty)
+      assert(df.where(col("qty") < 0).isEmpty)
+    }
+  }
+
+  test("unknown schema types and HTTP errors fail loudly") {
     withRegistry { base =>
       val e = intercept[IllegalArgumentException](
-        SchemaRegistry.importSubject(base, "protos-value"))
-      assert(e.getMessage.contains("PROTOBUF"))
+        SchemaRegistry.importSubject(base, "thrifty"))
+      assert(e.getMessage.contains("THRIFT"))
       val e2 = intercept[IllegalStateException](
         SchemaRegistry.fetchSchema(base, "missing-subject"))
       assert(e2.getMessage.contains("404"))

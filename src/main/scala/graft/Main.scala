@@ -17,9 +17,46 @@ import graft.pipeline.{FilterConfig, ResumableRunner, RunReport}
   * metrics, and JSON+HTML run reports. Re-running after a crash resumes from
   * the bucket manifest. `--plan` mode executes a declarative JSON/YAML
   * [[graft.plan.PlanSpec]] instead (the reference's YAML-plan entry surface).
+  *
+  * `--legacy <plan.yaml> <taskFolder> [validationFolder]` runs the
+  * reference's DEPLOYED layout unchanged (its docker/env-var shape:
+  * PLAN_FILE_PATH + TASK_FOLDER_PATH + VALIDATION_FOLDER_PATH): task
+  * summaries resolve to the task file in the folder whose `name:` matches,
+  * the plan's `validations:` references resolve against the validation
+  * folder, generation runs in FK insert order, then each validation source
+  * runs against its declared `options.path`.
   */
 object Main {
+
+  private def readFile(p: String): String =
+    new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
+
+  private def runLegacy(planPath: String, taskFolder: String,
+      validationFolder: Option[String]): Unit = {
+    val spark = GraftSession.builder(
+      sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]"),
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val o = graft.plan.LegacyPlan.runFolder(spark, readFile(planPath), taskFolder, validationFolder)
+    val gen = o.generation
+    println(s"[graft] plan=${gen.plan} order=${gen.insertOrder.mkString(",")} " +
+      s"counts=${gen.insertOrder.map(t => s"$t:${gen.counts(t)}").mkString(",")}")
+    o.validations.foreach { case (ds, results) =>
+      results.foreach { r =>
+        val tag = if (r.success) "ok" else "FAILED"
+        println(s"[graft] validation $ds/${r.rule}: $tag ${r.errors}/${r.total}")
+      }
+    }
+    println(s"[graft] success=${o.success}")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--legacy")) {
+      require(args.length >= 3, "usage: graft.Main --legacy <plan.yaml> <taskFolder> [validationFolder]")
+      runLegacy(args(1), args(2), args.lift(3))
+      return
+    }
     if (args.headOption.contains("--plan")) {
       require(args.length == 2, "usage: graft.Main --plan <plan.yaml|plan.json>")
       val text = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args(1))))

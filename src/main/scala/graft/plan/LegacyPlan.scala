@@ -242,6 +242,58 @@ object LegacyPlan {
     MultiPlanSpec(planName, seed, steps.map(_.task), fks)
   }
 
+  /** All YAML/JSON texts in a folder keyed by their declared `name:` — the
+    * reference's folder resolution (task summaries name task FILES by the
+    * file's own `name:` field, not its filename; validation folders work
+    * the same way). Files without a `name:` are skipped.
+    */
+  def namedTexts(folder: String): Map[String, String] = {
+    val dir = java.nio.file.Paths.get(folder)
+    require(java.nio.file.Files.isDirectory(dir), s"not a folder: $folder")
+    val stream = java.nio.file.Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      stream.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.endsWith(".yaml") || n.endsWith(".yml") || n.endsWith(".json")
+        }
+        .map(p => new String(java.nio.file.Files.readAllBytes(p)))
+        .flatMap(text => graft.util.Jsons.str(toJson(text) \ "name").map(_ -> text))
+        .toMap
+    } finally stream.close()
+  }
+
+  final case class FolderOutcome(
+      generation: MultiPlanRunner.MultiPlanOutcome,
+      /** (dataSource, results) per resolved validation source. */
+      validations: Seq[(String, Seq[graft.rules.RuleResult])]) {
+    def success: Boolean =
+      generation.success && validations.forall(_._2.forall(_.success))
+  }
+
+  /** The reference's DEPLOYED layout in one call (its docker/env-var
+    * shape: plan file + task folder + validation folder): resolve task
+    * files by name, generate in FK insert order (sinks write), then run
+    * each referenced validation source against its declared
+    * `options.path` (falling back to the generated frames when a source
+    * declares no path).
+    */
+  def runFolder(spark: org.apache.spark.sql.SparkSession, planText: String,
+      taskFolder: String, validationFolder: Option[String] = None): FolderOutcome = {
+    val plan = parsePlan(planText, namedTexts(taskFolder))
+    val o = MultiPlanRunner.run(spark, plan)
+    val validationTexts = validationFolder.map(namedTexts(_).values.toSeq).getOrElse(Nil)
+    val validations = resolveValidations(planText, validationTexts).map { sv =>
+      val df = sv.options.get("path") match {
+        case Some(p) => spark.read.format(sv.options.getOrElse("format", "parquet")).load(p)
+        case None => o.frames(o.insertOrder.head)
+      }
+      sv.dataSource -> graft.rules.LegacyValidation.validate(df, sv)
+    }
+    FolderOutcome(o, validations)
+  }
+
   /** Resolve the plan's `validations: [name, ...]` references against a set
     * of validation-file texts (the reference reads its validation folder;
     * callers read the files): returns the [[graft.rules.LegacyValidation]]

@@ -9,6 +9,8 @@ import java.nio.charset.StandardCharsets.UTF_8
   * reduced to the part that matters for a headless engine, on the JDK's own
   * `com.sun.net.httpserver` (no web framework):
   *
+  *   GET  /        the plan-builder page ([[Ui]] — edit/save/load/preview/
+  *                 run/history over these endpoints, one static document)
   *   POST /plan    body = PlanSpec JSON or YAML → executes via PlanRunner,
   *                 responds with rows_in/rows_out + per-rule validation
   *                 results (400 on parse errors, 500 on execution errors)
@@ -60,6 +62,17 @@ final class RestServer(spark: SparkSession, port: Int = 0,
     }
 
   def start(): RestServer = {
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      // the plan-builder page (reference core/ui/); unknown paths 404 so
+      // typos don't silently serve HTML to API clients
+      if (ex.getRequestURI.getPath == "/" && ex.getRequestMethod == "GET") {
+        val bytes = Ui.Html.getBytes(UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      } else respond(ex, 404, """{"error":"not found"}""")
+    })
     server.createContext("/health", (ex: com.sun.net.httpserver.HttpExchange) =>
       respond(ex, 200, """{"status":"ok"}"""))
     server.createContext("/plan", (ex: com.sun.net.httpserver.HttpExchange) => {

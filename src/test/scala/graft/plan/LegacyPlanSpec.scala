@@ -274,6 +274,44 @@ class LegacyPlanSpec extends SparkSuite {
     assert(e2.getMessage.contains("duplicate task names"))
   }
 
+  test("deployed folder layout: plan + task folder + validation folder, one call") {
+    // the reference's docker shape: PLAN_FILE_PATH + TASK_FOLDER_PATH +
+    // VALIDATION_FOLDER_PATH — task summaries resolve to the folder file
+    // whose `name:` matches (NOT the filename), validations by reference
+    val root = Files.createTempDirectory("graft_folder")
+    val out = root.resolve("out").toString
+    val taskDir = Files.createDirectory(root.resolve("task"))
+    val valDir = Files.createDirectory(root.resolve("validation"))
+    // filename deliberately unrelated to the declared name
+    Files.writeString(taskDir.resolve("anything.yaml"), taskYaml(out))
+    Files.writeString(taskDir.resolve("skipme.txt"), "not yaml")
+    Files.writeString(valDir.resolve("checks.yaml"),
+      s"""name: "balance_checks"
+         |dataSources:
+         |  parquet:
+         |    - options: {path: "$out/balances"}
+         |      validations:
+         |        - field: balance
+         |          validation:
+         |            - {type: between, min: 0, max: 10000}
+         |""".stripMargin)
+    // folder resolution keys on the task file's own `name:` — the summary
+    // must use it (the shared fixture's explicit-map tests may diverge)
+    val planWithVal = (planYaml + "validations:\n  - \"balance_checks\"\n")
+      .replace("\"parquet_transactions\"", "\"parquet_balance_and_transactions\"")
+    val o = LegacyPlan.runFolder(s, planWithVal, taskDir.toString, Some(valDir.toString))
+    assert(o.generation.insertOrder == Seq("balances", "transactions"))
+    assert(o.generation.counts("transactions") == 2000L)
+    // the validation ran against the SINK path the task wrote
+    assert(o.validations.size == 1 && o.validations.head._1 == "parquet")
+    assert(o.success, o.validations.toString)
+    // a plan referencing a task with no matching file fails loudly
+    val e = intercept[IllegalArgumentException](
+      LegacyPlan.runFolder(s, planYaml.replace("parquet_transactions", "ghost_task"),
+        taskDir.toString))
+    assert(e.getMessage.contains("no task file supplied for 'ghost_task'"))
+  }
+
   test("task file alone parses to runnable tasks") {
     val out = Files.createTempDirectory("graft_legacy2").toString
     val tasks = LegacyPlan.parseTaskFile(taskYaml(out))

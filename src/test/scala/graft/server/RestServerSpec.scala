@@ -154,6 +154,14 @@ class RestServerSpec extends SparkSuite {
       assert(send(p, "GET", "/plans/mine").statusCode() == 404)
       // path traversal names rejected, not resolved
       assert(send(p, "PUT", "/plans/..%2Fevil", "x").statusCode() >= 400)
+      // the plan-builder page serves at /, wired to these endpoints;
+      // unknown paths stay API-shaped 404s, not HTML
+      val page = send(p, "GET", "/")
+      assert(page.statusCode() == 200 && page.headers().firstValue("Content-Type")
+        .orElse("").startsWith("text/html"))
+      Seq("id=\"plan\"", "id=\"save\"", "id=\"run\"", "id=\"preview\"", "/plans/")
+        .foreach(m => assert(page.body().contains(m), m))
+      assert(send(p, "GET", "/nope").statusCode() == 404)
     } finally srv.stop()
   }
 

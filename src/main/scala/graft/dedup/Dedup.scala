@@ -428,10 +428,12 @@ object Dedup {
       sym.unpersist()
       // silent truncation would ship WRONG clusters (and q31's oracle would
       // catch it only when a deep chain occurs) — fail loudly instead
-      if (!done)
+      if (!done) {
+        freeCheckpoint(labels) // don't strand the last snapshot's blocks
         throw new IllegalStateException(
           s"connectedComponents did not converge in $maxIter iterations " +
             "(even with pointer-jumping, ~2^maxIter reach); raise maxIter")
+      }
       // already localCheckpoint'ed: materialized, lineage truncated, blocks
       // GC-cleaned with the frame — safe to hand back as-is
       labels

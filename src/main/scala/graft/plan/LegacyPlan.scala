@@ -260,7 +260,15 @@ object LegacyPlan {
         }
         .map(p => new String(java.nio.file.Files.readAllBytes(p)))
         .flatMap(text => graft.util.Jsons.str(toJson(text) \ "name").map(_ -> text))
-        .toMap
+        .toSeq match {
+          case pairs =>
+            // two files declaring the same name: last-wins would silently
+            // run a stale copy — same contract as the duplicate-step guards
+            val dups = pairs.groupBy(_._1).collect { case (n, ts) if ts.size > 1 => n }
+            require(dups.isEmpty,
+              s"folder $folder: multiple files declare name ${dups.mkString(", ")}")
+            pairs.toMap
+        }
     } finally stream.close()
   }
 
@@ -285,10 +293,13 @@ object LegacyPlan {
     val o = MultiPlanRunner.run(spark, plan)
     val validationTexts = validationFolder.map(namedTexts(_).values.toSeq).getOrElse(Nil)
     val validations = resolveValidations(planText, validationTexts).map { sv =>
-      val df = sv.options.get("path") match {
-        case Some(p) => spark.read.format(sv.options.getOrElse("format", "parquet")).load(p)
-        case None => o.frames(o.insertOrder.head)
-      }
+      // a validation source must say where its data lives; guessing a
+      // generated frame would validate the WRONG dataset and report a
+      // verdict about data the validation never targeted
+      val path = sv.options.getOrElse("path", throw new IllegalArgumentException(
+        s"validation source '${sv.dataSource}' declares no options.path — " +
+          "cannot infer which dataset it targets"))
+      val df = spark.read.format(sv.options.getOrElse("format", "parquet")).load(path)
       sv.dataSource -> graft.rules.LegacyValidation.validate(df, sv)
     }
     FolderOutcome(o, validations)

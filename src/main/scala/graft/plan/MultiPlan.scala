@@ -150,7 +150,9 @@ object MultiPlanRunner {
     val taskByName = plan.tasks.map(t => t.name -> t).toMap
     plan.relationships.foreach { r =>
       require(taskByName.contains(r.childTable) && taskByName.contains(r.parentTable),
-        s"relationship ${r.from} -> ${r.to} references an undeclared task")
+        s"relationship ${r.from} -> ${r.to} references an undeclared task " +
+          "(the table is the part before the FIRST dot; columns are a comma list — " +
+          "schema-qualified endpoints like db.table.col are not supported)")
       require(r.childCols.size == r.parentCols.size,
         s"relationship ${r.from} -> ${r.to}: child and parent field lists differ in arity")
     }

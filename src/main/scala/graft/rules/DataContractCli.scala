@@ -124,7 +124,12 @@ object DataContractCli {
           // stays registered, so a low-entropy pattern that collides is
           // reported by validate() instead of silently ignored
           case (Some(p), _) => RegexField(name, p)
-          case (None, true) => SequentialField(name, name.take(1), 10)
+          case (None, true) =>
+            // sequential length must satisfy the contract's OWN length
+            // bounds — pad 10 alone violated a declared maxLength: 5
+            val maxLen = dbl(f \ "maxLength").map(_.toInt).getOrElse(11)
+            val prefix = if (maxLen >= 2) name.take(1) else ""
+            SequentialField(name, prefix, math.max(1, maxLen - prefix.length))
           case _ =>
             val lo = dbl(f \ "minLength").map(_.toInt).getOrElse(1).max(1)
             val hi = dbl(f \ "maxLength").map(_.toInt).getOrElse(math.max(lo, 20)).max(lo)

@@ -149,7 +149,11 @@ object Proto3Schema {
             tokens = tokens.tail // keyword
             tokens = tokens.tail // group name
             require(tokens.head == "{", "oneof: expected '{'"); tokens = tokens.tail
-            while (tokens.head != "}") parseField(fields, forcedOptional = true)
+            while (tokens.head != "}") {
+              // option statements are legal inside oneof blocks too
+              if (tokens.head == "option") skipTo(";")
+              else parseField(fields, forcedOptional = true)
+            }
             tokens = tokens.tail // '}'
           case "option" | "reserved" => skipTo(";")
           case _ => parseField(fields, forcedOptional = false)

@@ -45,9 +45,12 @@ object SchemaRegistry {
       /** field → null-probability hint for nullable fields (Avro unions). */
       nullable: Map[String, Double])
 
+  // one shared client: importSubject issues 1+N transitive GETs and a
+  // per-request client would build a connection pool + selector thread each
+  private lazy val client = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofMillis(10000)).build()
+
   private def get(url: String, timeoutMs: Long = 10000): String = {
-    val client = java.net.http.HttpClient.newBuilder()
-      .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
     val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
       .timeout(java.time.Duration.ofMillis(timeoutMs))
       .header("Accept", "application/vnd.schemaregistry.v1+json, application/json")

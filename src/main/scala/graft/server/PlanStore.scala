@@ -37,9 +37,14 @@ final class PlanStore(dir: String) {
   def save(name: String, text: String): Unit = {
     val target = planFile(name)
     val tmp = Files.createTempFile(base, s".$name", ".tmp")
-    Files.writeString(tmp, text)
-    Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    try {
+      Files.writeString(tmp, text)
+      Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } catch {
+      // failed PUTs must not accumulate orphaned temp files in the store
+      case e: Throwable => Files.deleteIfExists(tmp); throw e
+    }
   }
 
   def get(name: String): Option[String] = {

@@ -107,16 +107,21 @@ object JdbcMetadata {
         // composite FKs: group by FK_NAME, order by KEY_SEQ — the field
         // LISTS feed multi-field RelationshipDefs
         // unnamed FKs (FK_NAME null — some drivers omit it) must NOT merge
-        // into one bogus composite key: per the JDBC contract rows of one FK
-        // are consecutive with KEY_SEQ restarting at 1, so segment on that
-        // and key groups by (name-or-segment)
+        // into one bogus composite key: segment on KEY_SEQ going
+        // non-increasing (each FK's rows carry seq 1..k). JDBC orders the
+        // result by parent table then KEY_SEQ, so two unnamed COMPOSITE FKs
+        // to the SAME parent interleave ambiguously — that case is
+        // detected (a segment whose seqs aren't 1..k consecutive) and
+        // fails loudly telling the user to name the constraints.
         val fkRows = scala.collection.mutable.ArrayBuffer[(String, Int, String, String, String)]()
         locally {
           val rs = md.getImportedKeys(null, sch, tab)
           var segment = 0
+          var prevSeq = Int.MaxValue
           while (rs.next()) {
             val seq = rs.getInt("KEY_SEQ")
-            if (seq <= 1) segment += 1
+            if (seq <= prevSeq) segment += 1
+            prevSeq = seq
             fkRows += ((Option(rs.getString("FK_NAME")).getOrElse(s"__unnamed_$segment"),
               seq, rs.getString("FKCOLUMN_NAME"),
               rs.getString("PKTABLE_NAME"), rs.getString("PKCOLUMN_NAME")))
@@ -125,6 +130,10 @@ object JdbcMetadata {
         }
         val fks = fkRows.groupBy(_._1).values.map { rows =>
           val sorted = rows.sortBy(_._2)
+          require(sorted.map(_._2) == (1 to sorted.size),
+            s"$sch.$tab: foreign-key rows (${sorted.map(r => r._3 + "->" + r._5).mkString(", ")}) " +
+              "don't form consecutive KEY_SEQs — unnamed composite FKs to one parent " +
+              "interleave ambiguously; name the constraints to import them")
           DbFk(sorted.map(_._3).toSeq, sorted.head._4, sorted.map(_._5).toSeq)
         }.toSeq.sortBy(_.childCols.mkString(","))
         DbTable(sch, tab, cols.toSeq, fks)
@@ -202,13 +211,22 @@ object JdbcMetadata {
     */
   def toPlan(tables: Seq[DbTable], planName: String = "jdbc_import",
       rowsPerTable: Long = 1000L, counts: Map[String, Long] = Map.empty,
-      seed: Long = 42L): MultiPlanSpec = {
+      seed: Long = 42L,
+      /** Permit FKs whose parent wasn't discovered (deliberately filtered
+        * schemas): those child columns fall back to random type-based
+        * values — dangling keys, caller's explicit choice. */
+      allowDanglingFks: Boolean = false): MultiPlanSpec = {
     val known = tables.map(_.name).toSet
     val tasks = tables.map(t =>
       TaskDef(t.name, counts.getOrElse(t.name, rowsPerTable), fieldDefs(t)))
+    val dangling = tables.flatMap(t =>
+      t.fks.filterNot(fk => known.contains(fk.parentTable))
+        .map(fk => s"${t.name}.${fk.childCols.mkString(",")} -> ${fk.parentTable}"))
+    require(dangling.isEmpty || allowDanglingFks,
+      s"FKs reference undiscovered parent tables: ${dangling.mkString("; ")} — " +
+        "widen the discovery filter, or pass allowDanglingFks=true to generate " +
+        "those child columns unreferenced")
     val rels = tables.flatMap { t =>
-      // FKs to tables outside the discovered set can't be sampled — skip
-      // loudly rather than generating dangling keys
       t.fks.filter(fk => known.contains(fk.parentTable)).map { fk =>
         RelationshipDef(
           s"${t.name}.${fk.childCols.mkString(",")}",

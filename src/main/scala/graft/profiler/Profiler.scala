@@ -170,4 +170,49 @@ object Profiler {
       }
       notNull ++ range ++ oneOf ++ len
     }
+
+  /** Dataset-folder discovery — the reference's file metadata source
+    * (`core/generator/metadata/datasource/file/FileMetadata.scala`): given
+    * a root folder, find every distinct LEAF dataset directory holding
+    * files of `format` (each becomes one profile/generation target, named
+    * by its path relative to the root). The reference runs a Spark text
+    * read + distinct + collect over all file names for this; a recursive
+    * HDFS-compatible listing gives the same answer without a job — this
+    * is driver-side catalog metadata, not data. Partitioned layouts
+    * (`k=v` path segments, `_SUCCESS` markers) collapse to their dataset
+    * root, mirroring the reference's getBaseFolderPathways.
+    */
+  def discoverDatasets(spark: org.apache.spark.sql.SparkSession, root: String,
+      format: String = "parquet"): Seq[(String, String)] = {
+    val suffix = "." + (if (format == "delta") "parquet" else format)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return Nil
+    val dirs = scala.collection.mutable.SortedSet[String]()
+    val it = fs.listFiles(rootPath, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(suffix))
+        dirs += f.getPath.getParent.toString
+    }
+    val rootUri = fs.makeQualified(rootPath).toString.stripSuffix("/")
+    dirs.toSeq.map { d =>
+      // collapse hive-partitioned subdirs (k=v segments) to the dataset root
+      val rel = d.stripPrefix(rootUri).stripPrefix("/")
+      val dataset = rel.split('/').takeWhile(seg => !seg.contains('=')).mkString("/")
+      val base = if (dataset.isEmpty) rootUri else s"$rootUri/$dataset"
+      (if (dataset.isEmpty) rootPath.getName else dataset) -> base
+    }.distinct
+  }
+
+  /** Folder → profiles in one sweep: discover each dataset under `root`,
+    * read it with `format`, and profile — the reference's auto-plan-from-
+    * existing-files entry, composable with [[suggestFieldSpecs]] /
+    * [[suggestRules]].
+    */
+  def profileFolder(spark: org.apache.spark.sql.SparkSession, root: String,
+      format: String = "parquet"): Seq[(String, Seq[FieldProfile])] =
+    discoverDatasets(spark, root, format).map { case (name, path) =>
+      name -> profile(spark.read.format(format).load(path))
+    }
 }

@@ -57,4 +57,26 @@ class ProfilerSpec extends SparkSuite {
     val scrubbed = df.select(graft.functions.Scrubber.scrub(col("email")).as("s"))
     assert(scrubbed.where(col("s") =!= "[EMAIL]").count() == 0)
   }
+
+  test("folder discovery: leaf dataset dirs found, partitioned layouts collapse to the root") {
+    // the reference's FileMetadata walks a base folder and emits one
+    // metadata target per dataset directory
+    val root = java.nio.file.Files.createTempDirectory("graft_disc").toString
+    spark.range(10).toDF("a").write.parquet(s"$root/customers")
+    spark.range(10).selectExpr("id", "id % 3 as p").write
+      .partitionBy("p").parquet(s"$root/nested/orders")
+    spark.range(5).toDF("x").write.json(s"$root/events_json")
+    val found = Profiler.discoverDatasets(spark, root)
+    assert(found.map(_._1).sorted == Seq("customers", "nested/orders"))
+    // the partitioned dataset resolved to its ROOT, not the p=0/p=1 leaves
+    assert(found.find(_._1 == "nested/orders").get._2.endsWith("nested/orders"))
+    assert(Profiler.discoverDatasets(spark, root, "json").map(_._1) == Seq("events_json"))
+    assert(Profiler.discoverDatasets(spark, root + "/missing").isEmpty)
+    // folder → profiles end-to-end; specs regenerate each discovered set
+    val profiled = Profiler.profileFolder(spark, root)
+    assert(profiled.size == 2)
+    val (_, custProfiles) = profiled.find(_._1 == "customers").get
+    assert(custProfiles.head.rowCount == 10)
+    assert(Profiler.suggestFieldSpecs(custProfiles).nonEmpty)
+  }
 }

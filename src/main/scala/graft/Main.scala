@@ -57,6 +57,15 @@ object Main {
       runLegacy(args(1), args(2), args.lift(3))
       return
     }
+    // the reference's docker contract (application.conf `${?PLAN_FILE_PATH}`
+    // etc.): no args + env vars set → the same deployed folder layout
+    if (args.isEmpty && sys.env.contains("PLAN_FILE_PATH")) {
+      runLegacy(sys.env("PLAN_FILE_PATH"),
+        sys.env.getOrElse("TASK_FOLDER_PATH",
+          java.nio.file.Paths.get(sys.env("PLAN_FILE_PATH")).getParent.resolveSibling("task").toString),
+        sys.env.get("VALIDATION_FOLDER_PATH"))
+      return
+    }
     if (args.headOption.contains("--plan")) {
       require(args.length == 2, "usage: graft.Main --plan <plan.yaml|plan.json>")
       val text = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args(1))))

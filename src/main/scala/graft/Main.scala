@@ -60,10 +60,17 @@ object Main {
     // the reference's docker contract (application.conf `${?PLAN_FILE_PATH}`
     // etc.): no args + env vars set → the same deployed folder layout
     if (args.isEmpty && sys.env.contains("PLAN_FILE_PATH")) {
-      runLegacy(sys.env("PLAN_FILE_PATH"),
-        sys.env.getOrElse("TASK_FOLDER_PATH",
-          java.nio.file.Paths.get(sys.env("PLAN_FILE_PATH")).getParent.resolveSibling("task").toString),
-        sys.env.get("VALIDATION_FOLDER_PATH"))
+      val planPath = sys.env("PLAN_FILE_PATH")
+      // default task folder = ../task relative to the plan's folder (the
+      // reference's /opt/app/{plan,task} layout); a bare filename has no
+      // parent to anchor that default, so demand the env var explicitly
+      val taskFolder = sys.env.getOrElse("TASK_FOLDER_PATH",
+        Option(java.nio.file.Paths.get(planPath).getParent)
+          .map(_.resolveSibling("task").toString)
+          .getOrElse(throw new IllegalArgumentException(
+            s"PLAN_FILE_PATH '$planPath' has no parent folder to derive the task " +
+              "folder from — set TASK_FOLDER_PATH")))
+      runLegacy(planPath, taskFolder, sys.env.get("VALIDATION_FOLDER_PATH"))
       return
     }
     if (args.headOption.contains("--plan")) {

@@ -30,6 +30,8 @@ object LegacyPlan {
   import graft.util.Jsons.{str, dbl, arr}
 
   private val FileFormats = Set("parquet", "csv", "json", "orc", "xml")
+  /** File formats the reference supports via jars this sandbox lacks. */
+  private val BlockedFileFormats = Set("delta", "hudi", "iceberg")
 
   private def toJson(text: String): JValue = graft.util.Jsons.parse(text)
 
@@ -122,8 +124,16 @@ object LegacyPlan {
         // a sink only exists for file-typed steps (or no declared type →
         // parquet). A jdbc/kafka step with an options.path must NOT fall
         // back to writing parquet at that path — data that looks written
-        // but to the wrong system; delivery for those is a separate concern
+        // but to the wrong system; delivery for those is a separate
+        // concern. File formats whose jars are absent in this build
+        // (delta/hudi/iceberg) fail LOUDLY — silently writing nothing at a
+        // declared path is data that looks missing for no reason.
         val typOpt = str(s \ "type")
+        typOpt.filter(BlockedFileFormats.contains).foreach { t =>
+          throw new IllegalArgumentException(
+            s"step '$name': sink type '$t' needs connector jars absent from this " +
+              s"build (writable here: ${FileFormats.toSeq.sorted.mkString("/")})")
+        }
         val sink =
           if (!typOpt.forall(FileFormats.contains)) None
           else str(s \ "options" \ "path").map { p =>
@@ -284,8 +294,8 @@ object LegacyPlan {
     * shape: plan file + task folder + validation folder): resolve task
     * files by name, generate in FK insert order (sinks write), then run
     * each referenced validation source against its declared
-    * `options.path` (falling back to the generated frames when a source
-    * declares no path).
+    * `options.path`. A validation source without a path fails loudly —
+    * guessing a generated frame would validate the wrong dataset.
     */
   def runFolder(spark: org.apache.spark.sql.SparkSession, planText: String,
       taskFolder: String, validationFolder: Option[String] = None): FolderOutcome = {

@@ -188,14 +188,20 @@ object Profiler {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(rootPath)) return Nil
+    val rootUri = fs.makeQualified(rootPath).toString.stripSuffix("/")
+    // same convention as Spark's own FileIndex: `_`/`.`-prefixed path
+    // segments are metadata (_delta_log, _temporary, checkpoints), never
+    // datasets — walking them would profile commit logs as data
+    def isHidden(path: String): Boolean =
+      path.stripPrefix(rootUri).split('/')
+        .exists(seg => seg.startsWith("_") || seg.startsWith("."))
     val dirs = scala.collection.mutable.SortedSet[String]()
     val it = fs.listFiles(rootPath, true)
     while (it.hasNext) {
       val f = it.next()
-      if (f.isFile && f.getPath.getName.endsWith(suffix))
+      if (f.isFile && f.getPath.getName.endsWith(suffix) && !isHidden(f.getPath.toString))
         dirs += f.getPath.getParent.toString
     }
-    val rootUri = fs.makeQualified(rootPath).toString.stripSuffix("/")
     dirs.toSeq.map { d =>
       // collapse hive-partitioned subdirs (k=v segments) to the dataset root
       val rel = d.stripPrefix(rootUri).stripPrefix("/")

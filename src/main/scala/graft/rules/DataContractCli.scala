@@ -126,10 +126,14 @@ object DataContractCli {
           case (Some(p), _) => RegexField(name, p)
           case (None, true) =>
             // sequential length must satisfy the contract's OWN length
-            // bounds — pad 10 alone violated a declared maxLength: 5
-            val maxLen = dbl(f \ "maxLength").map(_.toInt).getOrElse(11)
+            // bounds, BOTH ways: a declared maxLength caps it and a
+            // declared minLength floors it (zero-padding means generated
+            // length is exactly prefix+pad)
+            val minLen = dbl(f \ "minLength").map(_.toInt).getOrElse(1)
+            val maxLen = dbl(f \ "maxLength").map(_.toInt).getOrElse(math.max(11, minLen))
             val prefix = if (maxLen >= 2) name.take(1) else ""
-            SequentialField(name, prefix, math.max(1, maxLen - prefix.length))
+            SequentialField(name, prefix,
+              math.max(math.max(1, minLen - prefix.length), maxLen - prefix.length))
           case _ =>
             val lo = dbl(f \ "minLength").map(_.toInt).getOrElse(1).max(1)
             val hi = dbl(f \ "maxLength").map(_.toInt).getOrElse(math.max(lo, 20)).max(lo)

@@ -216,8 +216,15 @@ object GroupRules {
       // dates, numerics alike. The former width_bucket(cast-to-double)
       // bucketing silently cast strings to null and returned zero
       // violations; range partitioning has no such type hole.
+      // Materialize ONCE (eager localCheckpoint): the frame feeds two plan
+      // branches (per-bucket lag + per-bucket lasts), and range bounds come
+      // from a sampling pass — two independent exchanges could sample
+      // DIFFERENT bounds (exchange reuse usually dedups them, but that is
+      // an optimization, not a guarantee), making __bkt mean different
+      // ranges per branch. Checkpointed blocks free with the frame.
       val bucketed = df.repartitionByRange(buckets, col(orderBy))
         .withColumn("__bkt", spark_partition_id())
+        .localCheckpoint(true)
       val w = Window.partitionBy(col("__bkt")).orderBy(col(orderBy))
       // __first marks the bucket's PHYSICALLY first row — lag of a literal
       // is null only when there is no previous row. lag(field) is null BOTH

@@ -27,8 +27,15 @@ final case class Rule(name: String, predicate: Column,
       * of rows, >=1 = absolute count); None = the engine default. Carried on
       * the rule so mixed-tolerance rule sets still evaluate in ONE pass. */
     threshold: Option[Double] = None) {
-  def &&(other: Rule): Rule = Rule(s"$name&${other.name}", predicate && other.predicate)
-  def ||(other: Rule): Rule = Rule(s"$name|${other.name}", predicate || other.predicate)
+  // combined tolerance is only well-defined when both sides agree — carry
+  // it then, else fall back to the engine default (never silently drop one
+  // side's configured threshold in favor of the other's)
+  private def sharedTh(other: Rule): Option[Double] =
+    if (threshold == other.threshold) threshold else None
+  def &&(other: Rule): Rule =
+    Rule(s"$name&${other.name}", predicate && other.predicate, sharedTh(other))
+  def ||(other: Rule): Rule =
+    Rule(s"$name|${other.name}", predicate || other.predicate, sharedTh(other))
   def negate(newName: String): Rule = Rule(newName, !predicate, threshold)
   def withThreshold(t: Option[Double]): Rule = if (t.isEmpty) this else copy(threshold = t)
   /** Predicate with NULL coerced to fail — what the engine actually runs. */

@@ -128,14 +128,30 @@ object JdbcMetadata {
           }
           rs.close()
         }
-        val fks = fkRows.groupBy(_._1).values.map { rows =>
+        val namedFks = fkRows.groupBy(_._1).toSeq.map { case (fkName, rows) =>
           val sorted = rows.sortBy(_._2)
           require(sorted.map(_._2) == (1 to sorted.size),
             s"$sch.$tab: foreign-key rows (${sorted.map(r => r._3 + "->" + r._5).mkString(", ")}) " +
               "don't form consecutive KEY_SEQs — unnamed composite FKs to one parent " +
               "interleave ambiguously; name the constraints to import them")
-          DbFk(sorted.map(_._3).toSeq, sorted.head._4, sorted.map(_._5).toSeq)
-        }.toSeq.sortBy(_.childCols.mkString(","))
+          fkName -> DbFk(sorted.map(_._3).toSeq, sorted.head._4, sorted.map(_._5).toSeq)
+        }
+        // JDBC orders getImportedKeys by parent table then KEY_SEQ, so when
+        // TWO unnamed FKs target the SAME parent and either is composite,
+        // their rows interleave within equal seqs in driver-dependent order
+        // — segmentation may pair the wrong columns while still passing the
+        // consecutive-seq check. Unresolvable without names: fail loudly.
+        locally {
+          val ambiguous = namedFks
+            .collect { case (n, fk) if n.startsWith("__unnamed_") => fk }
+            .groupBy(_.parentTable)
+            .collect { case (parent, gs) if gs.size > 1 && gs.exists(_.childCols.size > 1) => parent }
+          require(ambiguous.isEmpty,
+            s"$sch.$tab: multiple UNNAMED foreign keys to parent(s) " +
+              s"${ambiguous.mkString(", ")} include a composite key — row order is " +
+              "driver-dependent and the column pairing is ambiguous; name the constraints")
+        }
+        val fks = namedFks.map(_._2).sortBy(_.childCols.mkString(","))
         DbTable(sch, tab, cols.toSeq, fks)
       }
     } finally conn.close()
@@ -145,10 +161,13 @@ object JdbcMetadata {
 
   /** Type-correct generators per column. Unique integer keys ride the
     * generator's internal row index (`__index_inc`, available to computed
-    * fields) — contiguous, unique, partitioning-invariant; unique strings
-    * become sequential values sized to the column. Unknown column types
-    * throw with the supported list (silently generating random strings for
-    * a UDT would be data that looks right and is wrong).
+    * fields) — contiguous, unique, partitioning-invariant; a unique
+    * SMALLINT/TINYINT key past its type range fails LOUDLY at generation
+    * time (ANSI cast overflow) rather than wrapping into duplicate keys.
+    * Unique strings become sequential values sized to fit the column.
+    * Unknown column types throw with the supported list (silently
+    * generating random strings for a UDT would be data that looks right
+    * and is wrong).
     */
   def fieldDefs(t: DbTable): Seq[FieldDef] = t.columns.map { c =>
     def alphaNum(minLen: Int, maxLen: Int) =
@@ -173,8 +192,13 @@ object JdbcMetadata {
         FieldDef(c.name, "double", lo = Some(0.0), hi = Some(math.max(hi, 0.0)))
       case CHAR if c.isUnique => FieldDef(c.name, "sequential",
         prefix = Some(""), pad = Some(math.max(1, math.min(c.size, 18))))
-      case VARCHAR | LONGVARCHAR | CLOB if c.isUnique => FieldDef(c.name, "sequential",
-        prefix = Some(c.name.take(1).toLowerCase), pad = Some(math.max(1, math.min(c.size - 1, 18))))
+      case VARCHAR | LONGVARCHAR | CLOB if c.isUnique =>
+        // total length (prefix + pad) must fit the column: VARCHAR(1)
+        // gets a bare 1-digit sequence, not a 2-char prefix+digit
+        val prefix = if (c.size >= 2 || c.size <= 0) c.name.take(1).toLowerCase else ""
+        val room = if (c.size > 0) c.size - prefix.length else 18
+        FieldDef(c.name, "sequential",
+          prefix = Some(prefix), pad = Some(math.max(1, math.min(room, 18))))
       case CHAR =>
         val len = math.max(1, math.min(c.size, 30))
         alphaNum(len, len)

@@ -142,8 +142,10 @@ object LegacyPlan {
             // the step name (overridable via options.rowTag) so `type: xml`
             // sinks work end-to-end instead of failing at write time
             val opts =
-              if (fmt == "xml") Map("rowTag" -> str(s \ "options" \ "rowTag").getOrElse(name))
-              else Map.empty[String, String]
+              (if (fmt == "xml") Map("rowTag" -> str(s \ "options" \ "rowTag").getOrElse(name))
+               else Map.empty[String, String]) ++
+              // reference step option `partitions` = repartition-N on write
+              str(s \ "options" \ "partitions").map("partitions" -> _)
             SinkSpec(format = fmt, path = p, options = opts)
           }
         val fields = arr(s \ "fields").map(field)

@@ -187,11 +187,7 @@ object MultiPlanRunner {
 
     // sinks, in insert order (FK-safe for a consuming system)
     order.foreach { name =>
-      taskByName(name).sink.foreach { s =>
-        val w = frames(name).write.mode(s.mode).format(s.format).options(s.options)
-        val pw = if (s.partitionBy.nonEmpty) w.partitionBy(s.partitionBy: _*) else w
-        pw.save(s.path)
-      }
+      taskByName(name).sink.foreach(s => Sinks.write(frames(name), s))
     }
 
     val validations = plan.validations.map { v =>

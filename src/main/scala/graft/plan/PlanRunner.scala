@@ -87,9 +87,7 @@ object PlanRunner {
         val observed = scrubbed.observe(obs, count(lit(1)).as("n"), kept.as("kept"))
         val toWrite =
           if (plan.keepOnly && hasKeep) observed.where(col(RuleEngine.KeepCol)) else observed
-        val w = toWrite.write.mode(sink.mode).format(sink.format).options(sink.options)
-        val pw = if (sink.partitionBy.nonEmpty) w.partitionBy(sink.partitionBy: _*) else w
-        pw.save(sink.path)
+        Sinks.write(toWrite, sink)
         (obs.get("n").asInstanceOf[Long], obs.get("kept").asInstanceOf[Long])
       case None => (-1L, -1L)
     }

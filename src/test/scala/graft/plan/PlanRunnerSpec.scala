@@ -85,4 +85,48 @@ class PlanRunnerSpec extends SparkSuite {
     assert(outcome.rowsIn == -1 && outcome.validations.isEmpty)
     assert(outcome.output.count() == 4)
   }
+
+  test("sink conveniences: single-FILE paths and the partitions option") {
+    // reference BatchSinkWriter + FileConsolidator: a path ending in a file
+    // extension means ONE real file there, not a Spark part-file directory;
+    // options.partitions repartitions to exactly N output files
+    val root = java.nio.file.Files.createTempDirectory("graft_sinks").toString
+    val df = spark.range(100).selectExpr("id", "concat('v', id) as v")
+
+    Sinks.write(df, SinkSpec(format = "csv", path = s"$root/data.csv",
+      options = Map("header" -> "true")))
+    val f = new java.io.File(s"$root/data.csv")
+    assert(f.isFile, "expected a single real file, not a directory")
+    assert(spark.read.option("header", "true").csv(f.toString).count() == 100)
+    // overwrite replaces the single file wholly
+    Sinks.write(df.limit(7), SinkSpec(format = "csv", path = s"$root/data.csv",
+      options = Map("header" -> "true")))
+    assert(spark.read.option("header", "true").csv(f.toString).count() == 7)
+    assert(!new java.io.File(s"$root/data.csv.spark-tmp").exists())
+
+    Sinks.write(df, SinkSpec(path = s"$root/parts", options = Map("partitions" -> "4")))
+    val parts = new java.io.File(s"$root/parts").listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(parts == 4, s"expected 4 part files, got $parts")
+    assert(spark.read.parquet(s"$root/parts").count() == 100)
+
+    // contradictory single-file + partitionBy fails loudly
+    intercept[IllegalArgumentException](Sinks.write(df,
+      SinkSpec(format = "json", path = s"$root/x.json", partitionBy = Seq("v"))))
+
+    // the legacy dialect carries options.partitions through
+    val tasks = LegacyPlan.parseTaskFile(
+      s"""name: t
+         |steps:
+         |  - name: "s1"
+         |    type: "json"
+         |    count: {records: 10}
+         |    options: {path: "$root/legacy.json", partitions: 2}
+         |    fields: [{name: v, type: integer}]
+         |""".stripMargin)
+    // single-file target wins over partitions (coalesce-1 consolidation)
+    MultiPlanRunner.run(spark, MultiPlanSpec("sf", 1L, tasks))
+    assert(new java.io.File(s"$root/legacy.json").isFile)
+    assert(spark.read.json(s"$root/legacy.json").count() == 10)
+  }
 }

@@ -29,9 +29,18 @@ object Sinks {
   def singleFile(path: String): Boolean =
     SingleFileExts.exists(path.toLowerCase.endsWith)
 
-  def write(df: DataFrame, s: SinkSpec): Unit = {
+  def write(df: DataFrame, s0: SinkSpec): Unit = {
+    // reference `unwrapTopLevelArray` (BatchSinkWriter.scala:199-226): a
+    // single-array-field frame writes as bare JSON array text (`[...]`)
+    // instead of one object per line — fixture shape for API mocks
+    val (df1, s) =
+      if (s0.format == "json" && s0.options.get("unwrapTopLevelArray").contains("true") &&
+          df.schema.fields.length == 1 && df.schema.fields.head.dataType.typeName == "array")
+        (df.selectExpr(s"TO_JSON(`${df.schema.fields.head.name}`) AS value"),
+          s0.copy(format = "text", options = s0.options - "unwrapTopLevelArray"))
+      else (df, s0)
     val repart = s.options.get("partitions").flatMap(_.toIntOption)
-      .map(n => df.repartition(n)).getOrElse(df)
+      .map(n => df1.repartition(n)).getOrElse(df1)
     if (singleFile(s.path)) {
       require(s.partitionBy.isEmpty,
         s"sink '${s.path}': partitionBy and single-file output are contradictory")

@@ -114,6 +114,15 @@ class PlanRunnerSpec extends SparkSuite {
     intercept[IllegalArgumentException](Sinks.write(df,
       SinkSpec(format = "json", path = s"$root/x.json", partitionBy = Seq("v"))))
 
+    // unwrapTopLevelArray: single-array-field frame emits a bare JSON array
+    Sinks.write(
+      spark.sql("select array(named_struct('id', 1), named_struct('id', 2)) as items"),
+      SinkSpec(format = "json", path = s"$root/arr.json",
+        options = Map("unwrapTopLevelArray" -> "true")))
+    val arrText = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/arr.json"))).trim
+    assert(arrText == """[{"id":1},{"id":2}]""", arrText)
+
     // the legacy dialect carries options.partitions through
     val tasks = LegacyPlan.parseTaskFile(
       s"""name: t

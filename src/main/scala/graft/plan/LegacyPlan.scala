@@ -143,15 +143,22 @@ object LegacyPlan {
             // sinks work end-to-end instead of failing at write time
             val opts =
               (if (fmt == "xml") Map("rowTag" -> str(s \ "options" \ "rowTag").getOrElse(name))
-               else Map.empty[String, String]) ++
-              // reference step option `partitions` = repartition-N on write
-              str(s \ "options" \ "partitions").map("partitions" -> _)
+               else Map.empty[String, String]) ++ sinkPassThrough(s)
             SinkSpec(format = fmt, path = p, options = opts)
           }
         val fields = arr(s \ "fields").map(field)
         StepInfo(TaskDef(name, records, fields, sink), perField)
       }
   }
+
+  /** Step options that ride through to the sink writer: `partitions`
+    * (repartition-N), `unwrapTopLevelArray` (bare JSON array emission),
+    * `singleFile` (opt out of extension-based single-file consolidation).
+    * Shared by the legacy and unified dialects.
+    */
+  private[plan] def sinkPassThrough(step: JValue): Map[String, String] =
+    Seq("partitions", "unwrapTopLevelArray", "singleFile")
+      .flatMap(k => str(step \ "options" \ k).map(k -> _)).toMap
 
   /** `"30s" | "5m" | "2h" | "90"` → seconds. */
   def durationSeconds(d: String): Double = {

@@ -1,24 +1,33 @@
 package graft.plan
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 /** Shared batch-sink writer for [[SinkSpec]]s — the reference's sink
   * conveniences (`core/sink/BatchSinkWriter.scala` partitionDf at 259-265
   * + `FileConsolidator.scala`):
   *
   *  - `partitions` (reference step option of the same name): repartition
-  *    to exactly N output files before writing;
+  *    to exactly N output files before writing; a non-integer value is a
+  *    loud error, not a silently-skipped repartition;
   *  - single-FILE output: a sink path ending in a known file extension
-  *    (`out/data.csv`, not a directory) means the user wants ONE real
-  *    file there — the frame is written `coalesce(1)` to a temp
-  *    directory and the single part file is moved to the path (the
-  *    reference detects the suffix the same way and consolidates part
-  *    files post-write). Single-file paths always replace the target
-  *    (there is no appending to one file); `partitionBy` is rejected —
-  *    the two are contradictory.
-  *
-  * Directory sinks behave exactly as before: `DataFrameWriter` with
-  * mode/format/options/partitionBy.
+  *    (`out/data.csv`) means the user wants ONE real file there — the
+  *    frame is written `coalesce(1)` to a temp directory and the single
+  *    part file is moved to the path (the reference detects the suffix
+  *    the same way and consolidates part files post-write). The whole
+  *    frame funnels through one task — inherent to a single file; for an
+  *    extension-suffixed path that should stay a normal Spark DIRECTORY,
+  *    set `options.singleFile = "false"`. `partitionBy` also forces
+  *    directory semantics (a partitioned single file is a contradiction,
+  *    and pre-existing plans wrote directories there). SaveMode applies:
+  *    `overwrite` replaces the target wholly (including an old part-file
+  *    DIRECTORY at that path), `ignore` keeps an existing target,
+  *    `errorifexists` throws, `append` throws loudly — one file cannot
+  *    be appended to;
+  *  - `unwrapTopLevelArray` (reference BatchSinkWriter.scala:199-226): a
+  *    single-array-field frame writes as ONE bare JSON array (`[...]`) —
+  *    rows are flattened into a single array first, so a multi-row frame
+  *    still yields one valid JSON document, not concatenated arrays.
   */
 object Sinks {
 
@@ -30,36 +39,49 @@ object Sinks {
     SingleFileExts.exists(path.toLowerCase.endsWith)
 
   def write(df: DataFrame, s0: SinkSpec): Unit = {
-    // reference `unwrapTopLevelArray` (BatchSinkWriter.scala:199-226): a
-    // single-array-field frame writes as bare JSON array text (`[...]`)
-    // instead of one object per line — fixture shape for API mocks
     val (df1, s) =
       if (s0.format == "json" && s0.options.get("unwrapTopLevelArray").contains("true") &&
           df.schema.fields.length == 1 && df.schema.fields.head.dataType.typeName == "array")
-        (df.selectExpr(s"TO_JSON(`${df.schema.fields.head.name}`) AS value"),
+        (df.agg(flatten(collect_list(col(df.schema.fields.head.name))).as("__arr"))
+           .select(to_json(col("__arr")).as("value")),
           s0.copy(format = "text", options = s0.options - "unwrapTopLevelArray"))
       else (df, s0)
-    val repart = s.options.get("partitions").flatMap(_.toIntOption)
-      .map(n => df1.repartition(n)).getOrElse(df1)
-    if (singleFile(s.path)) {
-      require(s.partitionBy.isEmpty,
-        s"sink '${s.path}': partitionBy and single-file output are contradictory")
+    val nParts = s.options.get("partitions").map(p => p.toIntOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"sink '${s.path}': partitions option '$p' is not an integer")))
+    val opts = s.options - "partitions" - "singleFile"
+    val asSingle = singleFile(s.path) && s.partitionBy.isEmpty &&
+      !s.options.get("singleFile").contains("false")
+
+    if (asSingle) {
       val hconf = df.sparkSession.sparkContext.hadoopConfiguration
       val target = new org.apache.hadoop.fs.Path(s.path)
       val fs = target.getFileSystem(hconf)
+      s.mode.toLowerCase match {
+        case "append" => throw new IllegalArgumentException(
+          s"sink '${s.path}': mode append cannot target a single file — " +
+            "use a directory path or mode overwrite")
+        case "ignore" if fs.exists(target) => return
+        case "error" | "errorifexists" if fs.exists(target) =>
+          throw new IllegalStateException(s"sink target ${s.path} already exists")
+        case _ => ()
+      }
       val tmp = new org.apache.hadoop.fs.Path(s.path + ".spark-tmp")
       try {
-        repart.coalesce(1).write.mode("overwrite").format(s.format)
-          .options(s.options - "partitions").save(tmp.toString)
+        // nParts would be collapsed by coalesce(1) anyway — skip the shuffle
+        df1.coalesce(1).write.mode("overwrite").format(s.format)
+          .options(opts).save(tmp.toString)
         val part = fs.listStatus(tmp)
           .find(f => f.isFile && f.getPath.getName.startsWith("part-"))
           .getOrElse(throw new IllegalStateException(
             s"no part file produced under $tmp"))
-        fs.delete(target, false)
+        // recursive: the target may be an old part-file DIRECTORY layout
+        fs.delete(target, true)
         require(fs.rename(part.getPath, target), s"rename ${part.getPath} -> $target failed")
       } finally fs.delete(tmp, true)
     } else {
-      val w = repart.write.mode(s.mode).format(s.format).options(s.options - "partitions")
+      val repart = nParts.map(df1.repartition(_)).getOrElse(df1)
+      val w = repart.write.mode(s.mode).format(s.format).options(opts)
       val pw = if (s.partitionBy.nonEmpty) w.partitionBy(s.partitionBy: _*) else w
       pw.save(s.path)
     }

@@ -77,8 +77,11 @@ object Unified {
           if (FileFormats.contains(connType))
             connPath.map(p => SinkSpec(connType,
               if (steps.size == 1) p else s"$p/$stepName",
-              options = if (connType == "xml") Map("rowTag" -> stepName)
-                        else Map.empty))
+              options = (if (connType == "xml") Map("rowTag" -> stepName)
+                         else Map.empty[String, String]) ++
+                // step-level sink options (partitions/unwrapTopLevelArray/
+                // singleFile) apply to the connection-derived sink too
+                LegacyPlan.sinkPassThrough(s)))
           else None // jdbc/kafka/http: generation only; delivery is separate
         task.copy(sink = sink.orElse(task.sink))
       }

@@ -110,18 +110,45 @@ class PlanRunnerSpec extends SparkSuite {
     assert(parts == 4, s"expected 4 part files, got $parts")
     assert(spark.read.parquet(s"$root/parts").count() == 100)
 
-    // contradictory single-file + partitionBy fails loudly
-    intercept[IllegalArgumentException](Sinks.write(df,
-      SinkSpec(format = "json", path = s"$root/x.json", partitionBy = Seq("v"))))
+    // partitionBy on an extension-suffixed path keeps DIRECTORY semantics
+    // (pre-existing plans wrote directories there; a partitioned single
+    // file is a contradiction)
+    Sinks.write(df.limit(4), SinkSpec(format = "json", path = s"$root/x.json",
+      partitionBy = Seq("v")))
+    assert(new java.io.File(s"$root/x.json").isDirectory)
+    // explicit opt-out keeps directory semantics too
+    Sinks.write(df, SinkSpec(format = "json", path = s"$root/y.json",
+      options = Map("singleFile" -> "false")))
+    assert(new java.io.File(s"$root/y.json").isDirectory)
 
-    // unwrapTopLevelArray: single-array-field frame emits a bare JSON array
+    // single-file SaveMode semantics: append is a loud error, ignore keeps,
+    // errorifexists throws; a stale part-file DIRECTORY at the target is
+    // replaced wholly by overwrite
+    intercept[IllegalArgumentException](Sinks.write(df,
+      SinkSpec(format = "csv", path = s"$root/data.csv", mode = "append")))
+    Sinks.write(df.limit(3), SinkSpec(format = "csv", path = s"$root/data.csv",
+      mode = "ignore", options = Map("header" -> "true")))
+    assert(spark.read.option("header", "true").csv(s"$root/data.csv").count() == 7) // kept
+    intercept[IllegalStateException](Sinks.write(df,
+      SinkSpec(format = "csv", path = s"$root/data.csv", mode = "errorifexists")))
+    Sinks.write(df.limit(5), SinkSpec(format = "json", path = s"$root/x.json")) // dir → file
+    assert(new java.io.File(s"$root/x.json").isFile)
+    assert(spark.read.json(s"$root/x.json").count() == 5)
+
+    // a non-integer partitions value fails loudly, never a silent default
+    intercept[IllegalArgumentException](Sinks.write(df,
+      SinkSpec(path = s"$root/bad", options = Map("partitions" -> "four"))))
+
+    // unwrapTopLevelArray: rows FLATTEN into one bare JSON array — a
+    // multi-row frame still yields one valid JSON document
     Sinks.write(
-      spark.sql("select array(named_struct('id', 1), named_struct('id', 2)) as items"),
+      spark.range(2).selectExpr("array(named_struct('id', id*2), named_struct('id', id*2+1)) as items"),
       SinkSpec(format = "json", path = s"$root/arr.json",
         options = Map("unwrapTopLevelArray" -> "true")))
     val arrText = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$root/arr.json"))).trim
-    assert(arrText == """[{"id":1},{"id":2}]""", arrText)
+    assert(arrText.startsWith("[") && arrText.endsWith("]") && !arrText.contains("\n"), arrText)
+    assert(arrText.count(_ == '{') == 4, arrText)
 
     // the legacy dialect carries options.partitions through
     val tasks = LegacyPlan.parseTaskFile(

@@ -118,28 +118,81 @@ object Unified {
   }
 
   /** Generate, then validate each step's frame against its inline
-    * validations (gates awaited first). `numErrorSamples` defaults from
-    * `config.validation.numSampleErrorRecords`.
+    * validations (gates awaited first). Runtime `config:` block honored
+    * (reference `UnifiedRuntimeConfig`):
+    *  - `config.flags.enableGenerateData: false` skips generation —
+    *    validations then read each step's SINK path (validate-existing
+    *    mode; a step without a file sink fails loudly);
+    *  - `config.flags.enableValidation: false` skips validations;
+    *  - `config.flags.enableSaveReports` + `config.folders.
+    *    generatedReportsFolderPath` write a per-run JSON report
+    *    (counts + validation results);
+    *  - `config.validation.numSampleErrorRecords` sizes error samples.
+    * `enableFastGeneration` is accepted and ignored — generation here is
+    * always the UDF-free projection path the reference's fast mode
+    * approximates.
     */
   def run(spark: SparkSession, text: String): UnifiedOutcome = {
     val j = parseJ(text)
     val numSamples = (j \ "config" \ "validation" \ "numSampleErrorRecords") match {
       case JInt(i) => i.toInt; case _ => 5
     }
+    import graft.util.Jsons.bool
+    def flag(name: String, default: Boolean): Boolean =
+      (j \ "config" \ "flags" \ name) match {
+        case JNothing => default
+        case v => bool(v, default)
+      }
+    val doGenerate = flag("enableGenerateData", default = true)
+    val doValidate = flag("enableValidation", default = true)
+
     val (plan, entriesByStep) = parse(text)
-    val gen = MultiPlanRunner.run(spark, plan)
-    val validations = gen.insertOrder.flatMap { step =>
+    val sinkByStep = plan.tasks.map(t => t.name -> t.sink).toMap
+    val gen =
+      if (doGenerate) MultiPlanRunner.run(spark, plan)
+      else MultiPlanRunner.MultiPlanOutcome(plan.name,
+        graft.generator.ForeignKeys.insertOrder(plan.tasks.map(_.name),
+          plan.relationships.map(r => r.parentTable -> r.childTable)),
+        Map.empty, Map.empty, Map.empty)
+    val validations = if (!doValidate) Nil else gen.insertOrder.flatMap { step =>
       val entries = entriesByStep.getOrElse(step, Nil)
       if (entries.isEmpty) None
       else {
+        // generation off = validate-existing mode: the step's sink path IS
+        // the dataset location (the reference reads the data source back)
+        val frame = gen.frames.get(step).orElse(
+          sinkByStep.getOrElse(step, None).map(s =>
+            spark.read.format(s.format).options(s.options).load(s.path)))
+          .getOrElse(throw new IllegalArgumentException(
+            s"step '$step': enableGenerateData=false and no file sink to read " +
+              "existing data from — validations have no dataset"))
         val waitMet = LegacyValidation.parseWaits(entries).forall(_.await(spark))
         // ONE shared implementation of the preFilter denominator semantics
         val results = LegacyValidation.validateEntries(
-          gen.frames(step), entries.map(LegacyValidation.parseValidation),
+          frame, entries.map(LegacyValidation.parseValidation),
           numSamples = numSamples)
         Some(StepValidation(step, results, waitMet))
       }
     }
-    UnifiedOutcome(plan.name, gen, validations)
+    val outcome = UnifiedOutcome(plan.name, gen, validations)
+    // per-run report (reference enableSaveReports + generatedReportsFolderPath)
+    graft.util.Jsons.str(j \ "config" \ "folders" \ "generatedReportsFolderPath")
+      .filter(_ => flag("enableSaveReports", default = true))
+      .foreach(dir => writeReport(outcome, dir))
+    outcome
+  }
+
+  private def writeReport(o: UnifiedOutcome, dir: String): Unit = {
+    import graft.util.Jsons.quote
+    val counts = o.generation.insertOrder.map(t =>
+      s"${quote(t)}:${o.generation.counts.getOrElse(t, 0L)}").mkString("{", ",", "}")
+    val vals = o.validations.flatMap(sv => sv.results.map(r =>
+      s"""{"step":${quote(sv.step)},"rule":${quote(r.rule)},"total":${r.total},""" +
+        s""""errors":${r.errors},"success":${r.success}}""")).mkString("[", ",", "]")
+    val json = s"""{"name":${quote(o.name)},"success":${o.success},""" +
+      s""""counts":$counts,"validations":$vals}"""
+    val d = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(d)
+    java.nio.file.Files.writeString(d.resolve(s"report_${o.name}.json"), json + "\n")
   }
 }

@@ -128,4 +128,41 @@ class UnifiedSpec extends SparkSuite {
     val failed = o.validations.flatMap(_.results).filterNot(_.success)
     assert(failed.nonEmpty && failed.head.samples.size <= 3) // numSampleErrorRecords honored
   }
+
+  test("runtime flags: validate-existing mode, validation off, report saving") {
+    val out = Files.createTempDirectory("graft_unified_flags").toString
+    val reports = Files.createTempDirectory("graft_unified_reports").toString
+    def withConfig(extra: String): String = unifiedYaml(out).replace(
+      "config:\n  validation:",
+      s"config:\n$extra\n  validation:")
+
+    // pass 1: generate with reports enabled → data on disk + a report file
+    val o1 = Unified.run(s, withConfig(
+      s"""  flags:
+         |    enableGenerateData: true
+         |    enableSaveReports: true
+         |  folders:
+         |    generatedReportsFolderPath: "$reports"""".stripMargin))
+    assert(o1.success)
+    val report = java.nio.file.Paths.get(reports, "report_validation_example.json")
+    assert(java.nio.file.Files.exists(report))
+    val rjson = graft.util.Jsons.parse(java.nio.file.Files.readString(report))
+    assert(graft.util.Jsons.bool(rjson \ "success"))
+    assert((rjson \ "validations").children.nonEmpty)
+
+    // pass 2: enableGenerateData=false → validations run against the SINK
+    // paths written by pass 1 (validate-existing mode), nothing regenerated
+    val before = s.read.parquet(s"$out/customers").count()
+    val o2 = Unified.run(s, withConfig(
+      "  flags:\n    enableGenerateData: false"))
+    assert(o2.generation.frames.isEmpty) // nothing generated
+    assert(o2.validations.nonEmpty && o2.success,
+      o2.validations.flatMap(_.results).filterNot(_.success).map(_.rule).toString)
+    assert(s.read.parquet(s"$out/customers").count() == before)
+
+    // enableValidation=false → generation only, zero validation results
+    val o3 = Unified.run(s, withConfig(
+      "  flags:\n    enableValidation: false"))
+    assert(o3.validations.isEmpty && o3.generation.counts("customers") == 300L)
+  }
 }

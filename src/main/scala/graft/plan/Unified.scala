@@ -37,7 +37,10 @@ object Unified {
   final case class UnifiedOutcome(
       name: String,
       generation: graft.plan.MultiPlanRunner.MultiPlanOutcome,
-      validations: Seq[StepValidation]) {
+      validations: Seq[StepValidation],
+      /** step → (rows before, rows after) for delete-generated-records
+        * runs (`enableDeleteGeneratedRecords`). */
+      deleted: Map[String, (Long, Long)] = Map.empty) {
     def success: Boolean =
       validations.forall(v => v.waitMet && v.results.forall(_.success))
   }
@@ -145,15 +148,57 @@ object Unified {
       }
     val doGenerate = flag("enableGenerateData", default = true)
     val doValidate = flag("enableValidation", default = true)
+    val doTrack = flag("enableRecordTracking", default = false)
+    val doDelete = flag("enableDeleteGeneratedRecords", default = false)
+    val trackFolder = graft.util.Jsons.str(
+      j \ "config" \ "folders" \ "recordTrackingFolderPath")
 
     val (plan, entriesByStep) = parse(text)
     val sinkByStep = plan.tasks.map(t => t.name -> t.sink).toMap
+    // per-step primary-key field names (options.isPrimaryKey) — the columns
+    // record tracking persists; a step without keys tracks all columns
+    val pkByStep: Map[String, Seq[String]] = arr(j \ "dataSources").flatMap { ds =>
+      arr(ds \ "steps").map { st =>
+        val pks = arr(st \ "fields").flatMap { f =>
+          if (graft.util.Jsons.bool(f \ "options" \ "isPrimaryKey"))
+            str(f \ "name") else None
+        }
+        str(st \ "name").getOrElse("step") -> pks
+      }
+    }.toMap
+    def requireTrackFolder(): String = trackFolder.getOrElse(
+      throw new IllegalArgumentException(
+        "record tracking needs config.folders.recordTrackingFolderPath"))
+
+    // delete mode runs INSTEAD of generation (reference semantics): remove
+    // the previously tracked rows from each file sink, drop tracking state
+    if (doDelete) {
+      val folder = requireTrackFolder()
+      val deleted = plan.tasks.flatMap { t =>
+        t.sink.flatMap { s =>
+          graft.generator.RecordTracking.deleteTrackedFromFiles(
+            spark, s.format, s.path, s.options, folder, plan.name, t.name)
+            .map(t.name -> _)
+        }
+      }.toMap
+      return UnifiedOutcome(plan.name,
+        MultiPlanRunner.MultiPlanOutcome(plan.name, plan.tasks.map(_.name),
+          Map.empty, Map.empty, Map.empty),
+        Nil, deleted)
+    }
     val gen =
       if (doGenerate) MultiPlanRunner.run(spark, plan)
       else MultiPlanRunner.MultiPlanOutcome(plan.name,
         graft.generator.ForeignKeys.insertOrder(plan.tasks.map(_.name),
           plan.relationships.map(r => r.parentTable -> r.childTable)),
         Map.empty, Map.empty, Map.empty)
+    if (doGenerate && doTrack) {
+      val folder = requireTrackFolder()
+      gen.insertOrder.foreach { step =>
+        gen.frames.get(step).foreach(df => graft.generator.RecordTracking.track(
+          df, pkByStep.getOrElse(step, Nil), folder, plan.name, step))
+      }
+    }
     val validations = if (!doValidate) Nil else gen.insertOrder.flatMap { step =>
       val entries = entriesByStep.getOrElse(step, Nil)
       if (entries.isEmpty) None

@@ -165,4 +165,46 @@ class UnifiedSpec extends SparkSuite {
       "  flags:\n    enableValidation: false"))
     assert(o3.validations.isEmpty && o3.generation.counts("customers") == 300L)
   }
+
+  test("record tracking + delete-generated-records lifecycle") {
+    val out = Files.createTempDirectory("graft_unified_track").toString
+    val trackDir = Files.createTempDirectory("graft_tracking").toString
+    // declare the primary key the reference way (options.isPrimaryKey) —
+    // tracking persists ONLY those columns
+    def yaml(flags: String): String = unifiedYaml(out)
+      .replace("              regex: \"CUST[0-9]{8}\"",
+        "              regex: \"CUST[0-9]{8}\"\n              isPrimaryKey: \"true\"")
+      .replace("config:\n  validation:",
+        s"""config:
+           |  flags:
+           |$flags
+           |  folders:
+           |    recordTrackingFolderPath: "$trackDir"
+           |  validation:""".stripMargin)
+
+    val o1 = Unified.run(s, yaml("    enableRecordTracking: true"))
+    assert(o1.success)
+    val tracked = s.read.parquet(s"$trackDir/validation_example/customers")
+    assert(tracked.columns.toSeq == Seq("customer_id")) // PK columns only
+    assert(tracked.count() == 300)
+
+    // rows the user's system already had must SURVIVE the cleanup
+    import s.implicits._
+    Seq(("KEEP1", "keep@x.com", 50L, 1.0, "active"))
+      .toDF("customer_id", "email", "age", "account_balance", "status")
+      .write.mode("append").parquet(s"$out/customers")
+
+    val o2 = Unified.run(s, yaml("    enableDeleteGeneratedRecords: true"))
+    assert(o2.deleted.contains("customers"))
+    val (before, after) = o2.deleted("customers")
+    assert(before == 301 && after == 1, s"$before -> $after")
+    val remaining = s.read.parquet(s"$out/customers")
+    assert(remaining.count() == 1 &&
+      remaining.head().getAs[String]("customer_id") == "KEEP1")
+    // tracking state cleaned; a second delete run is a no-op
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$trackDir/validation_example/customers")))
+    val o3 = Unified.run(s, yaml("    enableDeleteGeneratedRecords: true"))
+    assert(o3.deleted.isEmpty)
+  }
 }

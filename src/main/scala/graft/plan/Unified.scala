@@ -153,7 +153,39 @@ object Unified {
     val trackFolder = graft.util.Jsons.str(
       j \ "config" \ "folders" \ "recordTrackingFolderPath")
 
-    val (plan, entriesByStep) = parse(text)
+    val (plan0, entriesByStep) = parse(text)
+    // config.generation.numRecordsPerStep overrides every step's count
+    // (reference UnifiedGenerationConfig; numRecordsPerBatch is accepted
+    // and ignored — Spark partitions bound memory, batching is the
+    // reference's driver-loop artifact)
+    val perStep = graft.util.Jsons.dbl(
+      j \ "config" \ "generation" \ "numRecordsPerStep").map(_.toLong)
+    val planDeclared = perStep match {
+      case Some(n) => plan0.copy(tasks = plan0.tasks.map(_.copy(count = n)))
+      case None => plan0
+    }
+    // enableGeneratePlanAndTasks (reference metadata auto-mode): a JDBC
+    // data source declaring NO steps is discovered from its live catalog
+    // (tables, types, constraints, composite FKs → JdbcMetadata), its
+    // tasks+relationships merge into the plan, and generated rows INSERT
+    // back into the database after generation, parents first.
+    val autoJdbc: Seq[(String, Seq[graft.sources.JdbcMetadata.DbTable])] =
+      if (!flag("enableGeneratePlanAndTasks", default = false)) Nil
+      else arr(j \ "dataSources").flatMap { ds =>
+        val connType = str(ds \ "connection" \ "type").getOrElse("")
+        val url = str(ds \ "connection" \ "options" \ "url")
+        if (Set("jdbc", "postgres", "mysql", "derby").contains(connType) &&
+            arr(ds \ "steps").isEmpty && url.isDefined) {
+          val pat = str(ds \ "connection" \ "options" \ "schema").getOrElse("%")
+          Some(url.get -> graft.sources.JdbcMetadata.discover(url.get, pat))
+        } else None
+      }
+    val plan = autoJdbc.foldLeft(planDeclared) { case (p, (_, tables)) =>
+      val auto = graft.sources.JdbcMetadata.toPlan(
+        tables, p.name, rowsPerTable = perStep.getOrElse(1000L), seed = p.seed)
+      p.copy(tasks = p.tasks ++ auto.tasks,
+        relationships = p.relationships ++ auto.relationships)
+    }
     val sinkByStep = plan.tasks.map(t => t.name -> t.sink).toMap
     // per-step primary-key field names (options.isPrimaryKey) — the columns
     // record tracking persists; a step without keys tracks all columns
@@ -197,6 +229,15 @@ object Unified {
       gen.insertOrder.foreach { step =>
         gen.frames.get(step).foreach(df => graft.generator.RecordTracking.track(
           df, pkByStep.getOrElse(step, Nil), folder, plan.name, step))
+      }
+    }
+    // auto-discovered JDBC tables: insert the generated rows back into the
+    // database, in FK insert order (gen.insertOrder is already topological)
+    if (doGenerate) autoJdbc.foreach { case (url, tables) =>
+      val byName = tables.map(t => t.name -> t).toMap
+      gen.insertOrder.filter(byName.contains).foreach { name =>
+        graft.sources.Jdbc.write(gen.frames(name), url,
+          byName(name).qualified, org.apache.spark.sql.SaveMode.Append)
       }
     }
     val validations = if (!doValidate) Nil else gen.insertOrder.flatMap { step =>

@@ -207,4 +207,52 @@ class UnifiedSpec extends SparkSuite {
     val o3 = Unified.run(s, yaml("    enableDeleteGeneratedRecords: true"))
     assert(o3.deleted.isEmpty)
   }
+
+  test("enableGeneratePlanAndTasks: JDBC source with no steps auto-discovers and inserts") {
+    // the reference's metadata auto-mode: point a data source at a live
+    // database, declare nothing — schema + constraints drive the plan
+    val url = graft.sources.Jdbc.derbyUrl(
+      Files.createTempDirectory("graft_unified_auto").toString + "/db")
+    locally {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        st.executeUpdate(
+          """CREATE TABLE teams (
+            |  team_id INT NOT NULL PRIMARY KEY,
+            |  division VARCHAR(3) NOT NULL)""".stripMargin)
+        st.executeUpdate(
+          """CREATE TABLE players (
+            |  player_id BIGINT NOT NULL PRIMARY KEY,
+            |  team_id INT NOT NULL REFERENCES teams (team_id),
+            |  score DOUBLE)""".stripMargin)
+        st.close()
+      } finally conn.close()
+    }
+    val yaml =
+      s"""version: "1.0"
+         |name: "auto_db"
+         |config:
+         |  flags:
+         |    enableGeneratePlanAndTasks: true
+         |  generation:
+         |    numRecordsPerStep: 40
+         |dataSources:
+         |  - name: "warehouse"
+         |    connection:
+         |      type: "jdbc"
+         |      options:
+         |        url: "$url"
+         |        schema: "APP"
+         |""".stripMargin
+    val o = Unified.run(s, yaml)
+    // discovered tasks generated in FK order and landed in the DATABASE
+    assert(o.generation.insertOrder == Seq("TEAMS", "PLAYERS"))
+    assert(o.generation.counts.values.forall(_ == 40L)) // numRecordsPerStep
+    val teams = graft.sources.Jdbc.read(s, url, "APP.TEAMS")
+    val players = graft.sources.Jdbc.read(s, url, "APP.PLAYERS")
+    assert(teams.count() == 40 && players.count() == 40)
+    // the DB's own FK constraint accepted every insert; verify anyway
+    assert(players.join(teams.select("TEAM_ID"), Seq("TEAM_ID"), "left_anti").isEmpty)
+  }
 }

@@ -13,9 +13,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    declared keys tracks ALL columns (reference `getFieldsToTrack`);
   *  - tracking layout: `<folder>/<plan>/<step>` parquet, append — several
   *    runs accumulate and are cleaned together;
-  *  - delete = one distributed anti-join against the tracked keys; for a
-  *    file sink the surviving rows are materialized (localCheckpoint)
-  *    BEFORE overwriting the path being read.
+  *  - file cleanup = one distributed anti-join against the tracked keys;
+  *    the caller supplies read/write (so sink conventions — single-file
+  *    consolidation, csv headers — round-trip through the same
+  *    [[graft.plan.Sinks]] path that wrote the data);
+  *  - database cleanup = batched `DELETE WHERE k1=? AND k2=?` executed per
+  *    partition of the tracked frame (constraint-preserving — a
+  *    truncate-and-reinsert would fight the FK graph), children before
+  *    parents.
   */
 object RecordTracking {
 
@@ -29,26 +34,69 @@ object RecordTracking {
     keys.write.mode("append").parquet(trackPath(folder, plan, step))
   }
 
-  /** Remove the tracked rows from a FILE data source (anti-join, rewrite),
-    * then clear the step's tracking state. Returns (rowsBefore, rowsAfter);
-    * None when no tracking state exists for the step.
-    */
-  def deleteTrackedFromFiles(spark: SparkSession, format: String, path: String,
-      options: Map[String, String], folder: String, plan: String,
-      step: String): Option[(Long, Long)] = {
-    val tp = trackPath(folder, plan, step)
-    val tpPath = new org.apache.hadoop.fs.Path(tp)
-    val fs = tpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(tpPath)) return None
-    val tracked = spark.read.parquet(tp)
-    val current = spark.read.format(format).options(options).load(path)
-    val remaining = ForeignKeys.deleteTracked(current, tracked, tracked.columns.toSeq)
-    // the rewrite overwrites the path `remaining` reads from — materialize
-    // first or the overwrite truncates its own input mid-job
-    val snap = remaining.localCheckpoint(true)
-    val before = current.count()
-    snap.write.mode("overwrite").format(format).options(options).save(path)
-    fs.delete(tpPath, true)
-    Some((before, snap.count()))
+  /** Tracked keys for a step, if any state exists. */
+  def tracked(spark: SparkSession, folder: String, plan: String,
+      step: String): Option[DataFrame] = {
+    val tp = new org.apache.hadoop.fs.Path(trackPath(folder, plan, step))
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tp)) Some(spark.read.parquet(tp.toString)) else None
   }
+
+  /** Drop a step's tracking state. */
+  def clear(spark: SparkSession, folder: String, plan: String, step: String): Unit = {
+    val tp = new org.apache.hadoop.fs.Path(trackPath(folder, plan, step))
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(tp, true)
+  }
+
+  /** Remove the tracked rows from a FILE data source: anti-join, then
+    * rewrite through the caller's writer (the same sink path that produced
+    * the layout — single-file targets stay single files). Returns
+    * (rowsBefore, rowsAfter); None when no tracking state exists.
+    */
+  def deleteTrackedFromFiles(spark: SparkSession, current: DataFrame,
+      rewrite: DataFrame => Unit, folder: String, plan: String,
+      step: String): Option[(Long, Long)] =
+    tracked(spark, folder, plan, step).map { keys =>
+      val remaining = ForeignKeys.deleteTracked(current, keys, keys.columns.toSeq)
+      // the rewrite overwrites the files `remaining` reads from —
+      // materialize first or the overwrite truncates its own input mid-job
+      val snap = remaining.localCheckpoint(true)
+      val before = current.count()
+      rewrite(snap)
+      clear(spark, folder, plan, step)
+      (before, snap.count())
+    }
+
+  /** Remove the tracked rows from a DATABASE table: batched keyed DELETEs
+    * per partition of the tracked frame — preserves table constraints
+    * (truncate-and-reinsert would fight the FK graph). Returns the number
+    * of tracked key rows submitted; None when no tracking state exists.
+    */
+  def deleteTrackedFromJdbc(spark: SparkSession, url: String, table: String,
+      folder: String, plan: String, step: String,
+      batchSize: Int = 1000): Option[Long] =
+    tracked(spark, folder, plan, step).map { keys =>
+      val cols = keys.columns.toSeq
+      val sql = s"DELETE FROM $table WHERE " + cols.map(c => s"$c = ?").mkString(" AND ")
+      val n = spark.sparkContext.longAccumulator("graft_deleted_keys")
+      keys.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          val ps = conn.prepareStatement(sql)
+          var pending = 0
+          rows.foreach { r =>
+            cols.indices.foreach(i => ps.setObject(i + 1, r.get(i)))
+            ps.addBatch()
+            pending += 1
+            n.add(1)
+            if (pending >= batchSize) { ps.executeBatch(); pending = 0 }
+          }
+          if (pending > 0) ps.executeBatch()
+          ps.close()
+        } finally conn.close()
+      }
+      clear(spark, folder, plan, step)
+      n.value.toLong
+    }
 }

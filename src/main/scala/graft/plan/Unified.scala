@@ -76,12 +76,25 @@ object Unified {
             org.json4s.jackson.JsonMethods.render(asTask))).head
         val stepName = task.name
         stepEntries(stepName) = arr(s \ "validations")
+        // connection options (header, delimiter, compression...) ride into
+        // the sink so later read-backs (validate-existing, delete) see the
+        // SAME layout that was written; csv defaults to header=true —
+        // headerless csv can't round-trip named columns at all
+        val connOpts = (ds \ "connection" \ "options") match {
+          case JObject(fs) => fs.collect {
+            case (k, v) if k != "path" && k != "url" && k != "schema" =>
+              graft.util.Jsons.str(v).map(k -> _)
+          }.flatten.toMap
+          case _ => Map.empty[String, String]
+        }
         val sink =
           if (FileFormats.contains(connType))
             connPath.map(p => SinkSpec(connType,
               if (steps.size == 1) p else s"$p/$stepName",
               options = (if (connType == "xml") Map("rowTag" -> stepName)
                          else Map.empty[String, String]) ++
+                (if (connType == "csv") Map("header" -> "true") else Map.empty) ++
+                connOpts ++
                 // step-level sink options (partitions/unwrapTopLevelArray/
                 // singleFile) apply to the connection-derived sink too
                 LegacyPlan.sinkPassThrough(s)))
@@ -175,9 +188,14 @@ object Unified {
         val connType = str(ds \ "connection" \ "type").getOrElse("")
         val url = str(ds \ "connection" \ "options" \ "url")
         if (Set("jdbc", "postgres", "mysql", "derby").contains(connType) &&
-            arr(ds \ "steps").isEmpty && url.isDefined) {
+            arr(ds \ "steps").isEmpty) {
+          // a step-less source under auto-mode with no url would silently
+          // produce an empty "successful" run — fail loudly instead
+          val u = url.getOrElse(throw new IllegalArgumentException(
+            s"data source '${str(ds \ "name").getOrElse("?")}': " +
+              "enableGeneratePlanAndTasks with no steps needs connection.options.url"))
           val pat = str(ds \ "connection" \ "options" \ "schema").getOrElse("%")
-          Some(url.get -> graft.sources.JdbcMetadata.discover(url.get, pat))
+          Some(u -> graft.sources.JdbcMetadata.discover(u, pat))
         } else None
       }
     val plan = autoJdbc.foldLeft(planDeclared) { case (p, (_, tables)) =>
@@ -202,34 +220,75 @@ object Unified {
       throw new IllegalArgumentException(
         "record tracking needs config.folders.recordTrackingFolderPath"))
 
+    // csv read-backs need type inference to compare against typed tracked
+    // keys / run numeric validations (write side never sees this option)
+    def readBack(s: SinkSpec) = spark.read.format(s.format)
+      .options(s.options ++
+        (if (s.format == "csv") Map("inferSchema" -> "true") else Map.empty))
+      .load(s.path)
+
     // delete mode runs INSTEAD of generation (reference semantics): remove
-    // the previously tracked rows from each file sink, drop tracking state
+    // the previously tracked rows from each file sink (rewritten through
+    // the SAME Sinks.write conventions that produced the layout — single
+    // files stay single files) and from auto-discovered database tables
+    // (batched keyed DELETEs, children before parents), then drop tracking
     if (doDelete) {
       val folder = requireTrackFolder()
-      val deleted = plan.tasks.flatMap { t =>
+      val fileDeleted = plan.tasks.flatMap { t =>
         t.sink.flatMap { s =>
+          require(!s.options.get("unwrapTopLevelArray").contains("true"),
+            s"step '${t.name}': delete-generated-records cannot round-trip an " +
+              "unwrapTopLevelArray sink (written as a bare JSON array document)")
           graft.generator.RecordTracking.deleteTrackedFromFiles(
-            spark, s.format, s.path, s.options, folder, plan.name, t.name)
-            .map(t.name -> _)
+            spark, readBack(s), df => Sinks.write(df, s.copy(mode = "overwrite")),
+            folder, plan.name, t.name).map(t.name -> _)
+        }
+      }.toMap
+      val jdbcDeleted = autoJdbc.flatMap { case (url, tables) =>
+        val byName = tables.map(t => t.name -> t).toMap
+        // children first: reverse topological order over the discovered FKs
+        val order = graft.generator.ForeignKeys.deleteOrder(tables.map(_.name),
+          tables.flatMap(t => t.fks.filter(fk => byName.contains(fk.parentTable))
+            .map(fk => fk.parentTable -> t.name)))
+        order.flatMap { name =>
+          graft.generator.RecordTracking.deleteTrackedFromJdbc(
+            spark, url, byName(name).qualified, folder, plan.name, name)
+            .map(n => name -> (n, 0L))
         }
       }.toMap
       return UnifiedOutcome(plan.name,
         MultiPlanRunner.MultiPlanOutcome(plan.name, plan.tasks.map(_.name),
           Map.empty, Map.empty, Map.empty),
-        Nil, deleted)
+        Nil, fileDeleted ++ jdbcDeleted)
     }
     val gen =
       if (doGenerate) MultiPlanRunner.run(spark, plan)
-      else MultiPlanRunner.MultiPlanOutcome(plan.name,
-        graft.generator.ForeignKeys.insertOrder(plan.tasks.map(_.name),
-          plan.relationships.map(r => r.parentTable -> r.childTable)),
-        Map.empty, Map.empty, Map.empty)
+      else {
+        // same endpoint validation the generation path gets from
+        // MultiPlanRunner — a typo'd FK step must not surface as a bare
+        // key-not-found from inside the topological sort
+        val names = plan.tasks.map(_.name).toSet
+        plan.relationships.foreach(r =>
+          require(names.contains(r.childTable) && names.contains(r.parentTable),
+            s"relationship ${r.from} -> ${r.to} references an undeclared task"))
+        MultiPlanRunner.MultiPlanOutcome(plan.name,
+          graft.generator.ForeignKeys.insertOrder(plan.tasks.map(_.name),
+            plan.relationships.map(r => r.parentTable -> r.childTable)),
+          Map.empty, Map.empty, Map.empty)
+      }
+    val autoTableNames = autoJdbc.flatMap(_._2.map(_.name)).toSet
     if (doGenerate && doTrack) {
       val folder = requireTrackFolder()
-      gen.insertOrder.foreach { step =>
-        gen.frames.get(step).foreach(df => graft.generator.RecordTracking.track(
-          df, pkByStep.getOrElse(step, Nil), folder, plan.name, step))
-      }
+      // only steps the delete run can actually clean are tracked: file
+      // sinks and auto-discovered database tables. Tracking a sink-less
+      // jdbc/kafka step would accumulate state with no cleanup path.
+      gen.insertOrder
+        .filter(step => sinkByStep.getOrElse(step, None).isDefined ||
+          autoTableNames.contains(step))
+        .foreach { step =>
+          gen.frames.get(step).foreach(df => graft.generator.RecordTracking.track(
+            df, pkByStep.getOrElse(step, Nil), folder, plan.name, step))
+        }
     }
     // auto-discovered JDBC tables: insert the generated rows back into the
     // database, in FK insert order (gen.insertOrder is already topological)
@@ -247,8 +306,7 @@ object Unified {
         // generation off = validate-existing mode: the step's sink path IS
         // the dataset location (the reference reads the data source back)
         val frame = gen.frames.get(step).orElse(
-          sinkByStep.getOrElse(step, None).map(s =>
-            spark.read.format(s.format).options(s.options).load(s.path)))
+          sinkByStep.getOrElse(step, None).map(readBack))
           .getOrElse(throw new IllegalArgumentException(
             s"step '$step': enableGenerateData=false and no file sink to read " +
               "existing data from — validations have no dataset"))
@@ -279,6 +337,9 @@ object Unified {
       s""""counts":$counts,"validations":$vals}"""
     val d = java.nio.file.Paths.get(dir)
     java.nio.file.Files.createDirectories(d)
-    java.nio.file.Files.writeString(d.resolve(s"report_${o.name}.json"), json + "\n")
+    // timestamped per run: successive runs (e.g. a validate-existing pass
+    // after a generation pass) must not clobber each other's record
+    java.nio.file.Files.writeString(
+      d.resolve(s"report_${o.name}_${System.currentTimeMillis()}.json"), json + "\n")
   }
 }

@@ -144,9 +144,12 @@ class UnifiedSpec extends SparkSuite {
          |  folders:
          |    generatedReportsFolderPath: "$reports"""".stripMargin))
     assert(o1.success)
-    val report = java.nio.file.Paths.get(reports, "report_validation_example.json")
-    assert(java.nio.file.Files.exists(report))
-    val rjson = graft.util.Jsons.parse(java.nio.file.Files.readString(report))
+    // reports are timestamped per run — successive runs never clobber
+    val reportFiles = new java.io.File(reports).listFiles()
+      .filter(_.getName.startsWith("report_validation_example_"))
+    assert(reportFiles.length == 1, reportFiles.mkString(","))
+    val rjson = graft.util.Jsons.parse(
+      java.nio.file.Files.readString(reportFiles.head.toPath))
     assert(graft.util.Jsons.bool(rjson \ "success"))
     assert((rjson \ "validations").children.nonEmpty)
 
@@ -229,12 +232,16 @@ class UnifiedSpec extends SparkSuite {
         st.close()
       } finally conn.close()
     }
-    val yaml =
+    val trackDir = Files.createTempDirectory("graft_auto_track").toString
+    def yaml(extraFlags: String): String =
       s"""version: "1.0"
          |name: "auto_db"
          |config:
          |  flags:
          |    enableGeneratePlanAndTasks: true
+         |$extraFlags
+         |  folders:
+         |    recordTrackingFolderPath: "$trackDir"
          |  generation:
          |    numRecordsPerStep: 40
          |dataSources:
@@ -245,7 +252,7 @@ class UnifiedSpec extends SparkSuite {
          |        url: "$url"
          |        schema: "APP"
          |""".stripMargin
-    val o = Unified.run(s, yaml)
+    val o = Unified.run(s, yaml("    enableRecordTracking: true"))
     // discovered tasks generated in FK order and landed in the DATABASE
     assert(o.generation.insertOrder == Seq("TEAMS", "PLAYERS"))
     assert(o.generation.counts.values.forall(_ == 40L)) // numRecordsPerStep
@@ -254,5 +261,24 @@ class UnifiedSpec extends SparkSuite {
     assert(teams.count() == 40 && players.count() == 40)
     // the DB's own FK constraint accepted every insert; verify anyway
     assert(players.join(teams.select("TEAM_ID"), Seq("TEAM_ID"), "left_anti").isEmpty)
+
+    // rows the user's system already had must survive the database cleanup
+    locally {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        st.executeUpdate("INSERT INTO teams VALUES (999999, 'KPT')")
+        st.close()
+      } finally conn.close()
+    }
+    // delete mode removes exactly the tracked rows, children before parents
+    val od = Unified.run(s, yaml("    enableDeleteGeneratedRecords: true"))
+    assert(od.deleted.keySet == Set("TEAMS", "PLAYERS"))
+    val teamsAfter = graft.sources.Jdbc.read(s, url, "APP.TEAMS")
+    assert(teamsAfter.count() == 1)
+    assert(teamsAfter.head().getAs[Int]("TEAM_ID") == 999999)
+    assert(graft.sources.Jdbc.read(s, url, "APP.PLAYERS").isEmpty)
+    // tracking state cleared → second delete run is a no-op
+    assert(Unified.run(s, yaml("    enableDeleteGeneratedRecords: true")).deleted.isEmpty)
   }
 }

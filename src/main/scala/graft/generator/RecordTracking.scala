@@ -53,6 +53,13 @@ object RecordTracking {
     * rewrite through the caller's writer (the same sink path that produced
     * the layout — single-file targets stay single files). Returns
     * (rowsBefore, rowsAfter); None when no tracking state exists.
+    *
+    * Scale note: the surviving rows are materialized (localCheckpoint)
+    * before the in-place overwrite — right-sized for test-data cleanup
+    * volumes. A deployment rewriting a multi-TB source would instead
+    * write the survivors to a sibling temp directory and swap paths
+    * (one write, no executor-storage copy); the anti-join itself is
+    * already the scalable shape either way.
     */
   def deleteTrackedFromFiles(spark: SparkSession, current: DataFrame,
       rewrite: DataFrame => Unit, folder: String, plan: String,

@@ -159,6 +159,23 @@ object Unified {
         case JNothing => default
         case v => bool(v, default)
       }
+    // config.runtime.sparkConfig entries apply to the session (reference
+    // UnifiedSparkConfig); static/startup-only confs can't change on a
+    // live session — surface that clearly instead of a bare Spark error
+    (j \ "config" \ "runtime" \ "sparkConfig") match {
+      case JObject(confs) => confs.foreach { case (k, v) =>
+        graft.util.Jsons.str(v).foreach { value =>
+          try spark.conf.set(k, value)
+          catch {
+            case e: org.apache.spark.sql.AnalysisException =>
+              throw new IllegalArgumentException(
+                s"config.runtime.sparkConfig '$k' cannot be set on a running " +
+                  "session (static conf) — pass it at spark-submit time", e)
+          }
+        }
+      }
+      case _ => ()
+    }
     val doGenerate = flag("enableGenerateData", default = true)
     val doValidate = flag("enableValidation", default = true)
     val doTrack = flag("enableRecordTracking", default = false)

@@ -167,6 +167,18 @@ class UnifiedSpec extends SparkSuite {
     val o3 = Unified.run(s, withConfig(
       "  flags:\n    enableValidation: false"))
     assert(o3.validations.isEmpty && o3.generation.counts("customers") == 300L)
+
+    // config.runtime.sparkConfig applies runtime confs; static confs get a
+    // clear error, not a bare Spark AnalysisException
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      Unified.run(s, withConfig(
+        "  runtime:\n    sparkConfig:\n      spark.sql.shuffle.partitions: \"24\""))
+      assert(s.conf.get("spark.sql.shuffle.partitions") == "24")
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    val e = intercept[IllegalArgumentException](Unified.run(s, withConfig(
+      "  runtime:\n    sparkConfig:\n      spark.sql.warehouse.dir: \"/tmp/x\"")))
+    assert(e.getMessage.contains("spark-submit"))
   }
 
   test("record tracking + delete-generated-records lifecycle") {

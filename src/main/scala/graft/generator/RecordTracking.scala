@@ -61,15 +61,18 @@ object RecordTracking {
     * (one write, no executor-storage copy); the anti-join itself is
     * already the scalable shape either way.
     */
-  def deleteTrackedFromFiles(spark: SparkSession, current: DataFrame,
+  def deleteTrackedFromFiles(spark: SparkSession, current: => DataFrame,
       rewrite: DataFrame => Unit, folder: String, plan: String,
       step: String): Option[(Long, Long)] =
     tracked(spark, folder, plan, step).map { keys =>
-      val remaining = ForeignKeys.deleteTracked(current, keys, keys.columns.toSeq)
+      // `current` is by-name: a sink that was never written must no-op via
+      // the tracking check above, not crash reading a missing path
+      val cur = current
+      val remaining = ForeignKeys.deleteTracked(cur, keys, keys.columns.toSeq)
       // the rewrite overwrites the files `remaining` reads from —
       // materialize first or the overwrite truncates its own input mid-job
       val snap = remaining.localCheckpoint(true)
-      val before = current.count()
+      val before = cur.count()
       rewrite(snap)
       clear(spark, folder, plan, step)
       (before, snap.count())
@@ -77,16 +80,24 @@ object RecordTracking {
 
   /** Remove the tracked rows from a DATABASE table: batched keyed DELETEs
     * per partition of the tracked frame — preserves table constraints
-    * (truncate-and-reinsert would fight the FK graph). Returns the number
-    * of tracked key rows submitted; None when no tracking state exists.
+    * (truncate-and-reinsert would fight the FK graph). Returns real
+    * (rowsBefore, rowsAfter) table counts; None when no tracking state
+    * exists.
     */
   def deleteTrackedFromJdbc(spark: SparkSession, url: String, table: String,
       folder: String, plan: String, step: String,
-      batchSize: Int = 1000): Option[Long] =
+      batchSize: Int = 1000): Option[(Long, Long)] =
     tracked(spark, folder, plan, step).map { keys =>
+      def tableCount(): Long = {
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          val rs = conn.createStatement().executeQuery(s"SELECT COUNT(*) FROM $table")
+          rs.next(); rs.getLong(1)
+        } finally conn.close()
+      }
+      val before = tableCount()
       val cols = keys.columns.toSeq
       val sql = s"DELETE FROM $table WHERE " + cols.map(c => s"$c = ?").mkString(" AND ")
-      val n = spark.sparkContext.longAccumulator("graft_deleted_keys")
       keys.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         val conn = java.sql.DriverManager.getConnection(url)
         try {
@@ -96,7 +107,6 @@ object RecordTracking {
             cols.indices.foreach(i => ps.setObject(i + 1, r.get(i)))
             ps.addBatch()
             pending += 1
-            n.add(1)
             if (pending >= batchSize) { ps.executeBatch(); pending = 0 }
           }
           if (pending > 0) ps.executeBatch()
@@ -104,6 +114,6 @@ object RecordTracking {
         } finally conn.close()
       }
       clear(spark, folder, plan, step)
-      n.value.toLong
+      (before, tableCount())
     }
 }

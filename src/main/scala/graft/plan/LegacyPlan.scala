@@ -29,9 +29,9 @@ object LegacyPlan {
 
   import graft.util.Jsons.{str, dbl, arr}
 
-  private val FileFormats = Set("parquet", "csv", "json", "orc", "xml")
+  private[plan] val FileFormats = Set("parquet", "csv", "json", "orc", "xml")
   /** File formats the reference supports via jars this sandbox lacks. */
-  private val BlockedFileFormats = Set("delta", "hudi", "iceberg")
+  private[plan] val BlockedFileFormats = Set("delta", "hudi", "iceberg")
 
   private def toJson(text: String): JValue = graft.util.Jsons.parse(text)
 
@@ -318,7 +318,13 @@ object LegacyPlan {
       val path = sv.options.getOrElse("path", throw new IllegalArgumentException(
         s"validation source '${sv.dataSource}' declares no options.path — " +
           "cannot infer which dataset it targets"))
-      val df = spark.read.format(sv.options.getOrElse("format", "parquet")).load(path)
+      // the source's OTHER reader options (header, delimiter, rowTag...)
+      // must reach the reader — a csv read without its declared header
+      // option yields _c0.. columns and validates the header row as data
+      val fmt = sv.options.getOrElse("format", "parquet")
+      val readOpts = (sv.options - "path" - "format") ++
+        (if (fmt == "csv") Map("inferSchema" -> "true") else Map.empty)
+      val df = spark.read.format(fmt).options(readOpts).load(path)
       sv.dataSource -> graft.rules.LegacyValidation.validate(df, sv)
     }
     FolderOutcome(o, validations)

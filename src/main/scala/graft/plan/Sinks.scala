@@ -67,6 +67,10 @@ object Sinks {
         case _ => ()
       }
       val tmp = new org.apache.hadoop.fs.Path(s.path + ".spark-tmp")
+      // staging name OUTSIDE the tmp dir: one complete copy must survive
+      // every failure point — deleting the old target before the new file
+      // is safely staged would destroy both on a rename failure
+      val staged = new org.apache.hadoop.fs.Path(s.path + ".spark-new")
       try {
         // nParts would be collapsed by coalesce(1) anyway — skip the shuffle
         df1.coalesce(1).write.mode("overwrite").format(s.format)
@@ -75,9 +79,14 @@ object Sinks {
           .find(f => f.isFile && f.getPath.getName.startsWith("part-"))
           .getOrElse(throw new IllegalStateException(
             s"no part file produced under $tmp"))
-        // recursive: the target may be an old part-file DIRECTORY layout
+        fs.delete(staged, false)
+        require(fs.rename(part.getPath, staged), s"rename ${part.getPath} -> $staged failed")
+        // recursive: the target may be an old part-file DIRECTORY layout.
+        // If the final rename fails, the staged file remains on disk as the
+        // surviving copy and the error below names it.
         fs.delete(target, true)
-        require(fs.rename(part.getPath, target), s"rename ${part.getPath} -> $target failed")
+        require(fs.rename(staged, target),
+          s"rename $staged -> $target failed — the new data survives at $staged")
       } finally fs.delete(tmp, true)
     } else {
       val repart = nParts.map(df1.repartition(_)).getOrElse(df1)

@@ -54,7 +54,9 @@ object Unified {
 
   private def parseJ(text: String): JValue = graft.util.Jsons.parse(text)
 
-  private val FileFormats = Set("parquet", "csv", "json", "orc", "xml")
+  // ONE definition for both dialects (LegacyPlan owns it): the next format
+  // addition or jar-blocked check must not land in only one of the two
+  private def FileFormats = LegacyPlan.FileFormats
 
   /** Parse to the generation plan plus per-step raw validation entries. */
   def parse(text: String): (MultiPlanSpec, Map[String, Seq[JValue]]) = {
@@ -67,6 +69,11 @@ object Unified {
       val connType = str(ds \ "connection" \ "type").getOrElse("parquet")
       val connPath = str(ds \ "connection" \ "options" \ "path")
       val steps = arr(ds \ "steps")
+      // a jar-blocked file format must fail here too, not silently sink-less
+      if (LegacyPlan.BlockedFileFormats.contains(connType))
+        throw new IllegalArgumentException(
+          s"connection type '$connType' needs connector jars absent from this " +
+            s"build (writable here: ${FileFormats.toSeq.sorted.mkString("/")})")
       steps.map { s =>
         // the step grammar is the legacy task-file step — reuse its parser
         // by wrapping the single step as a task file
@@ -270,7 +277,7 @@ object Unified {
         order.flatMap { name =>
           graft.generator.RecordTracking.deleteTrackedFromJdbc(
             spark, url, byName(name).qualified, folder, plan.name, name)
-            .map(n => name -> (n, 0L))
+            .map(name -> _)
         }
       }.toMap
       return UnifiedOutcome(plan.name,
@@ -294,6 +301,11 @@ object Unified {
           Map.empty, Map.empty, Map.empty)
       }
     val autoTableNames = autoJdbc.flatMap(_._2.map(_.name)).toSet
+    // auto tables track their DISCOVERED primary keys — all-columns
+    // tracking would compare lossy-converted values (double vs DECIMAL
+    // rounded on insert) in the keyed DELETE and silently delete nothing
+    val autoPkByStep: Map[String, Seq[String]] = autoJdbc.flatMap(_._2.map(t =>
+      t.name -> t.columns.filter(_.isPk).map(_.name))).toMap
     if (doGenerate && doTrack) {
       val folder = requireTrackFolder()
       // only steps the delete run can actually clean are tracked: file
@@ -303,8 +315,12 @@ object Unified {
         .filter(step => sinkByStep.getOrElse(step, None).isDefined ||
           autoTableNames.contains(step))
         .foreach { step =>
+          val keys = pkByStep.getOrElse(step, Nil) match {
+            case Nil => autoPkByStep.getOrElse(step, Nil)
+            case ks => ks
+          }
           gen.frames.get(step).foreach(df => graft.generator.RecordTracking.track(
-            df, pkByStep.getOrElse(step, Nil), folder, plan.name, step))
+            df, keys, folder, plan.name, step))
         }
     }
     // auto-discovered JDBC tables: insert the generated rows back into the
@@ -323,7 +339,14 @@ object Unified {
         // generation off = validate-existing mode: the step's sink path IS
         // the dataset location (the reference reads the data source back)
         val frame = gen.frames.get(step).orElse(
-          sinkByStep.getOrElse(step, None).map(readBack))
+          sinkByStep.getOrElse(step, None).map { sk =>
+            // a bare-array document reads back as exploded element rows —
+            // not the column shape the validations were written against
+            require(!sk.options.get("unwrapTopLevelArray").contains("true"),
+              s"step '$step': validate-existing cannot read an " +
+                "unwrapTopLevelArray sink back (bare JSON array document)")
+            readBack(sk)
+          })
           .getOrElse(throw new IllegalArgumentException(
             s"step '$step': enableGenerateData=false and no file sink to read " +
               "existing data from — validations have no dataset"))

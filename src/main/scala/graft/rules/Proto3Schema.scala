@@ -109,6 +109,12 @@ object Proto3Schema {
         }
       }
       tokens = tokens.tail // '}'
+      // resolution is by SIMPLE name — silent last-wins would point fields
+      // at the wrong same-named type (nested names are parent-scoped in
+      // proto3; this parser flattens, so collisions must be loud)
+      require(!enums.contains(name) || enums(name) == symbols.toSeq,
+        s"duplicate enum name '$name' with different symbols — types resolve " +
+          "by simple name here; rename the colliding declarations")
       enums(name) = symbols.toSeq
     }
 
@@ -160,7 +166,11 @@ object Proto3Schema {
         }
       }
       tokens = tokens.tail // '}'
-      messages(name) = PMessage(name, fields.toSeq)
+      val built = PMessage(name, fields.toSeq)
+      require(!messages.contains(name) || messages(name) == built,
+        s"duplicate message name '$name' with different fields — types resolve " +
+          "by simple name here; rename the colliding declarations")
+      messages(name) = built
       name
     }
 

@@ -318,16 +318,24 @@ private class AvroPartitionReader(file: String, schema: StructType,
   private val reader = new DataFileReader[GenericRecord](
     new org.apache.avro.mapred.FsInput(new Path(file), conf),
     new GenericDatumReader[GenericRecord]())
-  // heterogeneous directories must fail loudly, not read nulls: GenericData
-  // .Record.get returns null for UNKNOWN field names, so a file written
-  // with a different schema than the inferred one would silently null out
-  // whole columns (or ClassCastException deep in execution on type drift)
+  // heterogeneous directories must fail loudly, not read nulls or corrupt:
+  // GenericData.Record.get returns null for UNKNOWN field names (silently
+  // nulled columns), and TYPE drift is worse — a plain long where
+  // timestamp-micros was inferred reads as a silently wrong timestamp.
+  // Check names AND unwrapped Spark types against the inferred schema.
   locally {
-    val fileFields = reader.getSchema.getFields.asScala.map(_.name()).toSet
+    val fileSchema = reader.getSchema
+    val fileFields = fileSchema.getFields.asScala.map(_.name()).toSet
     val missing = schema.fieldNames.filterNot(fileFields.contains)
     require(missing.isEmpty,
       s"avro file $file lacks expected fields ${missing.mkString(",")} — " +
         "directory holds heterogeneous schemas (inference uses the first file)")
+    schema.fields.foreach { f =>
+      val (fileType, _) = AvroSource.unwrap(fileSchema.getField(f.name).schema())
+      require(fileType == f.dataType,
+        s"avro file $file: field '${f.name}' is $fileType but the inferred " +
+          s"schema (first file) says ${f.dataType} — heterogeneous directory")
+    }
   }
   private var current: InternalRow = _
 

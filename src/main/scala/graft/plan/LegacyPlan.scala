@@ -33,6 +33,14 @@ object LegacyPlan {
   /** File formats the reference supports via jars this sandbox lacks. */
   private[plan] val BlockedFileFormats = Set("delta", "hudi", "iceberg")
 
+  /** ONE loud jar-blocked error for both dialects (`kind` names the
+    * YAML location: "step 'x'" / "connection type"). */
+  private[plan] def requireWritableFormat(kind: String, fmt: String): Unit =
+    if (BlockedFileFormats.contains(fmt))
+      throw new IllegalArgumentException(
+        s"$kind: sink format '$fmt' needs connector jars absent from this " +
+          s"build (writable here: ${FileFormats.toSeq.sorted.mkString("/")})")
+
   private def toJson(text: String): JValue = graft.util.Jsons.parse(text)
 
   /** One reference field → a [[FieldDef]]. Generator hints live in the
@@ -129,11 +137,7 @@ object LegacyPlan {
         // (delta/hudi/iceberg) fail LOUDLY — silently writing nothing at a
         // declared path is data that looks missing for no reason.
         val typOpt = str(s \ "type")
-        typOpt.filter(BlockedFileFormats.contains).foreach { t =>
-          throw new IllegalArgumentException(
-            s"step '$name': sink type '$t' needs connector jars absent from this " +
-              s"build (writable here: ${FileFormats.toSeq.sorted.mkString("/")})")
-        }
+        typOpt.foreach(requireWritableFormat(s"step '$name'", _))
         val sink =
           if (!typOpt.forall(FileFormats.contains)) None
           else str(s \ "options" \ "path").map { p =>
@@ -321,10 +325,9 @@ object LegacyPlan {
       // the source's OTHER reader options (header, delimiter, rowTag...)
       // must reach the reader — a csv read without its declared header
       // option yields _c0.. columns and validates the header row as data
-      val fmt = sv.options.getOrElse("format", "parquet")
-      val readOpts = (sv.options - "path" - "format") ++
-        (if (fmt == "csv") Map("inferSchema" -> "true") else Map.empty)
-      val df = spark.read.format(fmt).options(readOpts).load(path)
+      val df = Sinks.readBack(spark, SinkSpec(
+        format = sv.options.getOrElse("format", "parquet"),
+        path = path, options = sv.options - "path" - "format"))
       sv.dataSource -> graft.rules.LegacyValidation.validate(df, sv)
     }
     FolderOutcome(o, validations)

@@ -38,6 +38,20 @@ object Sinks {
   def singleFile(path: String): Boolean =
     SingleFileExts.exists(path.toLowerCase.endsWith)
 
+  /** Read a sink's data back with the SAME reader-relevant options it was
+    * written with — THE one implementation of the read-back convention
+    * (validate-existing, delete-generated-records, folder validations).
+    * csv additionally infers types so typed validations and key joins
+    * work; the default sits on the LEFT of `++` so a source explicitly
+    * declaring `inferSchema: "false"` wins.
+    */
+  def readBack(spark: org.apache.spark.sql.SparkSession, s: SinkSpec): DataFrame =
+    spark.read.format(s.format)
+      .options(
+        (if (s.format == "csv") Map("inferSchema" -> "true") else Map.empty[String, String]) ++
+          (s.options - "partitions" - "singleFile" - "unwrapTopLevelArray"))
+      .load(s.path)
+
   def write(df: DataFrame, s0: SinkSpec): Unit = {
     val (df1, s) =
       if (s0.format == "json" && s0.options.get("unwrapTopLevelArray").contains("true") &&

@@ -70,10 +70,7 @@ object Unified {
       val connPath = str(ds \ "connection" \ "options" \ "path")
       val steps = arr(ds \ "steps")
       // a jar-blocked file format must fail here too, not silently sink-less
-      if (LegacyPlan.BlockedFileFormats.contains(connType))
-        throw new IllegalArgumentException(
-          s"connection type '$connType' needs connector jars absent from this " +
-            s"build (writable here: ${FileFormats.toSeq.sorted.mkString("/")})")
+      LegacyPlan.requireWritableFormat("connection type", connType)
       steps.map { s =>
         // the step grammar is the legacy task-file step — reuse its parser
         // by wrapping the single step as a task file
@@ -244,12 +241,7 @@ object Unified {
       throw new IllegalArgumentException(
         "record tracking needs config.folders.recordTrackingFolderPath"))
 
-    // csv read-backs need type inference to compare against typed tracked
-    // keys / run numeric validations (write side never sees this option)
-    def readBack(s: SinkSpec) = spark.read.format(s.format)
-      .options(s.options ++
-        (if (s.format == "csv") Map("inferSchema" -> "true") else Map.empty))
-      .load(s.path)
+    def readBack(s: SinkSpec) = Sinks.readBack(spark, s)
 
     // delete mode runs INSTEAD of generation (reference semantics): remove
     // the previously tracked rows from each file sink (rewritten through

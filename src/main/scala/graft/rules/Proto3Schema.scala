@@ -94,7 +94,10 @@ object Proto3Schema {
       }
     }
 
-    def parseEnum(): Unit = {
+    def qualify(scope: String, name: String): String =
+      if (scope.isEmpty) name else s"$scope.$name"
+
+    def parseEnum(scope: String): Unit = {
       val name = tokens.head; tokens = tokens.tail
       require(tokens.head == "{", s"enum $name: expected '{'"); tokens = tokens.tail
       val symbols = scala.collection.mutable.ArrayBuffer[String]()
@@ -109,13 +112,13 @@ object Proto3Schema {
         }
       }
       tokens = tokens.tail // '}'
-      // resolution is by SIMPLE name — silent last-wins would point fields
-      // at the wrong same-named type (nested names are parent-scoped in
-      // proto3; this parser flattens, so collisions must be loud)
-      require(!enums.contains(name) || enums(name) == symbols.toSeq,
-        s"duplicate enum name '$name' with different symbols — types resolve " +
-          "by simple name here; rename the colliding declarations")
-      enums(name) = symbols.toSeq
+      // registered under the PARENT-QUALIFIED name (proto3 scoping) — two
+      // parents may each declare a nested `Status`; only the same
+      // qualified name redeclared with a different body is a conflict
+      val q = qualify(scope, name)
+      require(!enums.contains(q) || enums(q) == symbols.toSeq,
+        s"enum '$q' declared twice with different symbols")
+      enums(q) = symbols.toSeq
     }
 
     def parseField(fields: scala.collection.mutable.ArrayBuffer[PField],
@@ -143,14 +146,15 @@ object Proto3Schema {
       }
     }
 
-    def parseMessage(): String = {
+    def parseMessage(scope: String): String = {
       val name = tokens.head; tokens = tokens.tail
+      val q = qualify(scope, name)
       require(tokens.head == "{", s"message $name: expected '{'"); tokens = tokens.tail
       val fields = scala.collection.mutable.ArrayBuffer[PField]()
       while (tokens.head != "}") {
         tokens.head match {
-          case "message" => tokens = tokens.tail; parseMessage()
-          case "enum" => tokens = tokens.tail; parseEnum()
+          case "message" => tokens = tokens.tail; parseMessage(q)
+          case "enum" => tokens = tokens.tail; parseEnum(q)
           case "oneof" =>
             tokens = tokens.tail // keyword
             tokens = tokens.tail // group name
@@ -166,19 +170,18 @@ object Proto3Schema {
         }
       }
       tokens = tokens.tail // '}'
-      val built = PMessage(name, fields.toSeq)
-      require(!messages.contains(name) || messages(name) == built,
-        s"duplicate message name '$name' with different fields — types resolve " +
-          "by simple name here; rename the colliding declarations")
-      messages(name) = built
-      name
+      val built = PMessage(q, fields.toSeq)
+      require(!messages.contains(q) || messages(q) == built,
+        s"message '$q' declared twice with different fields")
+      messages(q) = built
+      q
     }
 
     while (tokens.nonEmpty) {
       tokens.head match {
         case "syntax" | "package" | "import" | "option" => tokens = tokens.tail; skipTo(";")
-        case "message" => tokens = tokens.tail; top += parseMessage()
-        case "enum" => tokens = tokens.tail; parseEnum()
+        case "message" => tokens = tokens.tail; top += parseMessage("")
+        case "enum" => tokens = tokens.tail; parseEnum("")
         case "service" =>
           tokens = tokens.tail; tokens = tokens.tail // name
           require(tokens.head == "{", "service: expected '{'"); tokens = tokens.tail
@@ -196,39 +199,62 @@ object Proto3Schema {
   private val IntTypes = Set("int32", "int64", "sint32", "sint64", "uint32",
     "uint64", "fixed32", "fixed64", "sfixed32", "sfixed64")
 
+  /** Proto3 name resolution: a reference inside message scope `A.B` tries
+    * `A.B.T`, `A.T`, `T` (innermost scope outward — proto3 semantics),
+    * then falls back to a UNIQUE simple-name suffix match anywhere in the
+    * schema (so a package-qualified `pkg.Type` reference still resolves);
+    * an ambiguous simple reference throws, never picks silently.
+    */
+  private def lookup[T](table: Map[String, T], scope: String, t: String): Option[T] = {
+    val parts = scope.split('.').filter(_.nonEmpty)
+    val scoped = (parts.indices.reverse.map(i => parts.take(i + 1).mkString(".") + "." + t)
+      :+ t).collectFirst { case k if table.contains(k) => table(k) }
+    scoped.orElse {
+      val simple = t.split('.').last
+      table.keys.filter(k => k == simple || k.endsWith("." + simple)).toSeq match {
+        case Seq(one) => Some(table(one))
+        case Nil => None
+        case many => throw new IllegalArgumentException(
+          s"type reference '$t' is ambiguous (${many.sorted.mkString(", ")}) — " +
+            "qualify the reference")
+      }
+    }
+  }
+
   /** The message's generation specs + nullable hints (optional/oneof
-    * fields). `root` defaults to the first top-level message. */
+    * fields). `root` defaults to the first top-level message; a simple
+    * name resolves against the qualified table. */
   def toSpecs(p: Parsed, root: String = ""): (Seq[FieldSpec], Map[String, Double]) = {
     val rootName = if (root.nonEmpty) root
       else p.order.headOption.getOrElse(
         throw new IllegalArgumentException("proto schema declares no message"))
-    val msg = p.messages.getOrElse(rootName,
+    val msg = lookup(p.messages, "", rootName).getOrElse(
       throw new IllegalArgumentException(s"message '$rootName' not found " +
         s"(have: ${p.messages.keys.toSeq.sorted.mkString(", ")})"))
-    val specs = msg.fields.map(f => fieldSpec(f, p, depth = 0))
+    val specs = msg.fields.map(f => fieldSpec(f, p, depth = 0, scope = msg.name))
     val nullable = msg.fields.collect { case f if f.optional => f.name -> 0.1 }.toMap
     (specs, nullable)
   }
 
-  private def fieldSpec(f: PField, p: Parsed, depth: Int): FieldSpec = {
+  private def fieldSpec(f: PField, p: Parsed, depth: Int, scope: String): FieldSpec = {
     require(depth < 8, s"field ${f.name}: message nesting exceeds depth 8 " +
       "(recursive message types cannot be generated)")
-    def scalar(name: String, t: String): FieldSpec = {
-      val simple = t.split('.').last
-      if (IntTypes.contains(simple)) IntField(name, 0L, 1000000L)
-      else simple match {
+    def scalar(name: String, t: String): FieldSpec =
+      if (IntTypes.contains(t)) IntField(name, 0L, 1000000L)
+      else t match {
         case "double" | "float" => DoubleField(name, 0.0, 1000.0)
         case "bool" => OneOfField(name, Seq(("true", 0.5), ("false", 0.5)))
         case "string" => AlphaNumField(name, 5, 12)
         case "bytes" => BytesField(name)
-        case _ if p.enums.contains(simple) =>
-          OneOfField(name, p.enums(simple).map(s => (s, 1.0 / p.enums(simple).size)))
-        case _ if p.messages.contains(simple) =>
-          StructSpec(name, p.messages(simple).fields.map(c => fieldSpec(c, p, depth + 1)))
-        case other => throw new IllegalArgumentException(
-          s"field $name: unresolved proto type '$other'")
+        case other => (lookup(p.enums, scope, other), lookup(p.messages, scope, other)) match {
+          case (Some(symbols), _) =>
+            OneOfField(name, symbols.map(s => (s, 1.0 / symbols.size)))
+          case (None, Some(m)) =>
+            StructSpec(name, m.fields.map(c => fieldSpec(c, p, depth + 1, scope = m.name)))
+          case _ => throw new IllegalArgumentException(
+            s"field $name: unresolved proto type '$other'")
+        }
       }
-    }
     f.mapKey match {
       case Some(k) =>
         // proto maps are repeated key-value entries on the wire — generate

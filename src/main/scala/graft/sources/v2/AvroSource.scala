@@ -174,6 +174,24 @@ object AvroSource {
     fields.endRecord()
   }
 
+  /** Can a file field of type `file` be READ as `expected`? Strict equality
+    * except where [[fromAvroValue]] genuinely converts: any decimal reads
+    * into any decimal (exact rescale, lossy throws loudly), and nested
+    * records are compared field-by-field by NAME (a file's record may carry
+    * extra fields — same contract as the top level). A plain long where a
+    * timestamp was inferred stays incompatible: it would read as a silently
+    * wrong timestamp.
+    */
+  private[v2] def readCompatible(file: DataType, expected: DataType): Boolean =
+    (file, expected) match {
+      case (_: DecimalType, _: DecimalType) => true
+      case (f: StructType, e: StructType) =>
+        e.fields.forall(ef => f.fields.find(_.name == ef.name)
+          .exists(ff => readCompatible(ff.dataType, ef.dataType)))
+      case (ArrayType(f, _), ArrayType(e, _)) => readCompatible(f, e)
+      case (f, e) => f == e
+    }
+
   /** Avro runtime value → Catalyst value for `t`, driven by the FILE's
     * schema (`avro`) so millis-vs-micros timestamps and decimal scales
     * convert correctly. Built once per reader, applied per value.
@@ -332,7 +350,7 @@ private class AvroPartitionReader(file: String, schema: StructType,
         "directory holds heterogeneous schemas (inference uses the first file)")
     schema.fields.foreach { f =>
       val (fileType, _) = AvroSource.unwrap(fileSchema.getField(f.name).schema())
-      require(fileType == f.dataType,
+      require(AvroSource.readCompatible(fileType, f.dataType),
         s"avro file $file: field '${f.name}' is $fileType but the inferred " +
           s"schema (first file) says ${f.dataType} — heterogeneous directory")
     }

@@ -64,9 +64,11 @@ class MultiPlanFuzzSpec extends SparkSuite {
             math.round(o.counts(r.parentTable) * ratio), clue)
         }
       }
-      // deterministic re-run, frame-for-frame
+      // deterministic re-run, frame-for-frame (symmetric: equal counts plus
+      // one-way multiset containment = multiset equality)
       val again = MultiPlanRunner.run(s, plan)
       plan.tasks.foreach { t =>
+        assert(again.frames(t.name).count() == o.counts(t.name), clue)
         assert(o.frames(t.name).exceptAll(again.frames(t.name)).isEmpty, clue)
       }
     }

@@ -51,7 +51,7 @@ class Proto3SchemaSpec extends SparkSuite {
   test("proto3 grammar: scalars, enums, nesting, optional, repeated, map, oneof, imports") {
     val p = Proto3Schema.parse(proto, imports = Seq(imported))
     assert(p.order == Seq("Event"))
-    assert(p.enums("Level") == Seq("NONE", "LOW", "HIGH"))
+    assert(p.enums("Event.Level") == Seq("NONE", "LOW", "HIGH")) // parent-qualified
     val (specs, nullable) = Proto3Schema.toSpecs(p)
     assert(specs.map(_.name) == Seq("id", "name", "score", "active", "payload",
       "level", "inner", "note", "counts", "attrs", "option_a", "option_b", "ext"))
@@ -69,6 +69,33 @@ class Proto3SchemaSpec extends SparkSuite {
       .where(col("e.key").isNull || col("e.value").isNull).isEmpty)
     assert(df.where(col("ext.ext_id").isNull).isEmpty)
     assert(df.where(col("note").isNull).count() > 0) // nullable applied
+  }
+
+  test("parent-scoped nested types: two same-named nested messages coexist") {
+    // legal proto3 — nested names are scoped to their parent; each parent's
+    // field must resolve to ITS OWN Item, innermost scope first
+    val p = Proto3Schema.parse(
+      """syntax = "proto3";
+        |message A { message Item { string x = 1; } Item it = 1; }
+        |message B { message Item { int64 y = 1; } Item it = 1; }
+        |""".stripMargin)
+    val (aSpecs, _) = Proto3Schema.toSpecs(p, root = "A")
+    val (bSpecs, _) = Proto3Schema.toSpecs(p, root = "B")
+    val aDf = Generator.generate(s, 10, aSpecs, seed = 1L)
+    val bDf = Generator.generate(s, 10, bSpecs, seed = 1L)
+    assert(aDf.schema("it").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("x"))
+    assert(bDf.schema("it").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("y"))
+    // an UNSCOPED ambiguous reference still fails loudly, never picks silently
+    val amb = Proto3Schema.parse(
+      """syntax = "proto3";
+        |message A { message Item { string x = 1; } }
+        |message B { message Item { int64 y = 1; } }
+        |message C { Item it = 1; }
+        |""".stripMargin)
+    val e = intercept[IllegalArgumentException](Proto3Schema.toSpecs(amb, root = "C"))
+    assert(e.getMessage.contains("ambiguous"))
   }
 
   test("failure modes: unresolved types, no message, recursion, bad tokens") {

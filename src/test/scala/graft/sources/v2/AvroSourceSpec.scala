@@ -88,4 +88,33 @@ class AvroSourceSpec extends SparkSuite {
     val backNeg = spark.read.format("graft-avro").load(dir + "_neg")
     assert(backNeg.agg(min(col("n"))).head().getDecimal(0).toString == "-10.00")
   }
+
+  test("mixed-scale decimal directory rescales exactly; type drift stays loud") {
+    val root = Files.createTempDirectory("graft_avro_mix").toString
+    // two files with decimal(12,2) and decimal(12,3) — lossless rescale
+    spark.range(0, 5).select(col("id").cast("decimal(12,2)").as("v"))
+      .coalesce(1).write.mode("append").format("graft-avro").save(s"$root/d")
+    spark.range(5, 9).select(col("id").cast("decimal(12,3)").as("v"))
+      .coalesce(1).write.mode("append").format("graft-avro").save(s"$root/d3")
+    val extra = new java.io.File(s"$root/d3").listFiles()
+      .find(_.getName.endsWith(".avro")).get
+    java.nio.file.Files.move(extra.toPath,
+      java.nio.file.Paths.get(s"$root/d/zz-${extra.getName}"))
+    val back = spark.read.format("graft-avro").load(s"$root/d")
+    assert(back.count() == 9)
+    assert(back.agg(sum(col("v"))).head().getDecimal(0).longValue() == 36) // 0+..+8
+    // TYPE drift (long field where string was inferred) still fails loudly
+    spark.range(3).selectExpr("cast(id as string) as v").coalesce(1)
+      .write.mode("append").format("graft-avro").save(s"$root/s")
+    spark.range(3).select(col("id").as("v")).coalesce(1)
+      .write.mode("append").format("graft-avro").save(s"$root/l")
+    val drift = new java.io.File(s"$root/l").listFiles()
+      .find(_.getName.endsWith(".avro")).get
+    java.nio.file.Files.move(drift.toPath,
+      java.nio.file.Paths.get(s"$root/s/zz-${drift.getName}"))
+    val e = intercept[Exception](
+      spark.read.format("graft-avro").load(s"$root/s").count())
+    assert(String.valueOf(e.getMessage).contains("heterogeneous") ||
+      Option(e.getCause).exists(c => String.valueOf(c.getMessage).contains("heterogeneous")))
+  }
 }

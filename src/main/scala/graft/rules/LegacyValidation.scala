@@ -159,11 +159,18 @@ object LegacyValidation {
         (Nil, Seq((s"groupby_${keys.mkString("_")}_$aggType", (df: DataFrame) => {
           import org.apache.spark.sql.functions.{col, expr, coalesce, lit}
           // reference naming: agg column is `aggType(aggField)`; count with
-          // no field is groupBy().count()'s `count` column
+          // no field is groupBy().count()'s `count` column. The unified
+          // examples ALSO spell it `aggType_aggField` (avg_balance) — the
+          // reference's own engine crashes on that; alias both so either
+          // spelling of aggExpr resolves.
           val grouped =
             if (aggField.isEmpty && aggType == "count")
               df.groupBy(keys.map(col): _*).count()
-            else df.groupBy(keys.map(col): _*).agg(Map(aggField -> aggType))
+            else {
+              val base = df.groupBy(keys.map(col): _*).agg(Map(aggField -> aggType))
+              val short = aggField.split('.').last // struct fields: avg_balance, not avg_a.b
+              base.withColumn(s"${aggType}_$short", col(s"`$aggType($aggField)`"))
+            }
           grouped.where(!coalesce(expr(aggExpr), lit(false))).isEmpty
         })))
       case (_, _, JArray(ns), _) =>

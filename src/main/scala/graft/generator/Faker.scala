@@ -66,12 +66,20 @@ object Faker {
     "Leather")
   val ProductNames: IndexedSeq[String] = Vector(
     "Chair", "Car", "Computer", "Gloves", "Pants", "Shirt", "Table", "Shoes")
+  /** Generic UA strings (format-shaped, not real browser builds). */
+  val UserAgents: IndexedSeq[String] = Vector(
+    "Mozilla/5.0 (X11; Linux x86_64) TestBrowser/1.0",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) TestBrowser/2.0",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15) TestBrowser/3.0",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 16_0 like Mac OS X) TestMobile/1.0",
+    "Mozilla/5.0 (Linux; Android 13) TestMobile/2.0",
+    "TestBot/1.0 (+https://example.com/bot)")
 
   sealed trait Token
   final case class Lit(s: String) extends Token
   final case class Directive(key: String) extends Token
 
-  private val directiveRe = "#\\{([A-Za-z.]+)\\}".r
+  private val directiveRe = "#\\{([A-Za-z0-9_.]+)\\}".r // ipV4Address has a digit
 
   /** Split a template into literal runs and `#{...}` directives; every
     * directive key is validated eagerly (unknown key → IllegalArgumentException
@@ -96,9 +104,12 @@ object Faker {
 
   val supportedKeys: Seq[String] = Seq(
     "name.firstname", "name.lastname", "name.name", "name.fullname",
+    "name.username",
     "address.city", "address.country", "address.countrycode",
-    "address.fulladdress", "address.streetaddress",
-    "internet.emailaddress", "internet.domainname",
+    "address.fulladdress", "address.streetaddress", "address.zipcode",
+    "internet.emailaddress", "internet.domainname", "internet.url",
+    "internet.ipv4address", "internet.useragentany",
+    "phonenumber.phonenumber",
     "company.name", "commerce.productname", "finance.creditcard",
     "number.digit")
   private def supported(key: String): Boolean = supportedKeys.contains(key)
@@ -135,6 +146,23 @@ object Faker {
       concat_ws("-", (0 until 4).map(g =>
         lpad((u(s"c$g") * 10000).cast("int").cast("string"), 4, "0")): _*)
     case "number.digit" => (u("n") * 10).cast("int").cast("string")
+    case "name.username" =>
+      concat(lower(substring(pick(FirstNames, u("f")), 1, 1)),
+        lower(pick(LastNames, u("l"))),
+        ((u("n") * 90).cast("int") + 10).cast("string"))
+    case "address.zipcode" =>
+      lpad((u("z") * 100000).cast("int").cast("string"), 5, "0")
+    case "internet.url" =>
+      concat(lit("https://www."), pick(Domains, u("d")), lit("/"),
+        lower(pick(ProductNames, u("p"))))
+    case "internet.ipv4address" =>
+      concat_ws(".", (0 until 4).map(g =>
+        ((u(s"i$g") * 254).cast("int") + 1).cast("string")): _*)
+    case "internet.useragentany" => pick(UserAgents, u("ua"))
+    case "phonenumber.phonenumber" =>
+      concat(lit("("), lpad(((u("a") * 800).cast("int") + 200).cast("string"), 3, "0"),
+        lit(") "), lpad((u("e") * 1000).cast("int").cast("string"), 3, "0"),
+        lit("-"), lpad((u("s") * 10000).cast("int").cast("string"), 4, "0"))
     case other => throw new IllegalArgumentException(s"unsupported directive $other")
   }
 }

@@ -92,6 +92,24 @@ object LegacyPlan {
             FieldDef(name, "alphanum",
               minLen = dbl(o \ "minLen").map(_.toInt),
               maxLen = dbl(o \ "maxLen").map(_.toInt))
+          // nested fields, the reference task-file way: `type: struct` +
+          // `fields:`, `type: array` + `fields:` (struct elements) or
+          // `type: array<T>` (scalar elements); arrayMinLen/arrayMaxLen
+          case "struct" | "object" | "record" =>
+            FieldDef(name, "struct", fields = Some(arr(j \ "fields").map(field)))
+          case "array" =>
+            val children = arr(j \ "fields")
+            FieldDef(name, "array",
+              fields = if (children.nonEmpty) Some(children.map(field)) else None,
+              minLen = dbl(o \ "arrayMinLen").map(_.toInt),
+              maxLen = dbl(o \ "arrayMaxLen").map(_.toInt))
+          case at if at.startsWith("array<") && at.endsWith(">") =>
+            val inner = at.stripPrefix("array<").stripSuffix(">").trim
+            FieldDef(name, "array",
+              element = Some(field(JObject(List(
+                "name" -> JString("element"), "type" -> JString(inner))))),
+              minLen = dbl(o \ "arrayMinLen").map(_.toInt),
+              maxLen = dbl(o \ "arrayMaxLen").map(_.toInt))
           case other =>
             // a typo'd or wrong-dialect type silently generating random
             // strings is data that LOOKS right and IS wrong — fail loudly
@@ -99,9 +117,8 @@ object LegacyPlan {
             throw new IllegalArgumentException(
               s"field '$name': unknown legacy field type '$other' " +
                 "(string|int|integer|long|short|byte|double|float|decimal|date|" +
-                "timestamp|boolean|binary; nested array/struct fields: use the " +
-                "Scala API's ArraySpec/StructSpec; generators go in options: " +
-                "regex/oneOf/min/max/isUnique/expression/sql/static)")
+                "timestamp|boolean|binary|struct|array|array<T>; generators go " +
+                "in options: regex/oneOf/min/max/isUnique/expression/sql/static)")
         }
     }
   }
@@ -148,21 +165,33 @@ object LegacyPlan {
             val opts =
               (if (fmt == "xml") Map("rowTag" -> str(s \ "options" \ "rowTag").getOrElse(name))
                else Map.empty[String, String]) ++ sinkPassThrough(s)
-            SinkSpec(format = fmt, path = p, options = opts)
+            SinkSpec(format = fmt, path = p,
+              mode = str(s \ "options" \ "saveMode").getOrElse("overwrite").toLowerCase,
+              options = opts)
           }
         val fields = arr(s \ "fields").map(field)
         StepInfo(TaskDef(name, records, fields, sink), perField)
       }
   }
 
-  /** Step options that ride through to the sink writer: `partitions`
-    * (repartition-N), `unwrapTopLevelArray` (bare JSON array emission),
-    * `singleFile` (opt out of extension-based single-file consolidation).
-    * Shared by the legacy and unified dialects.
+  /** Step options that ride through to the sink writer: `partitions` /
+    * `numPartitions` (repartition-N), `unwrapTopLevelArray` (bare JSON
+    * array emission — also honored as a FIELD-level option on the array
+    * field, the reference's metadata spelling), `singleFile` (opt out of
+    * extension-based single-file consolidation). Shared by the legacy and
+    * unified dialects.
     */
-  private[plan] def sinkPassThrough(step: JValue): Map[String, String] =
-    Seq("partitions", "unwrapTopLevelArray", "singleFile")
+  private[plan] def sinkPassThrough(step: JValue): Map[String, String] = {
+    val base = Seq("partitions", "unwrapTopLevelArray", "singleFile")
       .flatMap(k => str(step \ "options" \ k).map(k -> _)).toMap
+    val numPart = str(step \ "options" \ "numPartitions").map("partitions" -> _)
+    val fieldUnwrap =
+      if (arr(step \ "fields").exists(f =>
+          graft.util.Jsons.bool(f \ "options" \ "unwrapTopLevelArray")))
+        Some("unwrapTopLevelArray" -> "true")
+      else None
+    base ++ numPart ++ fieldUnwrap
+  }
 
   /** `"30s" | "5m" | "2h" | "90"` → seconds. */
   def durationSeconds(d: String): Double = {

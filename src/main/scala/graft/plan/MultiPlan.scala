@@ -68,7 +68,9 @@ final case class ValidationDef(
 
 /** One field of a task, dispatched on `type` to the [[FieldSpec]] ADT.
   * Types: int, double, exponential, oneOf, sequential, alphanum, regex,
-  * template, date, timestamp, sql, boolean.
+  * template, date, timestamp, sql, boolean, struct (with `fields`),
+  * array (with `element` for scalar elements or `fields` for struct
+  * elements; `minLen`/`maxLen` bound the length).
   */
 final case class FieldDef(
     name: String,
@@ -85,9 +87,19 @@ final case class FieldDef(
     days: Option[Int] = None,
     rate: Option[Double] = None,
     minLen: Option[Int] = None,
-    maxLen: Option[Int] = None) {
+    maxLen: Option[Int] = None,
+    fields: Option[Seq[FieldDef]] = None,
+    element: Option[FieldDef] = None) {
 
   def toSpec: FieldSpec = `type`.toLowerCase match {
+    case "struct" | "object" | "record" =>
+      StructSpec(name, fields.getOrElse(throw new IllegalArgumentException(
+        s"$name: struct needs fields")).map(_.toSpec))
+    case "array" =>
+      val elem = element.map(_.toSpec)
+        .orElse(fields.map(fs => StructSpec("element", fs.map(_.toSpec))))
+        .getOrElse(AlphaNumField("element", 5, 12))
+      ArraySpec(name, elem, minLen.getOrElse(0), maxLen.getOrElse(3))
     case "int" | "integer" => IntField(name, lo.getOrElse(0.0).toLong, hi.getOrElse(1000000.0).toLong)
     case "double" | "number" => DoubleField(name, lo.getOrElse(0.0), hi.getOrElse(1.0))
     case "exponential" => ExponentialField(name, rate.getOrElse(1.0))

@@ -312,6 +312,70 @@ class LegacyPlanSpec extends SparkSuite {
     assert(e.getMessage.contains("no task file supplied for 'ghost_task'"))
   }
 
+  test("nested struct/array fields in reference task YAML (incl. array<T> and unwrap)") {
+    // the shape of the reference's simple-json-task / json-array-unwrap /
+    // kafka-streaming samples: type struct + fields, type array + fields
+    // (struct elements), type array<string>, arrayMinLen/arrayMaxLen,
+    // field-level unwrapTopLevelArray, options saveMode/numPartitions
+    val out = Files.createTempDirectory("graft_nested").toString
+    val y =
+      s"""name: t
+         |steps:
+         |  - name: "accounts"
+         |    type: "json"
+         |    count: {records: 20}
+         |    options: {path: "$out/accounts", saveMode: "overwrite", numPartitions: 2}
+         |    fields:
+         |      - name: "id"
+         |        options: {regex: "A[0-9]{4}"}
+         |      - name: "details"
+         |        type: "struct"
+         |        fields:
+         |          - {name: "city", options: {expression: "#{Address.city}"}}
+         |          - {name: "ua", options: {expression: "#{Internet.userAgentAny}"}}
+         |          - {name: "ip", options: {expression: "#{Internet.ipV4Address}"}}
+         |      - name: "transactions"
+         |        type: "array"
+         |        options: {arrayMinLen: 1, arrayMaxLen: 3}
+         |        fields:
+         |          - {name: "amount", type: "double"}
+         |          - {name: "tags", type: "array<string>"}
+         |""".stripMargin
+    val o = MultiPlanRunner.run(s, MultiPlanSpec("n", 3L, LegacyPlan.parseTaskFile(y)))
+    val df = o.frames("accounts")
+    assert(df.count() == 20)
+    assert(df.where(col("details.city").isNull).isEmpty)
+    assert(df.where(!col("details.ip").rlike("^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$")).isEmpty)
+    assert(df.where(size(col("transactions")) < 1 || size(col("transactions")) > 3).isEmpty)
+    assert(df.select(explode(col("transactions")).as("t"))
+      .where(col("t.amount").isNull || col("t.tags").isNull).isEmpty)
+    // numPartitions rode through: exactly 2 part files at the sink
+    assert(new java.io.File(s"$out/accounts").listFiles()
+      .count(_.getName.startsWith("part-")) == 2)
+
+    // field-level unwrapTopLevelArray (json-array-unwrap sample shape):
+    // the single array column writes as ONE bare JSON array document
+    val uy =
+      s"""name: u
+         |steps:
+         |  - name: "records"
+         |    type: "json"
+         |    count: {records: 1}
+         |    options: {path: "$out/unwrap.json"}
+         |    fields:
+         |      - name: "records"
+         |        type: "array"
+         |        options: {arrayMinLen: 3, arrayMaxLen: 3, unwrapTopLevelArray: true}
+         |        fields:
+         |          - {name: "id", options: {regex: "ID[0-9]{3}"}}
+         |          - {name: "name", options: {expression: "#{Name.firstName}"}}
+         |""".stripMargin
+    MultiPlanRunner.run(s, MultiPlanSpec("u", 4L, LegacyPlan.parseTaskFile(uy)))
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/unwrap.json"))).trim
+    assert(text.startsWith("[") && text.endsWith("]") && text.count(_ == '{') == 3, text)
+  }
+
   test("task file alone parses to runnable tasks") {
     val out = Files.createTempDirectory("graft_legacy2").toString
     val tasks = LegacyPlan.parseTaskFile(taskYaml(out))

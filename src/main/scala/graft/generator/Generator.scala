@@ -154,16 +154,22 @@ final case class SqlField(name: String, sql: String) extends FieldSpec {
 /** Nested struct: children generate with uniforms keyed by the full dotted
   * path (`parent.child`), so nesting never aliases sibling randomness — the
   * reference builds nested structs in `DataGeneratorFactory.scala:199-336`.
-  * [[SqlField]] children are not supported inside structs (computed fields
-  * are a top-level projection stage). */
+  * [[SqlField]] children ARE allowed (the reference's nested computed
+  * fields) — structs containing them are built by [[Generator.generate]]'s
+  * second projection stage, where the SQL can reference any top-level
+  * generated column; calling `toColumnWith` directly on such a struct
+  * throws. */
 final case class StructSpec(name: String, children: Seq[FieldSpec]) extends FieldSpec {
-  require(children.nonEmpty && !children.exists(_.isInstanceOf[SqlField]),
-    s"struct $name: needs children; SqlField not supported inside structs")
+  require(children.nonEmpty, s"struct $name: needs children")
   def toColumn(u: Column, idx: Column, seed: Long): Column =
     throw new UnsupportedOperationException("StructSpec uses toColumnWith")
-  override def toColumnWith(uniform: (String, Long, Column) => Column, seed: Long, idx: Column): Column =
+  override def toColumnWith(uniform: (String, Long, Column) => Column, seed: Long, idx: Column): Column = {
+    require(!Generator.hasSqlDeep(this),
+      s"struct $name: contains computed (sql) children — generate it through " +
+        "Generator.generate, which applies those in the second projection stage")
     struct(children.map(c =>
       c.toColumnWith((n, s, i) => uniform(s"$name.$n", s, i), seed, idx).as(c.name)): _*)
+  }
 }
 
 /** Array of `minLen..maxLen` generated elements. Element draws are keyed by
@@ -222,7 +228,10 @@ object Generator {
       uniform: (String, Long, Column) => Column = xxhashUniform): DataFrame = {
     val base = if (partitions > 0) spark.range(0, n, 1, partitions) else spark.range(n)
     val idx = col("id")
-    val (plain, computed) = specs.partition(!_.isInstanceOf[SqlField])
+    // LATE specs — top-level SqlFields AND structs containing nested sql
+    // children (the reference's nested computed fields) — apply in a second
+    // projection over the full frame
+    val (plain, late) = specs.partition(s => !hasSqlDeep(s))
     val cols = plain.map { s =>
       val c = s.toColumnWith(uniform, seed, idx)
       val withNulls = nullProb.get(s.name) match {
@@ -232,28 +241,65 @@ object Generator {
       withNulls.as(s.name)
     }
     val df = base.select((idx.as("__index_inc") +: cols): _*)
-    val ordered = topoOrder(computed.map(_.asInstanceOf[SqlField]))
-    val out = ordered.foldLeft(df) { case (d, s) => d.withColumn(s.name, expr(s.sql)) }
+    // the late stage runs over the projected frame, where the row index
+    // column is named __index_inc (not the range's `id`)
+    val lateIdx = col("__index_inc")
+    val out = topoOrder(late).foldLeft(df) { case (d, s) =>
+      d.withColumn(s.name, lateColumn(s, uniform, seed, lateIdx))
+    }
     out.drop("__index_inc")
   }
 
-  /** Dependency-levels computed fields (the reference's topological ordering
-    * of computed columns, `GeneratorUtil.scala:93-269`): a SqlField that
-    * references another SqlField is applied after it, whatever the listed
-    * order; cycles are rejected (Kahn, via [[ForeignKeys.insertOrder]]).
-    * References are read off the UNRESOLVED expression tree — no analysis
-    * pass needed.
+  /** A late spec's column: a bare SqlField is its expression; a hybrid
+    * struct rebuilds the struct with plain children drawn via the SAME
+    * dotted-path uniform keys a pure struct would use and sql children as
+    * expressions over the frame's top-level columns. */
+  private def lateColumn(s: FieldSpec,
+      uniform: (String, Long, Column) => Column, seed: Long, idx: Column): Column = s match {
+    case sf: SqlField => expr(sf.sql)
+    case st: StructSpec =>
+      struct(st.children.map {
+        case sf: SqlField => expr(sf.sql).as(sf.name)
+        case c =>
+          lateColumn(c, (nm, s2, i) => uniform(s"${st.name}.$nm", s2, i), seed, idx).as(c.name)
+      }: _*)
+    case other => other.toColumnWith(uniform, seed, idx)
+  }
+
+  /** All sql texts inside a (possibly hybrid-struct) late spec. */
+  private def sqlTexts(s: FieldSpec): Seq[String] = s match {
+    case sf: SqlField => Seq(sf.sql)
+    case StructSpec(_, cs) => cs.flatMap(sqlTexts)
+    case _ => Nil
+  }
+
+  /** Dependency-levels computed specs (the reference's topological ordering
+    * of computed columns, `GeneratorUtil.scala:93-269`): a late spec whose
+    * SQL references another late spec's name — directly or as the base of a
+    * dotted path like `details.updated_by.time` — is applied after it,
+    * whatever the listed order; cycles are rejected (Kahn, via
+    * [[ForeignKeys.insertOrder]]). References are read off the UNRESOLVED
+    * expression tree — no analysis pass needed.
     */
-  private def topoOrder(computed: Seq[SqlField]): Seq[SqlField] = {
-    if (computed.size <= 1) return computed
-    val byName = computed.map(s => s.name -> s).toMap
-    val edges = computed.flatMap { s =>
-      org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(s.sql).collect {
-        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-            if byName.contains(a.name) && a.name != s.name => a.name -> s.name
-      }
+  private def topoOrder(late: Seq[FieldSpec]): Seq[FieldSpec] = {
+    if (late.size <= 1) return late
+    val byName = late.map(s => s.name -> s).toMap
+    val edges = late.flatMap { s =>
+      sqlTexts(s).flatMap { sql =>
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(sql).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            Seq(a.name, a.nameParts.head)
+        }.flatten
+      }.distinct.filter(r => byName.contains(r) && r != s.name).map(_ -> s.name)
     }
-    ForeignKeys.insertOrder(computed.map(_.name), edges.distinct).map(byName)
+    ForeignKeys.insertOrder(late.map(_.name), edges.distinct).map(byName)
+  }
+
+  /** Does this spec (recursively) contain a computed [[SqlField]]? */
+  private[generator] def hasSqlDeep(s: FieldSpec): Boolean = s match {
+    case _: SqlField => true
+    case StructSpec(_, cs) => cs.exists(hasSqlDeep)
+    case _ => false
   }
 
   /** Per-parent fan-out (the reference's per-field count,

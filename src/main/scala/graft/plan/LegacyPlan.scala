@@ -48,13 +48,18 @@ object LegacyPlan {
     */
   private def field(j: JValue): FieldDef = {
     val name = str(j \ "name").getOrElse(throw new IllegalArgumentException("field without name"))
-    val typ = str(j \ "type").getOrElse("string").toLowerCase
+    // a field declaring child `fields:` with no `type:` is implicitly a
+    // struct (the reference's json-account-task shape)
+    val typ = str(j \ "type").getOrElse(
+      if ((j \ "fields") != JNothing) "struct" else "string").toLowerCase
     val o = j \ "options"
+    val omit =
+      if (graft.util.Jsons.bool(o \ "omit")) Some(true) else None
     // the reference accepts `static` at the field level AND inside options
     val static = str(j \ "static").orElse(str(o \ "static"))
     def opt(k: String) = o \ k match { case JNothing => None; case v => Some(v) }
 
-    static match {
+    val parsed: FieldDef = static match {
       // static value = a literal column (the reference emits lit(static)).
       // Spark SQL's lexer uses BACKSLASH escaping, not ''-doubling — an
       // apostrophe value (O'Brien) must round-trip through the parser intact
@@ -68,7 +73,12 @@ object LegacyPlan {
         else if (opt("regex").isDefined)
           FieldDef(name, "regex", pattern = str(o \ "regex"))
         else if (opt("oneOf").isDefined)
-          FieldDef(name, "oneOf", values = Some(arr(o \ "oneOf").flatMap(str)))
+          // the reference accepts a YAML list OR a comma string
+          // ("ACTIVE,PENDING,CLOSED" — account-reuse-task.yaml)
+          FieldDef(name, "oneOf", values = Some((o \ "oneOf") match {
+            case JString(s) => s.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+            case other => arr(other).flatMap(str)
+          }))
         else if (str(o \ "isUnique").contains("true"))
           FieldDef(name, "sequential", prefix = Some(name.take(1).toUpperCase), pad = Some(10))
         else typ match {
@@ -121,6 +131,7 @@ object LegacyPlan {
                 "in options: regex/oneOf/min/max/isUnique/expression/sql/static)")
         }
     }
+    parsed.copy(omit = omit)
   }
 
   private final case class StepInfo(

@@ -89,15 +89,24 @@ final case class FieldDef(
     minLen: Option[Int] = None,
     maxLen: Option[Int] = None,
     fields: Option[Seq[FieldDef]] = None,
-    element: Option[FieldDef] = None) {
+    element: Option[FieldDef] = None,
+    /** Reference `options.omit`: helper fields other fields' sql can
+      * reference, dropped from the output. NESTED omitted children are
+      * excluded at spec construction (they can't be referenced); TOP-LEVEL
+      * omitted fields generate and are dropped by [[MultiPlanRunner]]
+      * after computed fields and FKs ran. */
+    omit: Option[Boolean] = None) {
+
+  private def keptChildren(fs: Seq[FieldDef]): Seq[FieldDef] =
+    fs.filterNot(_.omit.contains(true))
 
   def toSpec: FieldSpec = `type`.toLowerCase match {
     case "struct" | "object" | "record" =>
-      StructSpec(name, fields.getOrElse(throw new IllegalArgumentException(
-        s"$name: struct needs fields")).map(_.toSpec))
+      StructSpec(name, keptChildren(fields.getOrElse(throw new IllegalArgumentException(
+        s"$name: struct needs fields"))).map(_.toSpec))
     case "array" =>
       val elem = element.map(_.toSpec)
-        .orElse(fields.map(fs => StructSpec("element", fs.map(_.toSpec))))
+        .orElse(fields.map(fs => StructSpec("element", keptChildren(fs).map(_.toSpec))))
         .getOrElse(AlphaNumField("element", 5, 12))
       ArraySpec(name, elem, minLen.getOrElse(0), maxLen.getOrElse(3))
     case "int" | "integer" => IntField(name, lo.getOrElse(0.0).toLong, hi.getOrElse(1000000.0).toLong)
@@ -194,7 +203,10 @@ object MultiPlanRunner {
           seed = plan.seed ^ (r.childCols.mkString(",") + "->" + r.parentTable).hashCode.toLong,
           maxLookup = 50000000L)
       }
-      frames(name) = df.drop(RowId)
+      // top-level omit fields existed so computed fields / FKs could
+      // reference them — drop them from the OUTPUT (reference omit-drop)
+      val omitted = task.fields.filter(_.omit.contains(true)).map(_.name)
+      frames(name) = df.drop(RowId).drop(omitted: _*)
     }
 
     // sinks, in insert order (FK-safe for a consuming system)

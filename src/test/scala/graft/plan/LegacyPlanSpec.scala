@@ -376,6 +376,50 @@ class LegacyPlanSpec extends SparkSuite {
     assert(text.startsWith("[") && text.endsWith("]") && text.count(_ == '{') == 3, text)
   }
 
+  test("computed fields inside structs, omit helpers, comma oneOf, implicit struct") {
+    // the nested-json-with-omit-and-sql sample's shape: sql children inside
+    // structs referencing TOP-LEVEL fields (incl. omitted helpers), nested
+    // omit dropped from output, oneOf as a comma string, a field with
+    // `fields:` but no `type:` is implicitly a struct
+    val y =
+      s"""name: t
+         |steps:
+         |  - name: "payments"
+         |    count: {records: 25}
+         |    fields:
+         |      - name: "temp_cents"
+         |        type: "long"
+         |        options: {omit: true, min: 1000, max: 500000}
+         |      - name: "amount"
+         |        type: "double"
+         |        options: {sql: "temp_cents / 100.0"}
+         |      - name: "status"
+         |        options: {oneOf: "ACTIVE,PENDING,CLOSED"}
+         |      - name: "payment_information"
+         |        fields:
+         |          - name: "summary"
+         |            options: {sql: "CONCAT('AMT-', CAST(amount AS INT))"}
+         |          - name: "method"
+         |            options: {oneOf: ["CARD", "PAYPAL"]}
+         |          - name: "temp_flag"
+         |            options: {omit: true, static: "x"}
+         |""".stripMargin
+    val o = MultiPlanRunner.run(s, MultiPlanSpec("p", 7L, LegacyPlan.parseTaskFile(y)))
+    val df = o.frames("payments")
+    assert(df.count() == 25)
+    // top-level omit helper referenced by sql, then dropped from output
+    assert(!df.columns.contains("temp_cents"))
+    assert(df.where(col("amount") < 10.0 || col("amount") > 5000.0).isEmpty)
+    // implicit struct with a sql child referencing the computed top-level
+    assert(df.where(col("payment_information.summary") =!=
+      concat(lit("AMT-"), col("amount").cast("int").cast("string"))).isEmpty)
+    assert(df.where(!col("payment_information.method").isin("CARD", "PAYPAL")).isEmpty)
+    // nested omit child never appears
+    assert(!df.select("payment_information.*").columns.contains("temp_flag"))
+    // comma-string oneOf
+    assert(df.where(!col("status").isin("ACTIVE", "PENDING", "CLOSED")).isEmpty)
+  }
+
   test("task file alone parses to runnable tasks") {
     val out = Files.createTempDirectory("graft_legacy2").toString
     val tasks = LegacyPlan.parseTaskFile(taskYaml(out))

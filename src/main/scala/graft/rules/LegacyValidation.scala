@@ -52,7 +52,15 @@ object LegacyValidation {
   }
 
   def parse(text: String): Seq[SourceValidations] = {
-    val json = graft.util.Jsons.parse(text)
+    // a validation document may also be a top-level LIST of configs
+    // (the reference's generated validations_N.yaml layout)
+    graft.util.Jsons.parse(text) match {
+      case JArray(docs) => docs.flatMap(parseDoc)
+      case doc => parseDoc(doc)
+    }
+  }
+
+  private def parseDoc(json: JValue): Seq[SourceValidations] =
     (json \ "dataSources") match {
       case JObject(sources) => sources.flatMap { case (ds, entries) =>
         arr(entries).map { entry =>
@@ -65,7 +73,6 @@ object LegacyValidation {
       }
       case _ => Nil
     }
-  }
 
   /** Run every entry against its frame (read from `options.path` +
     * `format` when `df` isn't supplied): row rules in one projection,
@@ -145,51 +152,142 @@ object LegacyValidation {
     ParsedEntry(rules, wrappedChecks, pre)
   }
 
+  /** GroupBy/global aggregate check shared by the three spellings the
+    * reference's files use: `aggExpr` over the grouped frame; with NO
+    * groupByFields the aggregate is global (`{aggType: count, aggExpr:
+    * "count == 1000"}`); with a `validation:` item list instead of
+    * aggExpr, the row-rule items apply to the AGG column.
+    */
+  private def groupByCheck(v: JValue, keys: Seq[String])
+      : (String, DataFrame => Boolean) = {
+    val aggField = str(v \ "aggField").getOrElse("")
+    val aggType = str(v \ "aggType").getOrElse("sum")
+    val items = arr(v \ "validation")
+    val aggExprOpt = str(v \ "aggExpr")
+    require(aggExprOpt.isDefined || items.nonEmpty,
+      "groupBy validation needs aggExpr or a validation item list")
+    (s"groupby_${keys.mkString("_")}_$aggType", (df: DataFrame) => {
+      import org.apache.spark.sql.functions.{col, expr, coalesce, lit}
+      // reference naming: agg column is `aggType(aggField)`; count with
+      // no field is groupBy().count()'s `count` column. The unified
+      // examples ALSO spell it `aggType_aggField` (avg_balance) — the
+      // reference's own engine crashes on that; alias both so either
+      // spelling of aggExpr resolves.
+      val grouped =
+        if (aggField.isEmpty && aggType == "count")
+          df.groupBy(keys.map(col): _*).count()
+        else {
+          val base = df.groupBy(keys.map(col): _*).agg(Map(aggField -> aggType))
+          val short = aggField.split('.').last // struct fields: avg_balance, not avg_a.b
+          base.withColumn(s"${aggType}_$short", col(s"`$aggType($aggField)`"))
+        }
+      aggExprOpt match {
+        case Some(aggExpr) =>
+          grouped.where(!coalesce(expr(aggExpr), lit(false))).isEmpty
+        case None =>
+          // item list applied to the agg column, aliased to a paren-free
+          // name so the row-rule vocabulary addresses it directly
+          val aggCol =
+            if (aggField.isEmpty && aggType == "count") col("count")
+            else col(s"`$aggType($aggField)`")
+          val renamed = grouped.withColumn("__agg", aggCol)
+          val rules = items.flatMap(rowRule("__agg", _))
+          require(rules.nonEmpty, "groupBy validation item list has no row rules")
+          RuleEngine.validateAll(renamed, rules).forall(_.success)
+      }
+    })
+  }
+
   private def parseValidation0(v: JValue)
       : (Seq[Rule], Seq[(String, DataFrame => Boolean)]) =
     (str(v \ "expr"), v \ "groupByFields", v \ "names", str(v \ "field")) match {
       case (Some(e), JNothing, _, _) =>
         (Seq(Rules.sqlExpr(s"expr_${e.hashCode.toHexString}", e)), Nil)
       case (_, JArray(gks), _, _) =>
-        val keys = gks.flatMap(str)
-        val aggField = str(v \ "aggField").getOrElse("")
-        val aggType = str(v \ "aggType").getOrElse("sum")
-        val aggExpr = str(v \ "aggExpr").getOrElse(
-          throw new IllegalArgumentException("groupBy validation needs aggExpr"))
-        (Nil, Seq((s"groupby_${keys.mkString("_")}_$aggType", (df: DataFrame) => {
-          import org.apache.spark.sql.functions.{col, expr, coalesce, lit}
-          // reference naming: agg column is `aggType(aggField)`; count with
-          // no field is groupBy().count()'s `count` column. The unified
-          // examples ALSO spell it `aggType_aggField` (avg_balance) — the
-          // reference's own engine crashes on that; alias both so either
-          // spelling of aggExpr resolves.
-          val grouped =
-            if (aggField.isEmpty && aggType == "count")
-              df.groupBy(keys.map(col): _*).count()
-            else {
-              val base = df.groupBy(keys.map(col): _*).agg(Map(aggField -> aggType))
-              val short = aggField.split('.').last // struct fields: avg_balance, not avg_a.b
-              base.withColumn(s"${aggType}_$short", col(s"`$aggType($aggField)`"))
-            }
-          grouped.where(!coalesce(expr(aggExpr), lit(false))).isEmpty
-        })))
+        (Nil, Seq(groupByCheck(v, gks.flatMap(str))))
+      // global aggregate: aggExpr/aggType with NO groupByFields at all
+      case (None, JNothing, JNothing, None) if str(v \ "aggExpr").isDefined ||
+          str(v \ "aggType").isDefined =>
+        (Nil, Seq(groupByCheck(v, Nil)))
       case (_, _, JArray(ns), _) =>
-        val names = ns.flatMap(str)
-        val fnType = str(v \ "fieldNameType").getOrElse("matchSet")
-        (Nil, Seq((s"fieldNames_$fnType", (df: DataFrame) => (fnType match {
-          case "countEqual" => SchemaRules.fieldCountEqual(df, dbl(v \ "count").getOrElse(names.size.toDouble).toInt)
-          case "countBetween" => SchemaRules.fieldCountBetween(df,
-            dbl(v \ "min").getOrElse(0.0).toInt, dbl(v \ "max").getOrElse(Int.MaxValue.toDouble).toInt)
-          case "matchOrder" => SchemaRules.fieldNameMatchOrder(df, names)
-          case _ => SchemaRules.fieldNameMatchSet(df, names)
-        }).success)))
+        (Nil, Seq(fieldNamesCheck(v, ns.flatMap(str))))
+      // fieldNameType alone (no names list) — the count-based variants
+      // need none (`{fieldNameType: "fieldCountEqual", count: "3"}`)
+      case (None, JNothing, JNothing, None) if str(v \ "fieldNameType").isDefined =>
+        (Nil, Seq(fieldNamesCheck(v, Nil)))
+      // an EMPTY entry (`- {}`) carries nothing to check — the reference's
+      // own generated validation files contain them; skip, don't throw
+      case (None, JNothing, JNothing, None) if v == JObject(Nil) =>
+        (Nil, Nil)
       case (_, _, _, Some(field)) =>
         val items = arr(v \ "validation")
         (items.flatMap(rowRule(field, _)), items.flatMap(datasetCheck(field, _)))
+      case _ if str(v \ "upstreamDataSource").isDefined =>
+        (Nil, Seq(upstreamCheck(v)))
       case _ =>
         throw new IllegalArgumentException(
-          "validation entry needs expr, field, groupByFields, or names")
+          "validation entry needs expr, field, groupByFields, names, or upstreamDataSource")
     }
+
+  /** fieldNames validation — both spellings the reference's files use
+    * (`countEqual` and `fieldCountEqual`, etc.). */
+  private def fieldNamesCheck(v: JValue, names: Seq[String])
+      : (String, DataFrame => Boolean) = {
+    val fnType = str(v \ "fieldNameType").getOrElse("matchSet")
+    (s"fieldNames_$fnType", (df: DataFrame) => (fnType match {
+      case "countEqual" | "fieldCountEqual" =>
+        SchemaRules.fieldCountEqual(df, dbl(v \ "count").getOrElse(names.size.toDouble).toInt)
+      case "countBetween" | "fieldCountBetween" => SchemaRules.fieldCountBetween(df,
+        dbl(v \ "min").getOrElse(0.0).toInt, dbl(v \ "max").getOrElse(Int.MaxValue.toDouble).toInt)
+      case "matchOrder" | "fieldNameMatchOrder" => SchemaRules.fieldNameMatchOrder(df, names)
+      case _ => SchemaRules.fieldNameMatchSet(df, names)
+    }).success)
+  }
+
+  /** Upstream validation (reference `UpstreamDataSourceValidation`,
+    * `ValidationOperations.scala:181-224`): read ANOTHER source, prefix its
+    * non-join columns with `<name>_`, join (equi on field names, or theta
+    * via the `expr:cond` spelling), then run the NESTED validation entries
+    * on the joined frame. The upstream's location comes from
+    * `upstreamReadOptions` (path + format) — a named connection without
+    * options must be resolved by the caller before validating.
+    */
+  private def upstreamCheck(v: JValue): (String, DataFrame => Boolean) = {
+    val name = str(v \ "upstreamDataSource").get
+    val readOpts = (v \ "upstreamReadOptions") match {
+      case JObject(fs) => fs.flatMap { case (k, jv) => str(jv).map(k -> _) }.toMap
+      case _ => Map.empty[String, String]
+    }
+    val joinFields = arr(v \ "joinFields").flatMap(str)
+    val joinType = str(v \ "joinType").getOrElse("outer")
+    val nested = (v \ "validation") match {
+      case JNothing => Nil
+      case JArray(es) => es.map(parseValidation)
+      case single => Seq(parseValidation(single))
+    }
+    (s"upstream_$name", (df: DataFrame) => {
+      import org.apache.spark.sql.functions.{col, expr}
+      val path = readOpts.getOrElse("path", throw new IllegalArgumentException(
+        s"upstream validation '$name': supply upstreamReadOptions.path " +
+          "(named connections resolve only inside a plan run)"))
+      val upstream0 = df.sparkSession.read
+        .format(readOpts.getOrElse("format", "parquet"))
+        .options(readOpts - "path" - "format").load(path)
+      val exprJoin = joinFields.find(_.startsWith("expr:")).map(_.stripPrefix("expr:"))
+      val equiKeys = joinFields.filterNot(_.startsWith("expr:"))
+      // reference semantics: upstream non-join columns get `<name>_` prefix
+      val upstream = upstream0.columns.foldLeft(upstream0) { (u, c) =>
+        if (equiKeys.contains(c)) u else u.withColumnRenamed(c, s"${name}_$c")
+      }
+      val joined = exprJoin match {
+        case Some(cond) => df.join(upstream, expr(cond), joinType)
+        case None =>
+          require(equiKeys.nonEmpty, s"upstream validation '$name': joinFields empty")
+          df.join(upstream, equiKeys, joinType)
+      }
+      nested.isEmpty || validateEntries(joined, nested).forall(_.success)
+    })
+  }
 
   /** The wait gates declared on a list of validation entries
     * (unified-config `waitCondition` blocks) — run them before validating.

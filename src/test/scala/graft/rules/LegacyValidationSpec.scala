@@ -150,6 +150,52 @@ class LegacyValidationSpec extends SparkSuite {
     assert(RuleEngine.validateAll(bad.limit(1), Seq(negated)).head.success)
   }
 
+  test("grammar breadth: global agg, item-list groupBy, upstream join, fieldNameType, empty") {
+    import graft.SharedSpark.spark.implicits._
+    val upstreamPath = java.nio.file.Files.createTempDirectory("graft_upstream").toString + "/accounts"
+    Seq(("A1", 100.0), ("A2", 50.0)).toDF("account_id", "balance")
+      .write.parquet(upstreamPath)
+    val yaml =
+      s"""name: breadth
+         |dataSources:
+         |  json:
+         |    - options: {}
+         |      validations:
+         |        - {}
+         |        - aggType: "count"
+         |          aggExpr: "count == 4"
+         |        - groupByFields: []
+         |          aggType: "sum"
+         |          aggField: "amount"
+         |          validation:
+         |            - {type: equal, value: 180.0}
+         |        - fieldNameType: "fieldCountEqual"
+         |          count: "2"
+         |        - upstreamDataSource: "accounts"
+         |          upstreamReadOptions: {path: "$upstreamPath"}
+         |          joinFields: ["account_id"]
+         |          joinType: "inner"
+         |          validation:
+         |            - expr: "amount <= accounts_balance"
+         |""".stripMargin
+    val sv = LegacyValidation.parse(yaml).head
+    // the reference's sample shapes: empty entries skip; 5 declared →
+    // 4 real checks (1 row-less global agg + item-list agg + names + upstream)
+    assert(sv.entries.map(e => e.rules.size + e.datasetChecks.size).sum == 4)
+    val df = Seq(("A1", 60.0), ("A1", 40.0), ("A2", 30.0), ("A2", 50.0))
+      .toDF("account_id", "amount")
+    val results = LegacyValidation.validateEntries(df, sv.entries)
+    assert(results.size == 4 && results.forall(_.success),
+      results.filterNot(_.success).map(_.rule).toString)
+    // upstream prefix-rename + join is the real thing: violate it
+    val bad = Seq(("A2", 51.0)).toDF("account_id", "amount") // > A2's 50 balance
+    val r2 = LegacyValidation.validateEntries(bad, sv.entries)
+    assert(!r2.find(_.rule == "upstream_accounts").get.success)
+    // global count now 1 != 4 → fails too
+    assert(!r2.find(_.rule.startsWith("groupby__count")).get.success ||
+      r2.count(!_.success) >= 2)
+  }
+
   test("per-validation errorThreshold: entry-level and item-level tolerances honored") {
     // reference sample/validation/simple/simple-validation.yaml carries
     // errorThreshold both on expr ENTRIES and inside field validation ITEMS;

@@ -261,49 +261,79 @@ object LegacyPlan {
     val j = toJson(planText)
     val planName = str(j \ "name").getOrElse("plan")
     val enabled = arr(j \ "tasks").filter(t => str(t \ "enabled").forall(_ != "false"))
-    val steps: Seq[StepInfo] = enabled.flatMap { t =>
+    // (summary name, dataSourceName, step) — FKs address (dataSource, step)
+    val located: Seq[(String, String, StepInfo)] = enabled.flatMap { t =>
       val taskName = str(t \ "name").getOrElse(
         throw new IllegalArgumentException("task summary without name"))
+      val ds = str(t \ "dataSourceName").getOrElse(taskName)
       val text = taskFiles.getOrElse(taskName,
         throw new IllegalArgumentException(s"no task file supplied for '$taskName'"))
-      parseSteps(text)
+      parseSteps(text).map(s => (taskName, ds, s))
     }
-    // byStep below and MultiPlanRunner's taskByName are name-keyed — a step
-    // name appearing twice (same name under two data sources is legal
-    // reference YAML, addressed there by (dataSource, step)) would silently
-    // drop one and run the other twice. Fail at parse time with the fix.
+    // a step name appearing under TWO task files is legal reference YAML
+    // (addressed there by (dataSource, step)); the engine's task names must
+    // be unique, so colliding steps get QUALIFIED as <summary>.<step> and
+    // FK references resolve through (dataSource, step) below. A residual
+    // collision (one summary declaring a step twice) still fails loudly.
+    val collisions = located.groupBy(_._3.task.name)
+      .collect { case (n, ss) if ss.size > 1 => n }.toSet
+    // ':' separator — a '.' would collide with RelationshipDef's
+    // table.column endpoint syntax
+    def qualifiedName(summary: String, step: String): String =
+      if (collisions(step)) s"$summary:$step" else step
+    val steps: Seq[(String, String, StepInfo)] = located.map { case (summary, ds, s) =>
+      (summary, ds, s.copy(task = s.task.copy(name = qualifiedName(summary, s.task.name))))
+    }
     locally {
-      val dups = steps.groupBy(_.task.name).collect { case (n, ss) if ss.size > 1 => n }
+      val dups = steps.groupBy(_._3.task.name).collect { case (n, ss) if ss.size > 1 => n }
       require(dups.isEmpty,
-        s"plan '$planName' resolves duplicate step names ${dups.mkString(", ")} across " +
-          "its task files — rename the steps so each is unique plan-wide")
+        s"plan '$planName' resolves duplicate step names ${dups.mkString(", ")} even " +
+          "after <task>:<step> qualification — rename the steps")
     }
-    val byStep = steps.map(s => s.task.name -> s).toMap
+    // FK addressing: (dataSource, step) preferred; bare step when unique
+    def resolveStep(ds: String, step: String): Option[(String, StepInfo)] = {
+      val byDs = steps.filter(x => x._2 == ds && stripQualifier(x._3.task.name) == step)
+      val any = steps.filter(x => stripQualifier(x._3.task.name) == step)
+      (if (ds.nonEmpty && byDs.nonEmpty) byDs else any) match {
+        case Seq(one) => Some((one._3.task.name, one._3))
+        case Seq() => None
+        case many => throw new IllegalArgumentException(
+          s"plan '$planName': FK step reference '$step' (dataSource '$ds') is " +
+            s"ambiguous between ${many.map(_._3.task.name).mkString(", ")}")
+      }
+    }
 
     val fks = arr(j \ "sinkOptions" \ "foreignKeys").flatMap { fk =>
       val srcStep = str(fk \ "source" \ "step").getOrElse("")
+      val srcDs = str(fk \ "source" \ "dataSource").getOrElse("")
       // reference relations are field LISTS (PlanModels.scala:27-76) — keep
       // the whole tuple; assignKeys samples distinct parent tuples
       val srcFields = arr(fk \ "source" \ "fields").flatMap(str)
+      val srcName = resolveStep(srcDs, srcStep).map(_._1).getOrElse(srcStep)
       arr(fk \ "generate").map { g =>
         val childStep = str(g \ "step").getOrElse("")
+        val childDs = str(g \ "dataSource").getOrElse("")
         val childFields = arr(g \ "fields").flatMap(str) match {
           case Nil => srcFields
           case fs => fs
         }
+        val child = resolveStep(childDs, childStep)
         // explicit cardinality on the relation wins; else the child step's
         // count.perField on the FK fields is the reference's ratio spelling
         val ratio = dbl(fk \ "source" \ "cardinality" \ "ratio")
-          .orElse(byStep.get(childStep).flatMap(_.perField).collect {
+          .orElse(child.map(_._2).flatMap(_.perField).collect {
             case (names, n) if childFields.nonEmpty && childFields.forall(names.contains) => n
           })
-        RelationshipDef(s"$childStep.${childFields.mkString(",")}",
-          s"$srcStep.${srcFields.mkString(",")}", ratio)
+        RelationshipDef(s"${child.map(_._1).getOrElse(childStep)}.${childFields.mkString(",")}",
+          s"$srcName.${srcFields.mkString(",")}", ratio)
       }
     }
     val seed = str(j \ "sinkOptions" \ "seed").flatMap(_.toLongOption).getOrElse(42L)
-    MultiPlanSpec(planName, seed, steps.map(_.task), fks)
+    MultiPlanSpec(planName, seed, steps.map(_._3.task), fks)
   }
+
+  private def stripQualifier(taskName: String): String =
+    taskName.split(':').last
 
   /** All YAML/JSON texts in a folder keyed by their declared `name:` — the
     * reference's folder resolution (task summaries name task FILES by the

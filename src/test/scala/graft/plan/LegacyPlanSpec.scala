@@ -250,23 +250,38 @@ class LegacyPlanSpec extends SparkSuite {
     assert(tasks.head.sink.isEmpty) // delivery for jdbc is a separate concern
   }
 
-  test("duplicate step names are a loud parse error, not silent last-wins") {
-    val dupTask =
-      """name: t
-        |steps:
-        |  - name: "same"
-        |    count: {records: 5}
-        |    fields: [{name: v, type: integer}]
-        |""".stripMargin
+  test("same step name under two task files QUALIFIES as <task>:<step>, FKs resolve by dataSource") {
+    // legal reference YAML (account-create-plan.yaml shape): two enabled
+    // task files each declaring a step 'products' — the reference
+    // addresses them by (dataSource, step); here the colliding names
+    // qualify and FK references resolve through the dataSource
+    def dupTask(n: String, uniq: Boolean): String =
+      s"""name: $n
+         |steps:
+         |  - name: "products"
+         |    count: {records: 10}
+         |    fields:
+         |      - {name: pid, options: {isUnique: "$uniq"}}
+         |""".stripMargin
     val planY =
       """name: dup
         |tasks:
         |  - {name: "a", dataSourceName: "parquet"}
         |  - {name: "b", dataSourceName: "csv"}
+        |sinkOptions:
+        |  foreignKeys:
+        |    - source: {dataSource: "parquet", step: "products", fields: ["pid"]}
+        |      generate:
+        |        - {dataSource: "csv", step: "products", fields: ["pid"]}
         |""".stripMargin
-    val e = intercept[IllegalArgumentException](
-      LegacyPlan.parsePlan(planY, Map("a" -> dupTask, "b" -> dupTask)))
-    assert(e.getMessage.contains("duplicate step names"))
+    val plan = LegacyPlan.parsePlan(planY,
+      Map("a" -> dupTask("a", uniq = true), "b" -> dupTask("b", uniq = false)))
+    assert(plan.tasks.map(_.name).sorted == Seq("a:products", "b:products"))
+    assert(plan.relationships == Seq(
+      RelationshipDef("b:products.pid", "a:products.pid", None)))
+    val o = MultiPlanRunner.run(s, plan)
+    assert(o.frames("b:products").join(o.frames("a:products").select("pid"),
+      Seq("pid"), "left_anti").isEmpty)
     // and the runner itself guards direct MultiPlanSpec construction
     val t = TaskDef("same", 5, Seq(FieldDef("v", "int")))
     val e2 = intercept[IllegalArgumentException](

@@ -102,6 +102,50 @@ object OpenMetadata {
     ImportedChecks(converted.flatMap(_.rules), converted.flatMap(_.datasetChecks))
   }
 
+  /** OpenMetadata TABLE responses (`GET /api/v1/tables` — `{data: [...]}`
+    * with per-table `columns: [{name, dataType, dataLength, constraint}]`)
+    * → generation specs per table, the reference's schema-discovery half
+    * of the OpenMetadata source. Type names map through the shared
+    * SQL-ish table ([[OpenLineage.fieldFromType]]); NOT_NULL/PRIMARY_KEY
+    * constraints become rules.
+    */
+  def tableSpecs(text: String): Seq[(String, Seq[FieldSpec], Seq[Rule])] = {
+    val j = org.json4s.jackson.JsonMethods.parse(text)
+    val tables = (j \ "data") match {
+      case JArray(ts) => ts
+      case _ => j match { case JArray(ts) => ts; case single => List(single) }
+    }
+    import graft.util.Jsons.arr
+    tables.flatMap { t =>
+      str(t \ "name").map { name =>
+        // the API spells the column list `fields` (older payloads: `columns`)
+        val cols = arr(t \ "fields") match {
+          case Nil => arr(t \ "columns")
+          case fs => fs
+        }
+        val specs = cols.flatMap { c =>
+          str(c \ "name").map(n =>
+            OpenLineage.fieldFromType(n, str(c \ "dataType").getOrElse("VARCHAR")))
+        }
+        val colRules = cols.flatMap { c =>
+          (str(c \ "name"), str(c \ "constraint")) match {
+            case (Some(n), Some("NOT_NULL" | "PRIMARY_KEY")) => Some(Rules.isNotNull(n))
+            case _ => None
+          }
+        }
+        // table-level constraints: PRIMARY_KEY/UNIQUE field lists → notNull
+        val tableRules = arr(t \ "tableConstraints").flatMap { tc =>
+          str(tc \ "constraintType") match {
+            case Some("PRIMARY_KEY" | "UNIQUE" | "NOT_NULL") =>
+              arr(tc \ "fields").flatMap(str).map(Rules.isNotNull)
+            case _ => Nil
+          }
+        }
+        (name, specs, colRules ++ tableRules)
+      }
+    }
+  }
+
   /** The reference's param-key dispatch (`OpenMetadataModels.scala`
     * matchesParams): which keys are present selects the check.
     */

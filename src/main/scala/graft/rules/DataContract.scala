@@ -42,7 +42,11 @@ object DataContract {
   }
 
   /** ODCS YAML (or JSON) → Contract via the same Jackson/json4s path as
-    * [[graft.plan.PlanRunner]]. */
+    * [[graft.plan.PlanRunner]]. Handles BOTH standard generations: v3's
+    * `schema: [{properties: [...]}]` and v2's `dataset: [{table, columns:
+    * [{column, logicalType, isNullable, isPrimaryKey, isUnique}]}]`
+    * (the reference's odcs fixtures ship both).
+    */
   def parse(text: String): Contract = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
@@ -50,7 +54,31 @@ object DataContract {
     val json =
       if (text.trim.startsWith("{")) text
       else graft.plan.PlanRunner.yamlToJson(text)
-    JsonMethods.parse(json).extract[Contract]
+    val j = JsonMethods.parse(json)
+    (j \ "dataset") match {
+      case JArray(tables) =>
+        import graft.util.Jsons.{str, arr, bool}
+        val objs = tables.map { t =>
+          val props = arr(t \ "columns").flatMap { c =>
+            str(c \ "column").map { name =>
+              Property(
+                name = name,
+                logicalType = str(c \ "logicalType").getOrElse("string"),
+                required = (c \ "isNullable") match {
+                  case JNothing => None
+                  case v => Some(!bool(v, default = true))
+                },
+                unique = (c \ "isUnique", c \ "isPrimaryKey") match {
+                  case (JNothing, JNothing) => None
+                  case (u, pk) => Some(bool(u) || bool(pk))
+                })
+            }
+          }
+          SchemaObject(str(t \ "table").getOrElse(""), props)
+        }
+        Contract(str(j \ "quantumName").orElse(str(j \ "datasetName")).getOrElse(""), objs)
+      case _ => j.extract[Contract]
+    }
   }
 
   /** Row-level rules from the contract (one projection via RuleEngine). */

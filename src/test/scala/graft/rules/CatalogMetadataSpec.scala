@@ -70,4 +70,18 @@ class CatalogMetadataSpec extends SparkSuite {
     assert(failed.size >= 4, failed.toString)
     assert(failed.exists(_.contains("unique")) && failed.exists(_.contains("mean")))
   }
+
+  test("OpenMetadata table response → generation specs (the reference's own fixture)") {
+    val p = java.nio.file.Paths.get(
+      "/root/reference/app/src/test/resources/sample/metadata/openmetadata/get_table_response.json")
+    assume(java.nio.file.Files.exists(p), "reference checkout not present")
+    val tables = OpenMetadata.tableSpecs(java.nio.file.Files.readString(p))
+    val (name, specs, rules) = tables.head
+    assert(name == "dim_address" && specs.size == 12)
+    // table-level PRIMARY_KEY constraint → notNull rules on its fields
+    assert(rules.size == 2)
+    val df = graft.generator.Generator.generate(spark, 50, specs, seed = 2L)
+    assert(df.count() == 50 && df.columns.contains("address_id"))
+    assert(RuleEngine.validateAll(df, rules).forall(_.success))
+  }
 }

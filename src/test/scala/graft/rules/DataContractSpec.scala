@@ -92,4 +92,19 @@ class DataContractSpec extends SparkSuite {
     DataContract.validate(gen, oneSided)
       .foreach(r => assert(r.success, s"${r.rule}: ${r.errors}/${r.total}"))
   }
+
+  test("ODCS v2 dataset/columns layout parses (the reference's full-example fixture)") {
+    val p = java.nio.file.Paths.get(
+      "/root/reference/app/src/test/resources/sample/metadata/odcs/full-example.odcs.yaml")
+    assume(java.nio.file.Files.exists(p), "reference checkout not present")
+    val c = DataContract.parse(java.nio.file.Files.readString(p))
+    // v2: dataset[].columns[] with column/logicalType/isNullable
+    assert(c.properties.size == 3)
+    assert(c.properties.map(_.name).contains("txn_ref_dt"))
+    // isNullable:false → required; generation + rules round-trip
+    val rules = DataContract.toRules(c)
+    assert(rules.nonEmpty)
+    val df = graft.generator.Generator.generate(spark, 100, DataContract.toFieldSpecs(c), seed = 3L)
+    assert(RuleEngine.validateAll(df, rules).forall(_.success))
+  }
 }

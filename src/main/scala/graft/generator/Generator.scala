@@ -177,8 +177,13 @@ final case class StructSpec(name: String, children: Seq[FieldSpec]) extends Fiel
   * to the drawn length) keeps generation a pure projection — no explode, no
   * UDF (same technique as [[RegexGen.toColumn]]). */
 final case class ArraySpec(name: String, element: FieldSpec, minLen: Int, maxLen: Int) extends FieldSpec {
-  require(minLen >= 0 && maxLen >= minLen && !element.isInstanceOf[SqlField],
-    s"array $name: bad bounds or SqlField element")
+  require(minLen >= 0 && maxLen >= minLen,
+    s"array $name: bad bounds [$minLen, $maxLen]")
+  // per-element computed fields would need lambda-scoped rewriting (the
+  // reference's TRANSFORM inlining) — not expressible in the late stage,
+  // so reject at CONSTRUCTION with an accurate message, not mid-generate
+  require(!Generator.hasSqlDeep(element),
+    s"array $name: computed (sql) fields inside array elements are not supported")
   def toColumn(u: Column, idx: Column, seed: Long): Column =
     throw new UnsupportedOperationException("ArraySpec uses toColumnWith")
   override def toColumnWith(uniform: (String, Long, Column) => Column, seed: Long, idx: Column): Column = {
@@ -242,10 +247,16 @@ object Generator {
     }
     val df = base.select((idx.as("__index_inc") +: cols): _*)
     // the late stage runs over the projected frame, where the row index
-    // column is named __index_inc (not the range's `id`)
+    // column is named __index_inc (not the range's `id`); nullProb applies
+    // to late specs the same way it does to plain ones
     val lateIdx = col("__index_inc")
     val out = topoOrder(late).foldLeft(df) { case (d, s) =>
-      d.withColumn(s.name, lateColumn(s, uniform, seed, lateIdx))
+      val c = lateColumn(s, uniform, seed, lateIdx)
+      val withNulls = nullProb.get(s.name) match {
+        case Some(p) => when(uniform(s.name + "\u0000null", seed, lateIdx) < p, lit(null)).otherwise(c)
+        case None => c
+      }
+      d.withColumn(s.name, withNulls)
     }
     out.drop("__index_inc")
   }

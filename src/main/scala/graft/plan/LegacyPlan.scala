@@ -115,9 +115,12 @@ object LegacyPlan {
               maxLen = dbl(o \ "arrayMaxLen").map(_.toInt))
           case at if at.startsWith("array<") && at.endsWith(">") =>
             val inner = at.stripPrefix("array<").stripSuffix(">").trim
+            // the element inherits the field's OPTIONS (min/max/regex...) —
+            // dropping them would generate out-of-contract element values
             FieldDef(name, "array",
               element = Some(field(JObject(List(
-                "name" -> JString("element"), "type" -> JString(inner))))),
+                "name" -> JString("element"), "type" -> JString(inner),
+                "options" -> o)))),
               minLen = dbl(o \ "arrayMinLen").map(_.toInt),
               maxLen = dbl(o \ "arrayMaxLen").map(_.toInt))
           case other =>
@@ -196,6 +199,12 @@ object LegacyPlan {
     val base = Seq("partitions", "unwrapTopLevelArray", "singleFile")
       .flatMap(k => str(step \ "options" \ k).map(k -> _)).toMap
     val numPart = str(step \ "options" \ "numPartitions").map("partitions" -> _)
+    // two spellings of the same directive must not silently override
+    (base.get("partitions"), numPart.map(_._2)) match {
+      case (Some(a), Some(b)) if a != b => throw new IllegalArgumentException(
+        s"step options declare partitions=$a AND numPartitions=$b — pick one")
+      case _ => ()
+    }
     val fieldUnwrap =
       if (arr(step \ "fields").exists(f =>
           graft.util.Jsons.bool(f \ "options" \ "unwrapTopLevelArray")))
@@ -290,12 +299,24 @@ object LegacyPlan {
         s"plan '$planName' resolves duplicate step names ${dups.mkString(", ")} even " +
           "after <task>:<step> qualification — rename the steps")
     }
-    // FK addressing: (dataSource, step) preferred; bare step when unique
+    // FK addressing: (dataSource, step); a declared dataSource that exists
+    // but lacks the step, or that names no source at all, fails LOUDLY — a
+    // typo'd dataSource silently binding a unique bare step name to a
+    // DIFFERENT source would be a wrong relationship that looks right
+    val knownDs = steps.map(_._2).toSet
     def resolveStep(ds: String, step: String): Option[(String, StepInfo)] = {
+      if (ds.nonEmpty && !knownDs.contains(ds))
+        throw new IllegalArgumentException(
+          s"plan '$planName': FK references dataSource '$ds' but the enabled " +
+            s"tasks declare only ${knownDs.toSeq.sorted.mkString(", ")}")
       val byDs = steps.filter(x => x._2 == ds && stripQualifier(x._3.task.name) == step)
       val any = steps.filter(x => stripQualifier(x._3.task.name) == step)
-      (if (ds.nonEmpty && byDs.nonEmpty) byDs else any) match {
+      (if (ds.nonEmpty) byDs else any) match {
         case Seq(one) => Some((one._3.task.name, one._3))
+        case Seq() if ds.nonEmpty && any.nonEmpty =>
+          throw new IllegalArgumentException(
+            s"plan '$planName': FK step '$step' is not under dataSource '$ds' " +
+              s"(found under ${any.map(_._2).distinct.mkString(", ")})")
         case Seq() => None
         case many => throw new IllegalArgumentException(
           s"plan '$planName': FK step reference '$step' (dataSource '$ds') is " +

@@ -166,7 +166,8 @@ object MultiPlanRunner {
       val dups = plan.tasks.groupBy(_.name).collect { case (n, ts) if ts.size > 1 => n }
       require(dups.isEmpty,
         s"plan '${plan.name}' declares duplicate task names ${dups.mkString(", ")} — " +
-          "rename the steps (e.g. qualify as <dataSource>.<step>)")
+          "rename the steps (e.g. qualify as <task>:<step> — a '.' would collide " +
+          "with relationship table.column endpoints)")
     }
     val taskByName = plan.tasks.map(t => t.name -> t).toMap
     plan.relationships.foreach { r =>

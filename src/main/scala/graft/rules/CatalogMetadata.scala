@@ -82,12 +82,17 @@ object OpenMetadata {
     * the case's `entityLink` (`...::columns::<name>...`), as the reference
     * resolves it.
     */
+  /** Unwrap an OpenMetadata API payload: `{data: [...]}` listing, a bare
+    * array, or a single document — ONE implementation for both the
+    * test-case and table entry points. */
+  private def responseDocs(j: JValue): List[JValue] = (j \ "data") match {
+    case JArray(cs) => cs
+    case _ => j match { case JArray(cs) => cs; case single => List(single) }
+  }
+
   def parse(text: String): ImportedChecks = {
     val j = org.json4s.jackson.JsonMethods.parse(text)
-    val cases = (j \ "data") match {
-      case JArray(cs) => cs
-      case _ => j match { case JArray(cs) => cs; case single => List(single) }
-    }
+    val cases = responseDocs(j)
     val converted = cases.map { c =>
       val params: Map[String, String] = (c \ "parameterValues") match {
         case JArray(ps) => ps.flatMap(p =>
@@ -111,10 +116,7 @@ object OpenMetadata {
     */
   def tableSpecs(text: String): Seq[(String, Seq[FieldSpec], Seq[Rule])] = {
     val j = org.json4s.jackson.JsonMethods.parse(text)
-    val tables = (j \ "data") match {
-      case JArray(ts) => ts
-      case _ => j match { case JArray(ts) => ts; case single => List(single) }
-    }
+    val tables = responseDocs(j)
     import graft.util.Jsons.arr
     tables.flatMap { t =>
       str(t \ "name").map { name =>

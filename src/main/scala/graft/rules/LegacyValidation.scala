@@ -164,8 +164,15 @@ object LegacyValidation {
     val aggType = str(v \ "aggType").getOrElse("sum")
     val items = arr(v \ "validation")
     val aggExprOpt = str(v \ "aggExpr")
-    require(aggExprOpt.isDefined || items.nonEmpty,
-      "groupBy validation needs aggExpr or a validation item list")
+    // compile items at PARSE time (a bad item must fail here, not abort a
+    // whole validation run from inside the closure): row-rule items apply
+    // per group; aggregate-typed items (meanBetween over the agg column)
+    // become dataset checks on the grouped frame
+    val itemRules = items.flatMap(rowRule("__agg", _))
+    val itemChecks = items.flatMap(datasetCheck("__agg", _))
+    require(aggExprOpt.isDefined || itemRules.nonEmpty || itemChecks.nonEmpty,
+      "groupBy validation needs aggExpr or a validation item list with " +
+        "recognized types")
     (s"groupby_${keys.mkString("_")}_$aggType", (df: DataFrame) => {
       import org.apache.spark.sql.functions.{col, expr, coalesce, lit}
       // reference naming: agg column is `aggType(aggField)`; count with
@@ -191,9 +198,9 @@ object LegacyValidation {
             if (aggField.isEmpty && aggType == "count") col("count")
             else col(s"`$aggType($aggField)`")
           val renamed = grouped.withColumn("__agg", aggCol)
-          val rules = items.flatMap(rowRule("__agg", _))
-          require(rules.nonEmpty, "groupBy validation item list has no row rules")
-          RuleEngine.validateAll(renamed, rules).forall(_.success)
+          val rowsOk = itemRules.isEmpty ||
+            RuleEngine.validateAll(renamed, itemRules).forall(_.success)
+          rowsOk && itemChecks.forall(_._2(renamed))
       }
     })
   }

@@ -183,7 +183,20 @@ object LegacyPlan {
               mode = str(s \ "options" \ "saveMode").getOrElse("overwrite").toLowerCase,
               options = opts)
           }
-        val fields = arr(s \ "fields").map(field)
+        val fields0 = arr(s \ "fields").map(field)
+        // real-time body mapping (reference TaskBuilder.realTimeBody:
+        // YAML `messageBody`/`httpBody` becomes runtime field `body` plus
+        // `value` = TO_JSON(body) — the serialized payload kafka/http
+        // sinks send; sibling sql like `body.account_id` resolves against
+        // the renamed struct)
+        val fields = fields0.map(_.name) match {
+          case names if !names.contains("body") &&
+              (names.contains("messageBody") || names.contains("httpBody")) =>
+            fields0.map { f =>
+              if (f.name == "messageBody" || f.name == "httpBody") f.copy(name = "body") else f
+            } :+ FieldDef("value", "sql", sql = Some("TO_JSON(body)"))
+          case _ => fields0
+        }
         StepInfo(TaskDef(name, records, fields, sink), perField)
       }
   }

@@ -435,6 +435,32 @@ class LegacyPlanSpec extends SparkSuite {
     assert(df.where(!col("status").isin("ACTIVE", "PENDING", "CLOSED")).isEmpty)
   }
 
+  test("real-time body mapping: messageBody/httpBody become body + value=TO_JSON(body)") {
+    // reference TaskBuilder.realTimeBody — kafka/http steps declare the
+    // payload under messageBody/httpBody; runtime fields are `body` (the
+    // struct) and `value` (its JSON serialization); sibling sql like
+    // body.account_id resolves against the renamed struct
+    val y =
+      s"""name: t
+         |steps:
+         |  - name: "events"
+         |    count: {records: 15}
+         |    fields:
+         |      - name: "key"
+         |        options: {sql: "body.account_id"}
+         |      - name: "messageBody"
+         |        fields:
+         |          - {name: "account_id", options: {regex: "ACC[0-9]{5}"}}
+         |          - {name: "amount", type: "double"}
+         |""".stripMargin
+    val o = MultiPlanRunner.run(s, MultiPlanSpec("rt", 5L, LegacyPlan.parseTaskFile(y)))
+    val df = o.frames("events")
+    assert(df.columns.sorted.toSeq == Seq("body", "key", "value"))
+    assert(df.where(col("key") =!= col("body.account_id")).isEmpty)
+    // value is the serialized payload the sink would send
+    assert(df.where(!col("value").startsWith("{\"account_id\":\"ACC")).isEmpty)
+  }
+
   test("task file alone parses to runnable tasks") {
     val out = Files.createTempDirectory("graft_legacy2").toString
     val tasks = LegacyPlan.parseTaskFile(taskYaml(out))

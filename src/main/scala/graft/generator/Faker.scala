@@ -53,6 +53,9 @@ object Faker {
     "AR", "BR", "CA", "DK", "EG", "FR", "DE", "HU", "IN", "JP", "KE", "MX")
   val StreetSuffixes: IndexedSeq[String] = Vector(
     "Street", "Avenue", "Road", "Boulevard", "Lane", "Way", "Court", "Drive")
+  val States: IndexedSeq[String] = Vector(
+    "Alaska", "California", "Colorado", "Florida", "Georgia", "Iowa",
+    "Maine", "Montana", "Nevada", "Ohio", "Texas", "Vermont")
   val Domains: IndexedSeq[String] = Vector(
     "example.com", "example.org", "example.net", "mail.test",
     "post.test", "inbox.test", "web.test", "site.test")
@@ -107,6 +110,7 @@ object Faker {
     "name.username",
     "address.city", "address.country", "address.countrycode",
     "address.fulladdress", "address.streetaddress", "address.zipcode",
+    "address.state",
     "internet.emailaddress", "internet.domainname", "internet.url",
     "internet.ipv4address", "internet.useragentany",
     "phonenumber.phonenumber",
@@ -152,6 +156,7 @@ object Faker {
         ((u("n") * 90).cast("int") + 10).cast("string"))
     case "address.zipcode" =>
       lpad((u("z") * 100000).cast("int").cast("string"), 5, "0")
+    case "address.state" => pick(States, u("st"))
     case "internet.url" =>
       concat(lit("https://www."), pick(Domains, u("d")), lit("/"),
         lower(pick(ProductNames, u("p"))))

@@ -142,6 +142,40 @@ final case class TimestampField(name: String, start: String, seconds: Long) exte
     timestamp_seconds(unix_timestamp(to_timestamp(lit(start))) + (u * seconds).cast("long"))
 }
 
+/** Decimal in [0, 10^(p-s)) rendered at exactly (precision, scale) — the
+  * reference's `decimal(5,2)` field type; headroom keeps scale-rounding
+  * from overflowing the precision. */
+final case class DecimalField(name: String, precision: Int, scale: Int) extends FieldSpec {
+  require(precision > 0 && scale >= 0 && scale <= precision,
+    s"decimal $name: bad (precision, scale) = ($precision, $scale)")
+  def toColumn(u: Column, idx: Column, seed: Long): Column = {
+    val hi = math.pow(10, math.min(precision - scale, 9)) - 2 * math.pow(10, -scale)
+    (u * math.max(hi, 0.0)).cast(s"decimal($precision,$scale)")
+  }
+}
+
+/** Map of `minLen..maxLen` generated entries via `map_from_entries` over
+  * the same bounded unrolling as [[ArraySpec]] — keys drawn per position
+  * (duplicate keys would make map_from_entries throw; key specs should
+  * carry enough entropy or the map stays small). */
+final case class MapSpec(name: String, key: FieldSpec, value: FieldSpec,
+    minLen: Int, maxLen: Int) extends FieldSpec {
+  require(minLen >= 0 && maxLen >= minLen, s"map $name: bad bounds")
+  require(!Generator.hasSqlDeep(key) && !Generator.hasSqlDeep(value),
+    s"map $name: computed (sql) fields inside map entries are not supported")
+  def toColumn(u: Column, idx: Column, seed: Long): Column =
+    throw new UnsupportedOperationException("MapSpec uses toColumnWith")
+  override def toColumnWith(uniform: (String, Long, Column) => Column, seed: Long, idx: Column): Column = {
+    val len = lit(minLen) + floor(uniform(s"$name#len", seed, idx) * (maxLen - minLen + 1)).cast("int")
+    val entries = (0 until maxLen).map { j =>
+      struct(
+        key.toColumnWith((n, s, i) => uniform(s"$name[$j].key.$n", s, i), seed, idx).as("key"),
+        value.toColumnWith((n, s, i) => uniform(s"$name[$j].value.$n", s, i), seed, idx).as("value"))
+    }
+    map_from_entries(slice(array(entries: _*), lit(1), len))
+  }
+}
+
 /** Computed column: arbitrary SQL over previously generated fields (the
   * reference's computed-column stage, GeneratorUtil.scala:93-269). Computed
   * fields may reference each other in ANY listed order — [[Generator]]
@@ -179,14 +213,16 @@ final case class StructSpec(name: String, children: Seq[FieldSpec]) extends Fiel
 final case class ArraySpec(name: String, element: FieldSpec, minLen: Int, maxLen: Int) extends FieldSpec {
   require(minLen >= 0 && maxLen >= minLen,
     s"array $name: bad bounds [$minLen, $maxLen]")
-  // per-element computed fields would need lambda-scoped rewriting (the
-  // reference's TRANSFORM inlining) — not expressible in the late stage,
-  // so reject at CONSTRUCTION with an accurate message, not mid-generate
-  require(!Generator.hasSqlDeep(element),
-    s"array $name: computed (sql) fields inside array elements are not supported")
+  // elements MAY contain computed (sql) children — such arrays build in
+  // Generator.generate's late stage, where the sql sees the frame's
+  // top-level columns (ROW-scoped: the same value in every element;
+  // per-element lambda scoping is not supported)
   def toColumn(u: Column, idx: Column, seed: Long): Column =
     throw new UnsupportedOperationException("ArraySpec uses toColumnWith")
   override def toColumnWith(uniform: (String, Long, Column) => Column, seed: Long, idx: Column): Column = {
+    require(!Generator.hasSqlDeep(element),
+      s"array $name: contains computed (sql) children — generate it through " +
+        "Generator.generate, which applies those in the second projection stage")
     val len = lit(minLen) + floor(uniform(s"$name#len", seed, idx) * (maxLen - minLen + 1)).cast("int")
     val elems = (0 until maxLen).map { j =>
       element.toColumnWith((n, s, i) => uniform(s"$name[$j].$n", s, i), seed, idx)
@@ -251,14 +287,56 @@ object Generator {
     // to late specs the same way it does to plain ones
     val lateIdx = col("__index_inc")
     val out = topoOrder(late).foldLeft(df) { case (d, s) =>
+      // TWO-PASS hybrid structs: sql children may reference PLAIN siblings
+      // through the struct's own name (`customer_details.email` inside
+      // customer_details — the reference's nested computed fields do this),
+      // so stage the plain subset under the final name first, then rebuild
+      // wholly with the sql children resolving against the staged column
+      val staged = s match {
+        case st: StructSpec =>
+          // incremental: plain children first, then sql children one at a
+          // time in declaration order — CHAINED sibling sql (a computed
+          // child referencing an earlier computed sibling) resolves
+          // against the previous stage
+          stagedSubsets(st).foldLeft(d)((dd, sub) =>
+            dd.withColumn(s.name, lateColumn(sub, uniform, seed, lateIdx)))
+        case _ => d
+      }
       val c = lateColumn(s, uniform, seed, lateIdx)
       val withNulls = nullProb.get(s.name) match {
         case Some(p) => when(uniform(s.name + "\u0000null", seed, lateIdx) < p, lit(null)).otherwise(c)
         case None => c
       }
-      d.withColumn(s.name, withNulls)
+      staged.withColumn(s.name, withNulls)
     }
     out.drop("__index_inc")
+  }
+
+  /** The struct with only its non-computed children (recursively) — the
+    * first staging column sibling sql references resolve against; None
+    * when every child is computed. */
+  private def plainSubset(st: StructSpec): Option[StructSpec] = {
+    val kept = st.children.flatMap {
+      case _: SqlField => None
+      case nested: StructSpec if hasSqlDeep(nested) => plainSubset(nested)
+      case ar: ArraySpec if hasSqlDeep(ar) => None
+      case c => Some(c)
+    }
+    if (kept.isEmpty) None else Some(StructSpec(st.name, kept))
+  }
+
+  /** Staging sequence for a hybrid struct: the plain subset, then one more
+    * computed child per stage (declaration order). Field order within a
+    * staging column is irrelevant — sibling sql addresses children by
+    * name; the FINAL build restores declaration order. */
+  private def stagedSubsets(st: StructSpec): Seq[StructSpec] = {
+    val (plainKids, sqlKids) = st.children.partition(c => !hasSqlDeep(c))
+    val stages =
+      if (sqlKids.size <= 1) Seq(plainKids)
+      else (0 until sqlKids.size).map(k => plainKids ++ sqlKids.take(k))
+    // a stage with NO children cannot be built (StructSpec requires some) —
+    // skip it; the next stage (or the final build) carries on
+    stages.filter(_.nonEmpty).map(kids => StructSpec(st.name, kids))
   }
 
   /** A late spec's column: a bare SqlField is its expression; a hybrid
@@ -266,21 +344,65 @@ object Generator {
     * dotted-path uniform keys a pure struct would use and sql children as
     * expressions over the frame's top-level columns. */
   private def lateColumn(s: FieldSpec,
-      uniform: (String, Long, Column) => Column, seed: Long, idx: Column): Column = s match {
+      uniform: (String, Long, Column) => Column, seed: Long, idx: Column,
+      path: Seq[String] = Nil): Column = s match {
     case sf: SqlField => expr(sf.sql)
     case st: StructSpec =>
+      val here = path :+ st.name
+      val siblings = st.children.map(_.name).toSet
       struct(st.children.map {
-        case sf: SqlField => expr(sf.sql).as(sf.name)
+        case sf: SqlField =>
+          // a nested sql may reference SIBLINGS by bare name (the
+          // reference resolves unqualified names relative to the
+          // enclosing struct) — qualify them with the struct's full path
+          // so they resolve against the staged column
+          expr(rewriteSiblingRefs(sf.sql, siblings - sf.name, here)).as(sf.name)
         case c =>
-          lateColumn(c, (nm, s2, i) => uniform(s"${st.name}.$nm", s2, i), seed, idx).as(c.name)
+          lateColumn(c, (nm, s2, i) => uniform(s"${st.name}.$nm", s2, i), seed, idx, here).as(c.name)
       }: _*)
+    case ar: ArraySpec if hasSqlDeep(ar) =>
+      // sql children are ROW-scoped (same value every element); plain
+      // children keep per-position uniform keys like ArraySpec itself
+      val len = lit(ar.minLen) +
+        floor(uniform(s"${ar.name}#len", seed, idx) * (ar.maxLen - ar.minLen + 1)).cast("int")
+      val elems = (0 until ar.maxLen).map { j =>
+        lateColumn(ar.element, (nm, s2, i) => uniform(s"${ar.name}[$j].$nm", s2, i), seed, idx, path)
+      }
+      slice(array(elems: _*), lit(1), len)
     case other => other.toColumnWith(uniform, seed, idx)
+  }
+
+  /** Qualify bare sibling references in a nested sql with the enclosing
+    * struct's full path (`order_details.items` inside `body` becomes
+    * `body.order_details.items`) — parse, transform the unresolved
+    * attribute tree, and regenerate SQL text. */
+  private def rewriteSiblingRefs(sql: String, siblings: Set[String],
+      structPath: Seq[String]): String = {
+    if (structPath.isEmpty || siblings.isEmpty) return sql
+    try {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      val parser = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      val parsed = parser.parseExpression(sql)
+      val rewritten = parsed.transform {
+        case a: UnresolvedAttribute if siblings.contains(a.nameParts.head) =>
+          UnresolvedAttribute(structPath ++ a.nameParts)
+      }
+      if (rewritten eq parsed) sql
+      else {
+        // regenerated text must itself re-parse (lambda-bearing expressions
+        // don't round-trip through .sql) — fall back to the original
+        val text = rewritten.sql
+        parser.parseExpression(text)
+        text
+      }
+    } catch { case _: Exception => sql }
   }
 
   /** All sql texts inside a (possibly hybrid-struct) late spec. */
   private def sqlTexts(s: FieldSpec): Seq[String] = s match {
     case sf: SqlField => Seq(sf.sql)
     case StructSpec(_, cs) => cs.flatMap(sqlTexts)
+    case ArraySpec(_, e, _, _) => sqlTexts(e)
     case _ => Nil
   }
 
@@ -310,6 +432,7 @@ object Generator {
   private[generator] def hasSqlDeep(s: FieldSpec): Boolean = s match {
     case _: SqlField => true
     case StructSpec(_, cs) => cs.exists(hasSqlDeep)
+    case ArraySpec(_, e, _, _) => hasSqlDeep(e)
     case _ => false
   }
 

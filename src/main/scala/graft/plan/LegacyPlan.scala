@@ -113,6 +113,11 @@ object LegacyPlan {
               fields = if (children.nonEmpty) Some(children.map(field)) else None,
               minLen = dbl(o \ "arrayMinLen").map(_.toInt),
               maxLen = dbl(o \ "arrayMaxLen").map(_.toInt))
+          // inline DDL types (docker examples): decimal(5,2),
+          // map<string,string>, struct<...> — FieldDef parses via Spark DDL
+          case t if t.startsWith("decimal(") || t.startsWith("map<") ||
+              t.contains("struct<") =>
+            FieldDef(name, t)
           case at if at.startsWith("array<") && at.endsWith(">") =>
             val inner = at.stripPrefix("array<").stripSuffix(">").trim
             // the element inherits the field's OPTIONS (min/max/regex...) —

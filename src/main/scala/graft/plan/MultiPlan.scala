@@ -101,6 +101,13 @@ final case class FieldDef(
     fs.filterNot(_.omit.contains(true))
 
   def toSpec: FieldSpec = `type`.toLowerCase match {
+    // inline DDL complex types (the reference's docker examples spell
+    // `array<struct<txn_date: date, ...>>`, `map<string,string>`,
+    // `decimal(5,2)` directly in `type:`) — parse with Spark's own DDL
+    // parser and build default generators type-by-type
+    case t if t.startsWith("decimal(") || t.contains("struct<") ||
+        t.startsWith("map<") =>
+      FieldDef.specFromDdl(name, `type`)
     case "struct" | "object" | "record" =>
       StructSpec(name, keptChildren(fields.getOrElse(throw new IllegalArgumentException(
         s"$name: struct needs fields"))).map(_.toSpec))
@@ -130,6 +137,40 @@ final case class FieldDef(
     case "alphanum" | "string" =>
       AlphaNumField(name, minLen.getOrElse(5), maxLen.getOrElse(math.max(5, minLen.getOrElse(5))))
     case other => throw new IllegalArgumentException(s"$name: unknown field type '$other'")
+  }
+}
+
+object FieldDef {
+  /** Default generator specs for an inline DDL type (`struct<a: date>`,
+    * `array<struct<...>>`, `map<string,string>`, `decimal(p,s)`), parsed
+    * by Spark's own DDL parser so the grammar exactly matches what the
+    * reference's `type:` strings mean to Spark.
+    */
+  def specFromDdl(name: String, ddl: String): FieldSpec = {
+    import org.apache.spark.sql.types._
+    def build(n: String, dt: DataType): FieldSpec = dt match {
+      case StringType => AlphaNumField(n, 5, 12)
+      case IntegerType | ShortType | ByteType => IntField(n, 0L, 1000000L)
+      case LongType => IntField(n, 0L, 1000000L)
+      case DoubleType | FloatType => DoubleField(n, 0.0, 1000.0)
+      case d: DecimalType => DecimalField(n, d.precision, d.scale)
+      case BooleanType => OneOfField(n, Seq(("true", 0.5), ("false", 0.5)))
+      case DateType => DateField(n, "2022-01-01", 365)
+      case TimestampType => TimestampField(n, "2022-01-01 00:00:00", 365L * 86400)
+      case BinaryType => BytesField(n)
+      case st: StructType => StructSpec(n, st.fields.toSeq.map(f => build(f.name, f.dataType)))
+      case ArrayType(et, _) => ArraySpec(n, build("element", et), 0, 3)
+      case MapType(kt, vt, _) => MapSpec(n, build("key", kt), build("value", vt), 1, 3)
+      case other => throw new IllegalArgumentException(
+        s"field '$name': unsupported DDL type $other in '$ddl'")
+    }
+    val parsed =
+      try org.apache.spark.sql.types.DataType.fromDDL(ddl)
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"field '$name': cannot parse type '$ddl' as a Spark DDL type", e)
+      }
+    build(name, parsed)
   }
 }
 

@@ -461,6 +461,44 @@ class LegacyPlanSpec extends SparkSuite {
     assert(df.where(!col("value").startsWith("{\"account_id\":\"ACC")).isEmpty)
   }
 
+  test("DDL types, chained sibling sql, bare sibling refs (docker example shapes)") {
+    val y =
+      s"""name: t
+         |steps:
+         |  - name: "accounts"
+         |    count: {records: 20}
+         |    fields:
+         |      - {name: balance, type: "decimal(7,2)"}
+         |      - {name: attrs, type: "map<string,string>"}
+         |      - {name: history, type: "array<struct<txn_date: date, amount: double, tags: array<string>>>"}
+         |      - name: "details"
+         |        type: "struct"
+         |        fields:
+         |          - {name: email, options: {expression: "#{Internet.emailAddress}"}}
+         |          - name: "email_domain"
+         |            options: {sql: "SUBSTRING_INDEX(details.email, '@', -1)"}
+         |          - name: "domain_len"
+         |            type: "integer"
+         |            options: {sql: "LENGTH(email_domain)"}
+         |      - {name: state, options: {expression: "#{Address.state}"}}
+         |""".stripMargin
+    val o = MultiPlanRunner.run(s, MultiPlanSpec("ddl", 9L, LegacyPlan.parseTaskFile(y)))
+    val df = o.frames("accounts")
+    import org.apache.spark.sql.types._
+    assert(df.schema("balance").dataType == DecimalType(7, 2))
+    assert(df.schema("attrs").dataType.isInstanceOf[MapType])
+    val hist = df.schema("history").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+    assert(hist.fieldNames.toSeq == Seq("txn_date", "amount", "tags"))
+    assert(df.where(org.apache.spark.sql.functions.map_keys(col("attrs")).isNull).isEmpty)
+    // chained sibling sql: email_domain refs details.email (self-path),
+    // domain_len refs email_domain by BARE sibling name
+    assert(df.where(col("details.email_domain") =!=
+      substring_index(col("details.email"), "@", -1)).isEmpty)
+    assert(df.where(col("details.domain_len") =!= length(col("details.email_domain"))).isEmpty)
+    assert(df.where(col("state").isNull).isEmpty)
+  }
+
   test("task file alone parses to runnable tasks") {
     val out = Files.createTempDirectory("graft_legacy2").toString
     val tasks = LegacyPlan.parseTaskFile(taskYaml(out))

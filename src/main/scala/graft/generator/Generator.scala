@@ -166,14 +166,28 @@ final case class MapSpec(name: String, key: FieldSpec, value: FieldSpec,
   def toColumn(u: Column, idx: Column, seed: Long): Column =
     throw new UnsupportedOperationException("MapSpec uses toColumnWith")
   override def toColumnWith(uniform: (String, Long, Column) => Column, seed: Long, idx: Column): Column = {
-    val len = lit(minLen) + floor(uniform(s"$name#len", seed, idx) * (maxLen - minLen + 1)).cast("int")
-    val entries = (0 until maxLen).map { j =>
+    val entries = Generator.boundedArray(uniform, s"$name#len", seed, idx, minLen, maxLen) { j =>
       struct(
         key.toColumnWith((n, s, i) => uniform(s"$name[$j].key.$n", s, i), seed, idx).as("key"),
         value.toColumnWith((n, s, i) => uniform(s"$name[$j].value.$n", s, i), seed, idx).as("value"))
     }
-    map_from_entries(slice(array(entries: _*), lit(1), len))
+    // low-entropy key types (dates, booleans) WILL draw duplicate keys, and
+    // map_from_entries throws on them by default — keep the FIRST entry per
+    // key (tiny arrays: the interpreted HOF is negligible)
+    map_from_entries(filter(entries, (e, i) =>
+      !exists(slice(entries, lit(1), i), p => p("key") === e("key"))))
   }
+}
+
+/** Wraps another spec with a cast to an exact DDL type — DDL-declared
+  * scalars (`int`, `float`, `boolean`) must come out AS DECLARED, not as
+  * the inner generator's natural type (IntField emits bigint). */
+final case class CastSpec(inner: FieldSpec, ddlType: String) extends FieldSpec {
+  def name: String = inner.name
+  def toColumn(u: Column, idx: Column, seed: Long): Column =
+    inner.toColumn(u, idx, seed).cast(ddlType)
+  override def toColumnWith(uniform: (String, Long, Column) => Column, seed: Long, idx: Column): Column =
+    inner.toColumnWith(uniform, seed, idx).cast(ddlType)
 }
 
 /** Computed column: arbitrary SQL over previously generated fields (the
@@ -223,11 +237,9 @@ final case class ArraySpec(name: String, element: FieldSpec, minLen: Int, maxLen
     require(!Generator.hasSqlDeep(element),
       s"array $name: contains computed (sql) children — generate it through " +
         "Generator.generate, which applies those in the second projection stage")
-    val len = lit(minLen) + floor(uniform(s"$name#len", seed, idx) * (maxLen - minLen + 1)).cast("int")
-    val elems = (0 until maxLen).map { j =>
+    Generator.boundedArray(uniform, s"$name#len", seed, idx, minLen, maxLen) { j =>
       element.toColumnWith((n, s, i) => uniform(s"$name[$j].$n", s, i), seed, idx)
     }
-    slice(array(elems: _*), lit(1), len)
   }
 }
 
@@ -325,18 +337,58 @@ object Generator {
     if (kept.isEmpty) None else Some(StructSpec(st.name, kept))
   }
 
-  /** Staging sequence for a hybrid struct: the plain subset, then one more
-    * computed child per stage (declaration order). Field order within a
-    * staging column is irrelevant — sibling sql addresses children by
-    * name; the FINAL build restores declaration order. */
+  /** Staging sequence for a hybrid struct: the plain subset (with nested
+    * hybrid structs reduced to THEIR plain subsets, so deep paths like
+    * `body.inner.x` resolve from the first stage), then one more computed
+    * child per stage in SIBLING-DEPENDENCY order (a computed child may
+    * reference a later-declared computed sibling — topo-sort by bare/
+    * self-path references, like top-level computed fields). Field order
+    * within a staging column is irrelevant — sibling sql addresses
+    * children by name; the FINAL build restores declaration order. */
   private def stagedSubsets(st: StructSpec): Seq[StructSpec] = {
-    val (plainKids, sqlKids) = st.children.partition(c => !hasSqlDeep(c))
+    val (plainKids0, sqlKids0) = st.children.partition(c => !hasSqlDeep(c))
+    // nested hybrids contribute their plain parts to every stage
+    val nestedPlain = sqlKids0.flatMap {
+      case nested: StructSpec => plainSubset(nested)
+      case _ => None
+    }
+    val plainKids = plainKids0 ++ nestedPlain
+    val sqlKids = orderBySiblingDeps(st, sqlKids0)
     val stages =
       if (sqlKids.size <= 1) Seq(plainKids)
-      else (0 until sqlKids.size).map(k => plainKids ++ sqlKids.take(k))
+      else (0 until sqlKids.size).map { k =>
+        // children not yet staged keep their plain reduction in place so
+        // their names stay resolvable (last-wins by name in a struct is
+        // fine — the staged sql version replaces the reduced one)
+        val remainingPlain = sqlKids.drop(k).flatMap {
+          case nested: StructSpec => plainSubset(nested)
+          case _ => None
+        }
+        plainKids0 ++ remainingPlain ++ sqlKids.take(k)
+      }
     // a stage with NO children cannot be built (StructSpec requires some) —
     // skip it; the next stage (or the final build) carries on
     stages.filter(_.nonEmpty).map(kids => StructSpec(st.name, kids))
+  }
+
+  /** Order a struct's computed children so every sibling reference (bare
+    * name or `<struct>.<name>` self-path) comes after its dependency;
+    * cycles fail loudly via the shared Kahn sort. */
+  private def orderBySiblingDeps(st: StructSpec, sqlKids: Seq[FieldSpec]): Seq[FieldSpec] = {
+    if (sqlKids.size <= 1) return sqlKids
+    val byName = sqlKids.map(k => k.name -> k).toMap
+    val edges = sqlKids.flatMap { k =>
+      sqlTexts(k).flatMap { sql =>
+        try org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(sql).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            val parts = a.nameParts
+            Seq(parts.head) ++
+              (if (parts.head == st.name && parts.size > 1) Seq(parts(1)) else Nil)
+        }.flatten
+        catch { case _: Exception => Nil }
+      }.distinct.filter(r => byName.contains(r) && r != k.name).map(_ -> k.name)
+    }
+    ForeignKeys.insertOrder(sqlKids.map(_.name), edges.distinct).map(byName)
   }
 
   /** A late spec's column: a bare SqlField is its expression; a hybrid
@@ -345,7 +397,7 @@ object Generator {
     * expressions over the frame's top-level columns. */
   private def lateColumn(s: FieldSpec,
       uniform: (String, Long, Column) => Column, seed: Long, idx: Column,
-      path: Seq[String] = Nil): Column = s match {
+      path: Seq[String] = Nil, inArray: Boolean = false): Column = s match {
     case sf: SqlField => expr(sf.sql)
     case st: StructSpec =>
       val here = path :+ st.name
@@ -355,21 +407,36 @@ object Generator {
           // a nested sql may reference SIBLINGS by bare name (the
           // reference resolves unqualified names relative to the
           // enclosing struct) — qualify them with the struct's full path
-          // so they resolve against the staged column
-          expr(rewriteSiblingRefs(sf.sql, siblings - sf.name, here)).as(sf.name)
+          // so they resolve against the staged column. Inside ARRAY
+          // elements there is no staged column to resolve against
+          // (per-element siblings are unreachable) — leave the sql
+          // untouched so top-level references still work and sibling
+          // references fail with Spark's own unresolved-column error.
+          val sql = if (inArray) sf.sql
+            else rewriteSiblingRefs(sf.sql, siblings - sf.name, here)
+          expr(sql).as(sf.name)
         case c =>
-          lateColumn(c, (nm, s2, i) => uniform(s"${st.name}.$nm", s2, i), seed, idx, here).as(c.name)
+          lateColumn(c, (nm, s2, i) => uniform(s"${st.name}.$nm", s2, i),
+            seed, idx, here, inArray).as(c.name)
       }: _*)
     case ar: ArraySpec if hasSqlDeep(ar) =>
       // sql children are ROW-scoped (same value every element); plain
       // children keep per-position uniform keys like ArraySpec itself
-      val len = lit(ar.minLen) +
-        floor(uniform(s"${ar.name}#len", seed, idx) * (ar.maxLen - ar.minLen + 1)).cast("int")
-      val elems = (0 until ar.maxLen).map { j =>
-        lateColumn(ar.element, (nm, s2, i) => uniform(s"${ar.name}[$j].$nm", s2, i), seed, idx, path)
+      boundedArray(uniform, s"${ar.name}#len", seed, idx, ar.minLen, ar.maxLen) { j =>
+        lateColumn(ar.element, (nm, s2, i) => uniform(s"${ar.name}[$j].$nm", s2, i),
+          seed, idx, path, inArray = true)
       }
-      slice(array(elems: _*), lit(1), len)
     case other => other.toColumnWith(uniform, seed, idx)
+  }
+
+  /** The bounded unrolling every variable-length collection uses: maxLen
+    * element columns sliced to a drawn length — ONE implementation of the
+    * len/slice formula. */
+  private[generator] def boundedArray(uniform: (String, Long, Column) => Column,
+      lenKey: String, seed: Long, idx: Column, minLen: Int, maxLen: Int)
+      (elem: Int => Column): Column = {
+    val len = lit(minLen) + floor(uniform(lenKey, seed, idx) * (maxLen - minLen + 1)).cast("int")
+    slice(array((0 until maxLen).map(elem): _*), lit(1), len)
   }
 
   /** Qualify bare sibling references in a nested sql with the enclosing

@@ -114,10 +114,14 @@ object LegacyPlan {
               minLen = dbl(o \ "arrayMinLen").map(_.toInt),
               maxLen = dbl(o \ "arrayMaxLen").map(_.toInt))
           // inline DDL types (docker examples): decimal(5,2),
-          // map<string,string>, struct<...> — FieldDef parses via Spark DDL
-          case t if t.startsWith("decimal(") || t.startsWith("map<") ||
-              t.contains("struct<") =>
-            FieldDef(name, t)
+          // map<string,string>, struct<...> — FieldDef parses via Spark
+          // DDL. Pass the ORIGINAL type string (lowercasing would mangle
+          // camelCase struct field names) and forward the array/map length
+          // options.
+          case t if FieldDef.isInlineDdl(t) =>
+            FieldDef(name, str(j \ "type").get,
+              minLen = dbl(o \ "arrayMinLen").map(_.toInt),
+              maxLen = dbl(o \ "arrayMaxLen").map(_.toInt))
           case at if at.startsWith("array<") && at.endsWith(">") =>
             val inner = at.stripPrefix("array<").stripSuffix(">").trim
             // the element inherits the field's OPTIONS (min/max/regex...) —

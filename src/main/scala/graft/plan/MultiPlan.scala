@@ -104,10 +104,17 @@ final case class FieldDef(
     // inline DDL complex types (the reference's docker examples spell
     // `array<struct<txn_date: date, ...>>`, `map<string,string>`,
     // `decimal(5,2)` directly in `type:`) — parse with Spark's own DDL
-    // parser and build default generators type-by-type
-    case t if t.startsWith("decimal(") || t.contains("struct<") ||
-        t.startsWith("map<") =>
-      FieldDef.specFromDdl(name, `type`)
+    // parser and build default generators type-by-type. minLen/maxLen
+    // bound a top-level array/map's length (the legacy dialect's
+    // arrayMinLen/arrayMaxLen ride in through them).
+    case t if FieldDef.isInlineDdl(t) =>
+      FieldDef.specFromDdl(name, `type`) match {
+        case ar: ArraySpec =>
+          ar.copy(minLen = minLen.getOrElse(ar.minLen), maxLen = maxLen.getOrElse(ar.maxLen))
+        case m: MapSpec =>
+          m.copy(minLen = minLen.getOrElse(m.minLen), maxLen = maxLen.getOrElse(m.maxLen))
+        case other => other
+      }
     case "struct" | "object" | "record" =>
       StructSpec(name, keptChildren(fields.getOrElse(throw new IllegalArgumentException(
         s"$name: struct needs fields"))).map(_.toSpec))
@@ -141,6 +148,13 @@ final case class FieldDef(
 }
 
 object FieldDef {
+  /** Is this `type:` string an inline DDL complex type? ONE predicate for
+    * both YAML dialects. */
+  def isInlineDdl(t: String): Boolean = {
+    val lt = t.toLowerCase
+    lt.startsWith("decimal(") || lt.startsWith("map<") || lt.contains("struct<")
+  }
+
   /** Default generator specs for an inline DDL type (`struct<a: date>`,
     * `array<struct<...>>`, `map<string,string>`, `decimal(p,s)`), parsed
     * by Spark's own DDL parser so the grammar exactly matches what the
@@ -150,11 +164,16 @@ object FieldDef {
     import org.apache.spark.sql.types._
     def build(n: String, dt: DataType): FieldSpec = dt match {
       case StringType => AlphaNumField(n, 5, 12)
-      case IntegerType | ShortType | ByteType => IntField(n, 0L, 1000000L)
+      // scalar fidelity: the declared DDL type IS the output type
+      case IntegerType => CastSpec(IntField(n, 0L, 1000000L), "int")
+      case ShortType => CastSpec(IntField(n, 0L, 32767L), "smallint")
+      case ByteType => CastSpec(IntField(n, 0L, 127L), "tinyint")
       case LongType => IntField(n, 0L, 1000000L)
-      case DoubleType | FloatType => DoubleField(n, 0.0, 1000.0)
+      case DoubleType => DoubleField(n, 0.0, 1000.0)
+      case FloatType => CastSpec(DoubleField(n, 0.0, 1000.0), "float")
       case d: DecimalType => DecimalField(n, d.precision, d.scale)
-      case BooleanType => OneOfField(n, Seq(("true", 0.5), ("false", 0.5)))
+      case BooleanType =>
+        CastSpec(OneOfField(n, Seq(("true", 0.5), ("false", 0.5))), "boolean")
       case DateType => DateField(n, "2022-01-01", 365)
       case TimestampType => TimestampField(n, "2022-01-01 00:00:00", 365L * 86400)
       case BinaryType => BytesField(n)

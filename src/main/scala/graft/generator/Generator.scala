@@ -179,6 +179,27 @@ final case class MapSpec(name: String, key: FieldSpec, value: FieldSpec,
   }
 }
 
+/** Map with FIXED keys — the reference's `map<K,V>` fields carrying a
+  * `fields:` list (e.g. kafka `headers`), where each listed field is one
+  * entry: key = field name, value = the field's generator. Entries MAY be
+  * computed (sql over frame columns, e.g. `body.event_type`) — such maps
+  * build in [[Generator.generate]]'s late stage. */
+final case class FixedMapSpec(name: String, entries: Seq[FieldSpec],
+    keyType: String = "string", valueType: String = "string") extends FieldSpec {
+  require(entries.nonEmpty, s"map $name: needs entries")
+  def toColumn(u: Column, idx: Column, seed: Long): Column =
+    throw new UnsupportedOperationException("FixedMapSpec uses toColumnWith")
+  override def toColumnWith(uniform: (String, Long, Column) => Column, seed: Long, idx: Column): Column = {
+    require(!Generator.hasSqlDeep(this),
+      s"map $name: contains computed (sql) entries — generate it through " +
+        "Generator.generate, which applies those in the late stage")
+    map_from_arrays(
+      array(entries.map(e => lit(e.name).cast(keyType)): _*),
+      array(entries.map(e =>
+        e.toColumnWith((n, s, i) => uniform(s"$name.$n", s, i), seed, idx).cast(valueType)): _*))
+  }
+}
+
 /** Wraps another spec with a cast to an exact DDL type — DDL-declared
   * scalars (`int`, `float`, `boolean`) must come out AS DECLARED, not as
   * the inner generator's natural type (IntField emits bigint). */
@@ -228,9 +249,11 @@ final case class ArraySpec(name: String, element: FieldSpec, minLen: Int, maxLen
   require(minLen >= 0 && maxLen >= minLen,
     s"array $name: bad bounds [$minLen, $maxLen]")
   // elements MAY contain computed (sql) children — such arrays build in
-  // Generator.generate's late stage, where the sql sees the frame's
-  // top-level columns (ROW-scoped: the same value in every element;
-  // per-element lambda scoping is not supported)
+  // Generator.generate's late stage with ELEMENT-scoped resolution: sql
+  // referencing `<arrayName>.<sibling>` sees the sibling's value in the
+  // SAME element (the reference's multi-level lambda rewriting,
+  // GeneratorUtil.scala:275-414), while references to frame columns stay
+  // row-scoped
   def toColumn(u: Column, idx: Column, seed: Long): Column =
     throw new UnsupportedOperationException("ArraySpec uses toColumnWith")
   override def toColumnWith(uniform: (String, Long, Column) => Column, seed: Long, idx: Column): Column = {
@@ -296,137 +319,235 @@ object Generator {
     val df = base.select((idx.as("__index_inc") +: cols): _*)
     // the late stage runs over the projected frame, where the row index
     // column is named __index_inc (not the range's `id`); nullProb applies
-    // to late specs the same way it does to plain ones
+    // to late specs the same way it does to plain ones.
+    //
+    // Stage A: PLAIN SUBSETS. A late spec referenced by another late
+    // spec's sql pre-stages its non-computed part under its final name, so
+    // cross-spec references to plain paths (`body.event_type` from inside
+    // `headers`, `transactions.txn_date` from a sibling sql) resolve
+    // WITHOUT an ordering edge — this is what lets mutually-referencing
+    // specs build (the reference's kafka body ↔ headers: headers reads
+    // body's plain fields, body's metadata reads headers' plain entries)
+    // as long as the COMPUTED-path dependency graph stays acyclic.
     val lateIdx = col("__index_inc")
-    val out = topoOrder(late).foldLeft(df) { case (d, s) =>
-      // TWO-PASS hybrid structs: sql children may reference PLAIN siblings
-      // through the struct's own name (`customer_details.email` inside
-      // customer_details — the reference's nested computed fields do this),
-      // so stage the plain subset under the final name first, then rebuild
-      // wholly with the sql children resolving against the staged column
-      val staged = s match {
-        case st: StructSpec =>
-          // incremental: plain children first, then sql children one at a
-          // time in declaration order — CHAINED sibling sql (a computed
-          // child referencing an earlier computed sibling) resolves
-          // against the previous stage
-          stagedSubsets(st).foldLeft(d)((dd, sub) =>
-            dd.withColumn(s.name, lateColumn(sub, uniform, seed, lateIdx)))
-        case _ => d
-      }
-      val c = lateColumn(s, uniform, seed, lateIdx)
+    val referencedHeads: Set[String] = late.flatMap(s => refHeads(s) - s.name).toSet
+    val preStaged = late.filter(s => referencedHeads.contains(s.name)).flatMap(plainSubset)
+    val df1 = preStaged.foldLeft(df)((d, ps) =>
+      d.withColumn(ps.name, ps.toColumnWith(uniform, seed, lateIdx)))
+    // Stage B: full builds in computed-dependency order ([[topoOrder]] —
+    // edges only for references that TOUCH a computed path; plain-path
+    // references were satisfied by stage A). Each hybrid spec builds in a
+    // single projection with sibling/element references substituted
+    // in-expression ([[scopedColumn]]).
+    val out = topoOrder(late).foldLeft(df1) { case (d, s) =>
+      val c = scopedColumn(s, uniform, seed, lateIdx, Nil)
       val withNulls = nullProb.get(s.name) match {
         case Some(p) => when(uniform(s.name + "\u0000null", seed, lateIdx) < p, lit(null)).otherwise(c)
         case None => c
       }
-      staged.withColumn(s.name, withNulls)
+      d.withColumn(s.name, withNulls)
     }
     out.drop("__index_inc")
   }
 
-  /** The struct with only its non-computed children (recursively) — the
-    * first staging column sibling sql references resolve against; None
-    * when every child is computed. */
-  private def plainSubset(st: StructSpec): Option[StructSpec] = {
-    val kept = st.children.flatMap {
-      case _: SqlField => None
-      case nested: StructSpec if hasSqlDeep(nested) => plainSubset(nested)
-      case ar: ArraySpec if hasSqlDeep(ar) => None
-      case c => Some(c)
+  /** Head names referenced by a late spec's sql texts (for deciding which
+    * sibling specs need a stage-A plain stage). */
+  private def refHeads(s: FieldSpec): Set[String] = sqlTexts(s).flatMap { sql =>
+    try org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(sql).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.nameParts.head
     }
-    if (kept.isEmpty) None else Some(StructSpec(st.name, kept))
+    catch { case _: Exception => Nil }
+  }.toSet
+
+  /** A spec reduced to its non-computed part (recursively) — what stage A
+    * pre-stages under the spec's final name so cross-spec plain-path
+    * references resolve without ordering edges. None when everything in it
+    * is computed. Arrays keep their length draw key (`name#len`), so the
+    * staged and final arrays have identical lengths per row. */
+  private def plainSubset(s: FieldSpec): Option[FieldSpec] = s match {
+    case _: SqlField => None
+    case cs: CastSpec => plainSubset(cs.inner).map(i => cs.copy(inner = i))
+    case st: StructSpec =>
+      val kept = st.children.flatMap(plainSubset)
+      if (kept.isEmpty) None else Some(StructSpec(st.name, kept))
+    case ar: ArraySpec =>
+      if (!hasSqlDeep(ar)) Some(ar) else plainSubset(ar.element).map(e => ar.copy(element = e))
+    case fm: FixedMapSpec =>
+      val kept = fm.entries.filterNot(hasSqlDeep)
+      if (kept.isEmpty) None else Some(fm.copy(entries = kept))
+    case other => Some(other)
   }
 
-  /** Staging sequence for a hybrid struct: the plain subset (with nested
-    * hybrid structs reduced to THEIR plain subsets, so deep paths like
-    * `body.inner.x` resolve from the first stage), then one more computed
-    * child per stage in SIBLING-DEPENDENCY order (a computed child may
-    * reference a later-declared computed sibling — topo-sort by bare/
-    * self-path references, like top-level computed fields). Field order
-    * within a staging column is irrelevant — sibling sql addresses
-    * children by name; the FINAL build restores declaration order. */
-  private def stagedSubsets(st: StructSpec): Seq[StructSpec] = {
-    val (plainKids0, sqlKids0) = st.children.partition(c => !hasSqlDeep(c))
-    // nested hybrids contribute their plain parts to every stage
-    val nestedPlain = sqlKids0.flatMap {
-      case nested: StructSpec => plainSubset(nested)
-      case _ => None
-    }
-    val plainKids = plainKids0 ++ nestedPlain
-    val sqlKids = orderBySiblingDeps(st, sqlKids0)
-    val stages =
-      if (sqlKids.size <= 1) Seq(plainKids)
-      else (0 until sqlKids.size).map { k =>
-        // children not yet staged keep their plain reduction in place so
-        // their names stay resolvable (last-wins by name in a struct is
-        // fine — the staged sql version replaces the reduced one)
-        val remainingPlain = sqlKids.drop(k).flatMap {
-          case nested: StructSpec => plainSubset(nested)
-          case _ => None
+  /** One enclosing element scope: the array (or nested-struct) name and the
+    * already-built sibling Columns of the CURRENT position, filled
+    * incrementally while the element builds (the map is shared mutably so
+    * deeper recursion sees later additions). */
+  private final case class ElemScope(
+      name: String, fields: scala.collection.mutable.Map[String, Column])
+
+  /** Element-scoped computed fields — the reference's multi-level lambda
+    * rewriting (`core/util/GeneratorUtil.scala:275-414` rewrites
+    * `orders.total` into `TRANSFORM(orders, x -> ...x.amount...)` with one
+    * lambda var per depth), re-expressed for the bounded unrolling: every
+    * array position is already its own Column expression, so a sibling
+    * reference substitutes the sibling's EXPRESSION for that position
+    * directly into the parsed sql tree. No TRANSFORM, no lambda-var
+    * allocation, no sql-text regex surgery — and the whole array stays one
+    * codegen'd projection. Deterministic keyed uniforms make the
+    * expression duplication value-safe (the same (seed, key, idx) draw
+    * yields the same value wherever it is re-evaluated), exactly like the
+    * reference's own inlining of computed-sibling refs.
+    *
+    * Scoping rules (innermost wins, mirroring the reference's
+    * deepest-array-in-scope rule):
+    *  - `<scopeName>.<field>[...path]` where scopeName names an enclosing
+    *    array (or nested element struct) → that element's field, navigated
+    *    further by `.getField`;
+    *  - a bare name matching a field of any enclosing scope → that field;
+    *  - lambda-bound names are never substituted;
+    *  - anything else is left unresolved and resolves against the frame
+    *    (row-scoped top-level refs), or fails loudly in analysis.
+    */
+  private[generator] def scopedColumn(s: FieldSpec,
+      uniform: (String, Long, Column) => Column, seed: Long, idx: Column,
+      scopes: List[ElemScope]): Column = s match {
+    case sf: SqlField => substituteScopes(sf.sql, scopes)
+    case st: StructSpec if hasSqlDeep(st) =>
+      buildScopedStruct(st, st.name, uniform, seed, idx, scopes)
+    case ar: ArraySpec if hasSqlDeep(ar) =>
+      boundedArray(uniform, s"${ar.name}#len", seed, idx, ar.minLen, ar.maxLen) { j =>
+        val posU = (nm: String, s2: Long, i: Column) => uniform(s"${ar.name}[$j].$nm", s2, i)
+        ar.element match {
+          case est: StructSpec if hasSqlDeep(est) =>
+            buildScopedStruct(est, ar.name, posU, seed, idx, scopes)
+          case e => scopedColumn(e, posU, seed, idx, scopes)
         }
-        plainKids0 ++ remainingPlain ++ sqlKids.take(k)
       }
-    // a stage with NO children cannot be built (StructSpec requires some) —
-    // skip it; the next stage (or the final build) carries on
-    stages.filter(_.nonEmpty).map(kids => StructSpec(st.name, kids))
+    case cs: CastSpec if hasSqlDeep(cs) =>
+      scopedColumn(cs.inner, uniform, seed, idx, scopes).cast(cs.ddlType)
+    case fm: FixedMapSpec if hasSqlDeep(fm) =>
+      // fixed-key map with computed entries: values resolve like any other
+      // scoped sql (typically row-scoped frame refs, e.g. `body.event_type`)
+      map_from_arrays(
+        array(fm.entries.map(e => lit(e.name).cast(fm.keyType)): _*),
+        array(fm.entries.map(e =>
+          scopedColumn(e, (n, s2, i) => uniform(s"${fm.name}.$n", s2, i), seed, idx, scopes)
+            .cast(fm.valueType)): _*))
+    case other => other.toColumnWith(uniform, seed, idx)
   }
 
-  /** Order a struct's computed children so every sibling reference (bare
-    * name or `<struct>.<name>` self-path) comes after its dependency;
-    * cycles fail loudly via the shared Kahn sort. */
-  private def orderBySiblingDeps(st: StructSpec, sqlKids: Seq[FieldSpec]): Seq[FieldSpec] = {
-    if (sqlKids.size <= 1) return sqlKids
-    val byName = sqlKids.map(k => k.name -> k).toMap
-    val edges = sqlKids.flatMap { k =>
+  /** Build a struct whose children may reference already-built siblings
+    * through `scopeName` (the enclosing array's name for array elements,
+    * the struct's own name for nested structs): plain children first (same
+    * uniform keys as the pure path), then computed children in
+    * sibling-dependency order, each added to the scope as it builds so
+    * later siblings (and deeper nesting) can substitute it. */
+  private def buildScopedStruct(st: StructSpec, scopeName: String,
+      uniform: (String, Long, Column) => Column, seed: Long, idx: Column,
+      outer: List[ElemScope]): Column = {
+    val fields = scala.collection.mutable.LinkedHashMap[String, Column]()
+    val inner = ElemScope(scopeName, fields) :: outer
+    val wrapped = (nm: String, s2: Long, i: Column) => uniform(s"${st.name}.$nm", s2, i)
+    val (plainKids, sqlKids) = st.children.partition(c => !hasSqlDeep(c))
+    plainKids.foreach(c => fields(c.name) = c.toColumnWith(wrapped, seed, idx))
+    orderScopedKids(scopeName, sqlKids).foreach(c =>
+      fields(c.name) = scopedColumn(c, wrapped, seed, idx, inner))
+    struct(st.children.map(c => fields(c.name).as(c.name)): _*)
+  }
+
+  /** Sibling-dependency order for a scoped struct's computed children:
+    * a reference `<scopeName>.<x>` or bare `<x>` naming a computed sibling
+    * orders x first; cycles fail loudly (Kahn). */
+  private def orderScopedKids(scopeName: String, kids: Seq[FieldSpec]): Seq[FieldSpec] = {
+    if (kids.size <= 1) return kids
+    val byName = kids.map(k => k.name -> k).toMap
+    val edges = kids.flatMap { k =>
       sqlTexts(k).flatMap { sql =>
         try org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(sql).collect {
           case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-            val parts = a.nameParts
-            Seq(parts.head) ++
-              (if (parts.head == st.name && parts.size > 1) Seq(parts(1)) else Nil)
+            // dep candidates: the bare head, plus any part FOLLOWING an
+            // occurrence of the scope name (full-path refs like
+            // `customer_info.personal_details.first_name` name the sibling
+            // after the enclosing scope, not at the head)
+            val p = a.nameParts
+            p.head +: p.zipWithIndex.collect {
+              case (part, i) if i > 0 && p(i - 1) == scopeName => part
+            }
         }.flatten
         catch { case _: Exception => Nil }
       }.distinct.filter(r => byName.contains(r) && r != k.name).map(_ -> k.name)
     }
-    ForeignKeys.insertOrder(sqlKids.map(_.name), edges.distinct).map(byName)
+    ForeignKeys.insertOrder(kids.map(_.name), edges.distinct).map(byName)
   }
 
-  /** A late spec's column: a bare SqlField is its expression; a hybrid
-    * struct rebuilds the struct with plain children drawn via the SAME
-    * dotted-path uniform keys a pure struct would use and sql children as
-    * expressions over the frame's top-level columns. */
-  private def lateColumn(s: FieldSpec,
-      uniform: (String, Long, Column) => Column, seed: Long, idx: Column,
-      path: Seq[String] = Nil, inArray: Boolean = false): Column = s match {
-    case sf: SqlField => expr(sf.sql)
-    case st: StructSpec =>
-      val here = path :+ st.name
-      val siblings = st.children.map(_.name).toSet
-      struct(st.children.map {
-        case sf: SqlField =>
-          // a nested sql may reference SIBLINGS by bare name (the
-          // reference resolves unqualified names relative to the
-          // enclosing struct) — qualify them with the struct's full path
-          // so they resolve against the staged column. Inside ARRAY
-          // elements there is no staged column to resolve against
-          // (per-element siblings are unreachable) — leave the sql
-          // untouched so top-level references still work and sibling
-          // references fail with Spark's own unresolved-column error.
-          val sql = if (inArray) sf.sql
-            else rewriteSiblingRefs(sf.sql, siblings - sf.name, here)
-          expr(sql).as(sf.name)
-        case c =>
-          lateColumn(c, (nm, s2, i) => uniform(s"${st.name}.$nm", s2, i),
-            seed, idx, here, inArray).as(c.name)
-      }: _*)
-    case ar: ArraySpec if hasSqlDeep(ar) =>
-      // sql children are ROW-scoped (same value every element); plain
-      // children keep per-position uniform keys like ArraySpec itself
-      boundedArray(uniform, s"${ar.name}#len", seed, idx, ar.minLen, ar.maxLen) { j =>
-        lateColumn(ar.element, (nm, s2, i) => uniform(s"${ar.name}[$j].$nm", s2, i),
-          seed, idx, path, inArray = true)
+  /** Parse `sql` and substitute scope references per [[scopedColumn]]'s
+    * rules; everything unmatched stays an UnresolvedAttribute for the
+    * frame/analyzer to handle. */
+  private def substituteScopes(sql: String, scopes: List[ElemScope]): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.LambdaFunction
+    val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(sql)
+    // names bound by ANY lambda in the expression are never substituted
+    // (binding is positional in analysis; over-excluding globally is safe
+    // because a generated field named like a lambda var would shadow
+    // confusingly anyway)
+    val lambdaArgs: Set[String] = parsed.collect {
+      case lf: LambdaFunction => lf.arguments.map(_.name)
+    }.flatten.toSet
+    val substituted =
+      if (scopes.isEmpty) parsed
+      else parsed.transformUp {
+        case a: UnresolvedAttribute =>
+          resolveInScopes(a.nameParts, scopes, lambdaArgs)
+            .map(GraftSqlBridge.toExpression).getOrElse(a)
       }
-    case other => other.toColumnWith(uniform, seed, idx)
+    val fixed = spark35Compat(substituted)
+    // untouched trees go through plain expr() — identical to the pre-scope
+    // behavior (and avoids the bridge round-trip)
+    if (fixed eq parsed) expr(sql) else GraftSqlBridge.toColumn(fixed)
+  }
+
+  /** Spark 3.5 → 4 sql-compatibility shim for reference-authored files:
+    * `aggregate(arr, 0.0, (acc, x) -> ...)` — 3.5's type coercion recast
+    * the decimal-literal zero to the merge result type; 4.x fails analysis
+    * (DATATYPE_MISMATCH, zero pinned at DECIMAL(1,1)). Cast such zeros to
+    * double, which is what the corpus files mean (every such field is
+    * declared `double`). */
+  private def spark35Compat(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    e.transformUp {
+      case f: UnresolvedFunction
+          if Seq("aggregate", "reduce").contains(f.nameParts.last.toLowerCase) &&
+            f.arguments.size >= 3 =>
+        f.arguments(1) match {
+          case l @ Literal(_, _: DecimalType) =>
+            f.copy(arguments = f.arguments.updated(1, Cast(l, DoubleType)))
+          case _ => f
+        }
+    }
+  }
+
+  /** Resolve a dotted reference against the scope chain (innermost-first);
+    * for multi-part refs the DEEPEST part naming a scope wins (the
+    * reference's deepest-array-in-scope rule), with the remaining parts
+    * navigated as struct field accesses. */
+  private def resolveInScopes(parts: Seq[String], scopes: List[ElemScope],
+      lambdaArgs: Set[String]): Option[Column] = {
+    if (lambdaArgs.contains(parts.head)) return None
+    if (parts.size == 1)
+      scopes.collectFirst { case s if s.fields.contains(parts.head) => s.fields(parts.head) }
+    else {
+      val names = scopes.map(_.name).toSet
+      ((parts.size - 2) to 0 by -1).find(i => names.contains(parts(i))).flatMap { i =>
+        val scope = scopes.find(_.name == parts(i)).get
+        val rest = parts.drop(i + 1)
+        scope.fields.get(rest.head).map(c => rest.tail.foldLeft(c)(_.getField(_)))
+      }
+    }
   }
 
   /** The bounded unrolling every variable-length collection uses: maxLen
@@ -439,60 +560,61 @@ object Generator {
     slice(array((0 until maxLen).map(elem): _*), lit(1), len)
   }
 
-  /** Qualify bare sibling references in a nested sql with the enclosing
-    * struct's full path (`order_details.items` inside `body` becomes
-    * `body.order_details.items`) — parse, transform the unresolved
-    * attribute tree, and regenerate SQL text. */
-  private def rewriteSiblingRefs(sql: String, siblings: Set[String],
-      structPath: Seq[String]): String = {
-    if (structPath.isEmpty || siblings.isEmpty) return sql
-    try {
-      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-      val parser = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-      val parsed = parser.parseExpression(sql)
-      val rewritten = parsed.transform {
-        case a: UnresolvedAttribute if siblings.contains(a.nameParts.head) =>
-          UnresolvedAttribute(structPath ++ a.nameParts)
-      }
-      if (rewritten eq parsed) sql
-      else {
-        // regenerated text must itself re-parse (lambda-bearing expressions
-        // don't round-trip through .sql) — fall back to the original
-        val text = rewritten.sql
-        parser.parseExpression(text)
-        text
-      }
-    } catch { case _: Exception => sql }
-  }
-
   /** All sql texts inside a (possibly hybrid-struct) late spec. */
   private def sqlTexts(s: FieldSpec): Seq[String] = s match {
     case sf: SqlField => Seq(sf.sql)
     case StructSpec(_, cs) => cs.flatMap(sqlTexts)
     case ArraySpec(_, e, _, _) => sqlTexts(e)
+    case FixedMapSpec(_, es, _, _) => es.flatMap(sqlTexts)
+    case CastSpec(inner, _) => sqlTexts(inner)
     case _ => Nil
   }
 
   /** Dependency-levels computed specs (the reference's topological ordering
     * of computed columns, `GeneratorUtil.scala:93-269`): a late spec whose
-    * SQL references another late spec's name — directly or as the base of a
-    * dotted path like `details.updated_by.time` — is applied after it,
-    * whatever the listed order; cycles are rejected (Kahn, via
-    * [[ForeignKeys.insertOrder]]). References are read off the UNRESOLVED
-    * expression tree — no analysis pass needed.
+    * SQL references a COMPUTED path of another late spec — directly or as
+    * the base of a dotted path like `details.updated_by.time` — is applied
+    * after it, whatever the listed order; cycles are rejected (Kahn, via
+    * [[ForeignKeys.insertOrder]]). References that only touch the target's
+    * PLAIN paths create no edge — stage A already staged those, which is
+    * what lets mutually-referencing hybrid specs build. References are
+    * read off the UNRESOLVED expression tree — no analysis pass needed.
     */
   private def topoOrder(late: Seq[FieldSpec]): Seq[FieldSpec] = {
     if (late.size <= 1) return late
     val byName = late.map(s => s.name -> s).toMap
+    val computedByName = late.map(s => s.name -> computedPaths(s)).toMap
     val edges = late.flatMap { s =>
       sqlTexts(s).flatMap { sql =>
         org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(sql).collect {
-          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-            Seq(a.name, a.nameParts.head)
-        }.flatten
-      }.distinct.filter(r => byName.contains(r) && r != s.name).map(_ -> s.name)
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.nameParts
+        }
+      }.distinct.collect {
+        case parts if byName.contains(parts.head) && parts.head != s.name &&
+            computedByName(parts.head).exists(cp =>
+              cp.startsWith(parts.tail) || parts.tail.startsWith(cp)) =>
+          parts.head
+      }.distinct.map(_ -> s.name)
     }
     ForeignKeys.insertOrder(late.map(_.name), edges.distinct).map(byName)
+  }
+
+  /** Relative paths (child name chains) of every computed field inside a
+    * spec; `Nil` means the spec (or element) is computed as a whole. Array
+    * element structs are transparent — outside references project
+    * `arr.field`, never `arr.element.field`. Fixed-map computed entries
+    * are addressed with `['key']` (not dotted), so the whole map counts as
+    * one computed unit. */
+  private def computedPaths(s: FieldSpec): Seq[Seq[String]] = s match {
+    case _: SqlField => Seq(Nil)
+    case CastSpec(inner, _) => computedPaths(inner)
+    case StructSpec(_, cs) => cs.flatMap(c => computedPaths(c).map(p => c.name +: p))
+    case ArraySpec(_, e, _, _) => e match {
+      case est: StructSpec => est.children.flatMap(c => computedPaths(c).map(p => c.name +: p))
+      case other => computedPaths(other)
+    }
+    case fm: FixedMapSpec => if (fm.entries.exists(hasSqlDeep)) Seq(Nil) else Nil
+    case _ => Nil
   }
 
   /** Does this spec (recursively) contain a computed [[SqlField]]? */
@@ -500,6 +622,8 @@ object Generator {
     case _: SqlField => true
     case StructSpec(_, cs) => cs.exists(hasSqlDeep)
     case ArraySpec(_, e, _, _) => hasSqlDeep(e)
+    case FixedMapSpec(_, es, _, _) => es.exists(hasSqlDeep)
+    case CastSpec(inner, _) => hasSqlDeep(inner)
     case _ => false
   }
 

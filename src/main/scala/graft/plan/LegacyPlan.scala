@@ -43,6 +43,25 @@ object LegacyPlan {
 
   private def toJson(text: String): JValue = graft.util.Jsons.parse(text)
 
+  /** Run `f` under the sql semantics the reference's files were authored
+    * for: the reference engine is Spark 3.5 (ansi OFF by default), where
+    * e.g. `element_at(empty, 1)` is NULL and lossy casts never throw.
+    * Spark 4 defaults ansi ON, which turns several shipped reference
+    * examples into runtime errors. Set/restore is confined to this
+    * whole-plan entry point (concurrent OTHER work on the same session
+    * during a legacy run would see the legacy flag — clone the session if
+    * that matters). */
+  def withSpark35Semantics[T](spark: org.apache.spark.sql.SparkSession)(f: => T): T = {
+    val key = "spark.sql.ansi.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try f
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** One reference field → a [[FieldDef]]. Generator hints live in the
     * `options` map (`api/.../PlanModels.scala:118-125`).
     */
@@ -59,15 +78,37 @@ object LegacyPlan {
     val static = str(j \ "static").orElse(str(o \ "static"))
     def opt(k: String) = o \ k match { case JNothing => None; case v => Some(v) }
 
+    // the reference casts computed (sql/static) fields to their DECLARED
+    // type (typed temp columns) — map the scalar type names to DDL; struct/
+    // array-typed sql stays untyped (its sql already produces the shape)
+    val declaredDdl: Option[String] = typ match {
+      case "integer" | "int" => Some("int")
+      case "long" => Some("bigint")
+      case "short" => Some("smallint")
+      case "byte" => Some("tinyint")
+      case "double" => Some("double")
+      case "float" => Some("float")
+      case "decimal" =>
+        val p = dbl(o \ "precision").map(_.toInt).getOrElse(10)
+        val s = dbl(o \ "scale").map(_.toInt).getOrElse(0)
+        Some(s"decimal($p,$s)")
+      case t if t.startsWith("decimal(") => Some(t)
+      case "string" => Some("string")
+      case "date" => Some("date")
+      case "timestamp" => Some("timestamp")
+      case "boolean" => Some("boolean")
+      case _ => None
+    }
     val parsed: FieldDef = static match {
       // static value = a literal column (the reference emits lit(static)).
       // Spark SQL's lexer uses BACKSLASH escaping, not ''-doubling — an
       // apostrophe value (O'Brien) must round-trip through the parser intact
       case Some(v) => FieldDef(name, "sql",
-        sql = Some("'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"))
+        sql = Some("'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"),
+        castTo = declaredDdl)
       case None =>
         if (opt("sql").isDefined)
-          FieldDef(name, "sql", sql = str(o \ "sql"))
+          FieldDef(name, "sql", sql = str(o \ "sql"), castTo = declaredDdl)
         else if (opt("expression").isDefined) // faker expression
           FieldDef(name, "template", template = str(o \ "expression"))
         else if (opt("regex").isDefined)
@@ -119,7 +160,12 @@ object LegacyPlan {
           // camelCase struct field names) and forward the array/map length
           // options.
           case t if FieldDef.isInlineDdl(t) =>
+            // `fields:` alongside a DDL complex type = explicit per-field
+            // generators (kafka headers map entries, array<struct> with
+            // regex/min/max element specs) — forward them
+            val children = arr(j \ "fields")
             FieldDef(name, str(j \ "type").get,
+              fields = if (children.nonEmpty) Some(children.map(field)) else None,
               minLen = dbl(o \ "arrayMinLen").map(_.toInt),
               maxLen = dbl(o \ "arrayMaxLen").map(_.toInt))
           case at if at.startsWith("array<") && at.endsWith(">") =>

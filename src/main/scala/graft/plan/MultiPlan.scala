@@ -95,7 +95,12 @@ final case class FieldDef(
       * excluded at spec construction (they can't be referenced); TOP-LEVEL
       * omitted fields generate and are dropped by [[MultiPlanRunner]]
       * after computed fields and FKs ran. */
-    omit: Option[Boolean] = None) {
+    omit: Option[Boolean] = None,
+    /** DDL type the generated value is cast to — the reference casts a
+      * computed (sql/static) field to its DECLARED type
+      * (`GeneratorUtil`'s typed temp columns); carried separately so the
+      * `type:` dispatch stays on "sql". */
+    castTo: Option[String] = None) {
 
   private def keptChildren(fs: Seq[FieldDef]): Seq[FieldDef] =
     fs.filterNot(_.omit.contains(true))
@@ -108,12 +113,29 @@ final case class FieldDef(
     // bound a top-level array/map's length (the legacy dialect's
     // arrayMinLen/arrayMaxLen ride in through them).
     case t if FieldDef.isInlineDdl(t) =>
-      FieldDef.specFromDdl(name, `type`) match {
-        case ar: ArraySpec =>
-          ar.copy(minLen = minLen.getOrElse(ar.minLen), maxLen = maxLen.getOrElse(ar.maxLen))
-        case m: MapSpec =>
-          m.copy(minLen = minLen.getOrElse(m.minLen), maxLen = maxLen.getOrElse(m.maxLen))
-        case other => other
+      // an inline DDL complex type WITH an explicit `fields:` list uses the
+      // declared per-field generators, not DDL defaults: map<K,V>+fields is
+      // a FIXED-KEY map (each field = one entry, kafka `headers` shape);
+      // array<struct<...>>+fields generates the listed element fields;
+      // struct<...>+fields likewise
+      FieldDef.ddlType(`type`) match {
+        case Some(m: org.apache.spark.sql.types.MapType) if fields.exists(_.nonEmpty) =>
+          FixedMapSpec(name, keptChildren(fields.get).map(_.toSpec),
+            m.keyType.catalogString, m.valueType.catalogString)
+        case Some(org.apache.spark.sql.types.ArrayType(_: org.apache.spark.sql.types.StructType, _))
+            if fields.exists(_.nonEmpty) =>
+          ArraySpec(name, StructSpec("element", keptChildren(fields.get).map(_.toSpec)),
+            minLen.getOrElse(0), maxLen.getOrElse(3))
+        case Some(_: org.apache.spark.sql.types.StructType) if fields.exists(_.nonEmpty) =>
+          StructSpec(name, keptChildren(fields.get).map(_.toSpec))
+        case _ =>
+          FieldDef.specFromDdl(name, `type`) match {
+            case ar: ArraySpec =>
+              ar.copy(minLen = minLen.getOrElse(ar.minLen), maxLen = maxLen.getOrElse(ar.maxLen))
+            case m: MapSpec =>
+              m.copy(minLen = minLen.getOrElse(m.minLen), maxLen = maxLen.getOrElse(m.maxLen))
+            case other => other
+          }
       }
     case "struct" | "object" | "record" =>
       StructSpec(name, keptChildren(fields.getOrElse(throw new IllegalArgumentException(
@@ -137,8 +159,10 @@ final case class FieldDef(
     case "date" => DateField(name, start.getOrElse("2022-01-01"), days.getOrElse(365))
     case "timestamp" => TimestampField(name, start.getOrElse("2022-01-01 00:00:00"),
       days.map(_ * 86400L).getOrElse(365L * 86400))
-    case "sql" | "computed" => SqlField(name,
-      sql.getOrElse(throw new IllegalArgumentException(s"$name: sql needs sql")))
+    case "sql" | "computed" =>
+      val f = SqlField(name,
+        sql.getOrElse(throw new IllegalArgumentException(s"$name: sql needs sql")))
+      castTo.map(CastSpec(f, _)).getOrElse(f)
     case "boolean" => OneOfField(name, Seq(("true", 0.5), ("false", 0.5)))
     case "binary" | "bytes" => BytesField(name)
     case "alphanum" | "string" =>
@@ -154,6 +178,11 @@ object FieldDef {
     val lt = t.toLowerCase
     lt.startsWith("decimal(") || lt.startsWith("map<") || lt.contains("struct<")
   }
+
+  /** The parsed Spark type of an inline DDL `type:` string, None when it
+    * doesn't parse (callers then fall back to the non-DDL dispatch). */
+  def ddlType(ddl: String): Option[org.apache.spark.sql.types.DataType] =
+    try Some(org.apache.spark.sql.types.DataType.fromDDL(ddl)) catch { case _: Exception => None }
 
   /** Default generator specs for an inline DDL type (`struct<a: date>`,
     * `array<struct<...>>`, `map<string,string>`, `decimal(p,s)`), parsed

@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to Spark 4's `private[sql]` Column ↔ Expression converters
+  * (`org.apache.spark.sql.classic.ExpressionUtils`). Needed by
+  * `graft.generator.Generator`'s element-scoped computed fields, which
+  * splice already-built sibling Columns into parsed sql expression trees
+  * (the Spark-Connect refactor moved `Column` onto `ColumnNode`, so the
+  * old `new Column(expr)` / `col.expr` surface is package-private now).
+  */
+object GraftSqlBridge {
+  def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+  def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
+}

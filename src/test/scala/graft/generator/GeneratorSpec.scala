@@ -249,4 +249,73 @@ class GeneratorSpec extends SparkSuite {
     assert(remaining.count() == 97)
     assert(remaining.where(col("k").isin(5, 10, 15)).count() == 0)
   }
+
+  test("element-scoped sql: siblings resolve per element, not per row") {
+    // the reference's multi-level lambda rewriting semantics
+    // (GeneratorUtil.scala:275-414): `txns.amount` inside a txns element
+    // means THIS element's amount. Row-scoped sql cannot produce this —
+    // `flag` must differ across elements of the same row.
+    val specs = Seq(
+      IntField("base", 1000, 9999),
+      ArraySpec("txns", StructSpec("element", Seq(
+        IntField("amount", -5000, 5000),
+        SqlField("flag", "CASE WHEN txns.amount > 0 THEN 'CREDIT' ELSE 'DEBIT' END"),
+        // chained: references the COMPUTED sibling
+        SqlField("tag", "concat(txns.flag, '!')"),
+        // nested struct referencing the outer element scope AND a frame column
+        StructSpec("meta", Seq(
+          SqlField("echo", "txns.flag"),
+          SqlField("rowref", "base + 1"))))), 3, 6))
+    val df = Generator.generate(spark, 500L, specs, seed = 7L).cache()
+    // per-element correctness: every element's flag matches ITS amount
+    val bad = df.select(explode(col("txns")).as("t"))
+      .where(col("t.flag") =!= when(col("t.amount") > 0, "CREDIT").otherwise("DEBIT"))
+    assert(bad.count() == 0)
+    // chaining and nested-echo hold per element
+    val t = df.select(explode(col("txns")).as("t"), col("base"))
+    assert(t.where(col("t.tag") =!= concat(col("t.flag"), lit("!"))).count() == 0)
+    assert(t.where(col("t.meta.echo") =!= col("t.flag")).count() == 0)
+    assert(t.where(col("t.meta.rowref") =!= col("base") + 1).count() == 0)
+    // the distinguishing assertion: rows whose elements carry BOTH flags
+    // exist (row-scoped sql would give every element the same flag)
+    val mixed = df.where(size(array_distinct(col("txns.flag"))) === 2).count()
+    assert(mixed > 0, "no row has mixed CREDIT/DEBIT flags — sql is row-scoped")
+    df.unpersist()
+  }
+
+  test("element-scoped sql: two-level nesting with inner/outer references") {
+    // organizations[].departments[].{budget, spend, over} where `over`
+    // references the INNER element (departments.spend) and an OUTER
+    // element field (organizations.cap) — the reference's per-depth
+    // lambda variables (x, y) re-expressed via the scope chain.
+    val specs = Seq(
+      ArraySpec("organizations", StructSpec("element", Seq(
+        IntField("cap", 100, 200),
+        SqlField("capx", "organizations.cap * 10"),
+        ArraySpec("departments", StructSpec("element", Seq(
+          IntField("budget", 0, 3000),
+          SqlField("spend", "departments.budget * 2"),
+          SqlField("over", "departments.spend > organizations.cap * 10"))), 2, 3))), 2, 3))
+    val df = Generator.generate(spark, 300L, specs, seed = 11L).cache()
+    val o = df.select(explode(col("organizations")).as("o"))
+    assert(o.where(col("o.capx") =!= col("o.cap") * 10).count() == 0)
+    val d = o.select(col("o.cap").as("cap"), explode(col("o.departments")).as("d"))
+    assert(d.where(col("d.spend") =!= col("d.budget") * 2).count() == 0)
+    assert(d.where(col("d.over") =!= (col("d.spend") > col("cap") * 10)).count() == 0)
+    // both branches of `over` occur (per-element, per-org resolution real)
+    assert(d.select("d.over").distinct().count() == 2)
+    // lambda-bound names are left alone: aggregate over the inner array
+    val specs2 = Seq(
+      ArraySpec("orders", StructSpec("element", Seq(
+        ArraySpec("items", StructSpec("element", Seq(
+          IntField("qty", 1, 5),
+          IntField("price", 1, 100),
+          SqlField("line", "items.qty * items.price"))), 2, 4),
+        SqlField("total", "aggregate(orders.items, 0L, (acc, x) -> acc + x.line)"))), 1, 2))
+    val df2 = Generator.generate(spark, 200L, specs2, seed = 13L)
+    val ord = df2.select(explode(col("orders")).as("o"))
+      .select(col("o.total").as("total"),
+        aggregate(col("o.items"), lit(0L), (acc, x) => acc + x.getField("line")).as("expect"))
+    assert(ord.where(col("total") =!= col("expect")).count() == 0)
+  }
 }

@@ -499,6 +499,142 @@ class LegacyPlanSpec extends SparkSuite {
     assert(df.where(col("state").isNull).isEmpty)
   }
 
+  test("element-scoped sql + fixed-key maps + mutual refs (reference showcase shapes)") {
+    // the advanced-kafka / complex-financial shapes: headers is a FIXED-KEY
+    // map whose sql entries read body's plain fields; body's metadata reads
+    // a plain headers entry back (mutual reference, resolved by plain-subset
+    // pre-staging); transaction sql is ELEMENT-scoped with chaining and a
+    // nested struct echoing the outer element scope
+    val y =
+      s"""name: t
+         |steps:
+         |  - name: "events"
+         |    count: {records: 30}
+         |    fields:
+         |      - name: "key"
+         |        type: "string"
+         |        options: {sql: "body.customer_id"}
+         |      - name: "headers"
+         |        type: "map<string, string>"
+         |        fields:
+         |          - {name: "customer-id", type: string, options: {sql: "body.customer_id"}}
+         |          - {name: "source-system", type: string, options: {oneOf: ["web", "mobile"]}}
+         |      - name: "body"
+         |        type: "struct"
+         |        fields:
+         |          - {name: customer_id, type: string, options: {regex: "CUST[0-9]{6}"}}
+         |          - name: "txns"
+         |            type: "array"
+         |            options: {arrayMinLen: 2, arrayMaxLen: 5}
+         |            fields:
+         |              - {name: amount, type: double, options: {min: -100, max: 100}}
+         |              - name: "direction"
+         |                type: "string"
+         |                options: {sql: "CASE WHEN txns.amount > 0 THEN 'CREDIT' ELSE 'DEBIT' END"}
+         |              - name: "tag"
+         |                type: "string"
+         |                options: {sql: "CONCAT(txns.direction, ':', body.customer_id)"}
+         |              - name: "meta"
+         |                type: "struct"
+         |                fields:
+         |                  - {name: echo, type: string, options: {sql: "txns.direction"}}
+         |          - name: "metadata"
+         |            type: "struct"
+         |            fields:
+         |              - {name: source, type: string, options: {sql: "headers['source-system']"}}
+         |""".stripMargin
+    val o = MultiPlanRunner.run(s, MultiPlanSpec("k", 5L, LegacyPlan.parseTaskFile(y)))
+    val df = o.frames("events").cache()
+    import org.apache.spark.sql.types._
+    assert(df.schema("headers").dataType == MapType(StringType, StringType, true))
+    // fixed keys present; sql entry equals the body field it references
+    assert(df.where(element_at(col("headers"), "customer-id") =!= col("body.customer_id")).isEmpty)
+    assert(df.where(!element_at(col("headers"), "source-system").isin("web", "mobile")).isEmpty)
+    assert(df.where(col("key") =!= col("body.customer_id")).isEmpty)
+    // mutual reference: body.metadata.source echoes the plain headers entry
+    assert(df.where(col("body.metadata.source") =!=
+      element_at(col("headers"), "source-system")).isEmpty)
+    // element-scoped: every element's direction matches ITS amount; rows
+    // with both directions exist (row-scoped sql could not produce them)
+    val t = df.select(col("body.customer_id").as("cid"), explode(col("body.txns")).as("t"))
+    assert(t.where(col("t.direction") =!=
+      when(col("t.amount") > 0, "CREDIT").otherwise("DEBIT")).isEmpty)
+    assert(t.where(col("t.tag") =!= concat(col("t.direction"), lit(":"), col("cid"))).isEmpty)
+    assert(t.where(col("t.meta.echo") =!= col("t.direction")).isEmpty)
+    assert(df.where(size(array_distinct(col("body.txns.direction"))) === 2).count() > 0)
+    df.unpersist()
+  }
+
+  test("deep chained computed fields across nested struct levels (complex-financial shape)") {
+    val y =
+      s"""name: t
+         |steps:
+         |  - name: "customers"
+         |    count: {records: 25}
+         |    fields:
+         |      - name: "customer_info"
+         |        type: "struct"
+         |        fields:
+         |          - name: "personal"
+         |            type: "struct"
+         |            fields:
+         |              - {name: full_name, type: string, options: {expression: "#{Name.name}"}}
+         |              - name: "first_name"
+         |                type: "string"
+         |                options: {sql: "SPLIT(customer_info.personal.full_name, ' ')[0]"}
+         |              - name: "email"
+         |                type: "string"
+         |                options: {sql: "LOWER(CONCAT(customer_info.personal.first_name, '@x.com'))"}
+         |      - name: "greeting"
+         |        type: "string"
+         |        options: {sql: "CONCAT('hi ', customer_info.personal.first_name)"}
+         |""".stripMargin
+    val o = MultiPlanRunner.run(s, MultiPlanSpec("cf", 3L, LegacyPlan.parseTaskFile(y)))
+    val df = o.frames("customers")
+    // chained: email depends on first_name which depends on full_name —
+    // declaration order is dependency order here, but resolution is by the
+    // FULL self-path (the staging machinery that existed before could not
+    // follow a chain two struct levels down)
+    assert(df.where(col("customer_info.personal.first_name") =!=
+      split(col("customer_info.personal.full_name"), " ").getItem(0)).isEmpty)
+    assert(df.where(col("customer_info.personal.email") =!=
+      lower(concat(col("customer_info.personal.first_name"), lit("@x.com")))).isEmpty)
+    // a SIBLING top-level spec referencing the computed path orders after it
+    assert(df.where(col("greeting") =!=
+      concat(lit("hi "), col("customer_info.personal.first_name"))).isEmpty)
+  }
+
+  test("spark-3.5 compat: decimal-literal aggregate zero and sql type casts") {
+    val y =
+      s"""name: t
+         |steps:
+         |  - name: "accts"
+         |    count: {records: 15}
+         |    fields:
+         |      - name: "txns"
+         |        type: "array"
+         |        options: {arrayMinLen: 1, arrayMaxLen: 4}
+         |        fields:
+         |          - {name: amount, type: double, options: {min: 1, max: 10}}
+         |      - name: "total"
+         |        type: "double"
+         |        options: {sql: "aggregate(txns.amount, 0.0, (acc, x) -> acc + x)"}
+         |      - name: "n_txns"
+         |        type: "integer"
+         |        options: {sql: "SIZE(txns)"}
+         |""".stripMargin
+    val o = MultiPlanRunner.run(s, MultiPlanSpec("agg", 2L, LegacyPlan.parseTaskFile(y)))
+    val df = o.frames("accts")
+    import org.apache.spark.sql.types._
+    // the decimal-literal zero (Spark 4 analysis error without the shim)
+    // aggregates; declared types are honored on computed fields
+    assert(df.schema("total").dataType == DoubleType)
+    assert(df.schema("n_txns").dataType == IntegerType)
+    assert(df.where(abs(col("total") -
+      aggregate(col("txns"), lit(0.0), (a, x) => a + x.getField("amount"))) > 1e-9).isEmpty)
+    assert(df.where(col("n_txns") =!= size(col("txns"))).isEmpty)
+  }
+
   test("task file alone parses to runnable tasks") {
     val out = Files.createTempDirectory("graft_legacy2").toString
     val tasks = LegacyPlan.parseTaskFile(taskYaml(out))

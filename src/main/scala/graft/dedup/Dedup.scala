@@ -353,12 +353,15 @@ object Dedup {
     *    in between are plan-composed and execute inside one job (convergence
     *    is still sound — label propagation is monotone, so a final round
     *    that changes nothing IS the fixpoint, whichever round preceded it);
-    *  - per-round shuffle partitions sized from the observed edge count
-    *    (~250k edges/partition, min 2) instead of the session default —
-    *    at sf0.1 that is 2 tasks per stage, not 32; at 10^10 edges it
-    *    scales past the default instead of bottlenecking on it. The conf
-    *    is session-scoped: set around the loop and restored (callers run
-    *    queries sequentially; concurrent sessions should clone).
+    *  - per-round shuffle width sized from the observed edge count
+    *    (~250k edges/partition, min 2) — at sf0.1 that is 2 tasks per
+    *    stage, not 32; at 10^10 edges it scales past the session default
+    *    instead of bottlenecking on it. The width is set in a CLONED
+    *    session (`newSession()` — own conf, same SparkContext, shared
+    *    cache/SharedState), so the CALLER's session conf is never touched
+    *    and concurrent queries on it plan normally; explicit per-join
+    *    repartition was measured 35% slower (loses the map-side partial
+    *    combine and AQE's freedom), so the conf route stays.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 30,
       checkpointEvery: Int = 2): DataFrame = {
@@ -370,76 +373,75 @@ object Dedup {
     // selects re-derives the (typically expensive, unpersisted) upstream
     // candidate-pair pipeline once per branch — q31's edges are the whole
     // q28 banded join, so that doubled the setup cost
-    val sym = edges.select(explode(array(
+    val symA = edges.select(explode(array(
         struct(col("a_id").as("src"), col("b_id").as("dst")),
         struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
-    val m = sym.count() // materializes the persist AND sizes the loop
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val m = symA.count() // materializes the persist AND sizes the loop
     val p = math.max(2, math.min((m / 250000L + 1).toInt, 10000))
-    spark.conf.set("spark.sql.shuffle.partitions", p.toString)
-    var labels: DataFrame = null
-    try {
-      labels = sym.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id")).localCheckpoint(true)
+    // job-scoped conf: the loop (and the frame handed back) plans under a
+    // clone with the edge-derived width; the shared CacheManager resolves
+    // symA's persisted blocks from the clone, so nothing recomputes
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", p.toString)
+    val sym = org.apache.spark.sql.GraftSqlBridge.withSession(symA, s2)
+    var labels: DataFrame = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(true)
 
-      // one fused round. aug = graph edges + self-loops + (from round 2,
-      // labels still == ids before that) id→label pointer edges; then
-      // new label(v) = min over aug-neighbors u of label(u) covers own
-      // label (self-loop), neighbor labels, and label(label(v)) — the
-      // pointer jump that makes deep chains O(log d). The tagged self-loop
-      // carries the OLD label through the agg for change detection.
-      def round(l: DataFrame, withJump: Boolean): DataFrame = {
-        val graphE = sym.select(col("src"), col("dst"), lit(false).as("self"))
-        val selfE = l.select(col("id").as("src"), col("id").as("dst"), lit(true).as("self"))
-        val jumpE = l.select(col("id").as("src"), col("label").as("dst"), lit(false).as("self"))
-        val aug = if (withJump) graphE.union(selfE).union(jumpE) else graphE.union(selfE)
-        aug.join(l.select(col("id").as("dst"), col("label").as("dlabel")), Seq("dst"))
-          .groupBy(col("src"))
-          .agg(min(col("dlabel")).as("label"),
-            min(when(col("self"), col("dlabel"))).as("__old"))
-          .select(col("src").as("id"), col("label"), col("__old"))
-      }
-
-      var i = 0
-      var done = false
-      while (!done && i < maxIter) {
-        val block = math.min(checkpointEvery, maxIter - i)
-        // intermediate rounds compose into the same job (no action, no
-        // checkpoint); only the block's last round observes + materializes.
-        // Lineage grows 3^block between checkpoints — bounded by the small
-        // checkpointEvery, never by the total round count.
-        var cur = labels
-        for (k <- 0 until block - 1) cur = round(cur, i + k >= 2).drop("__old")
-        val obs = org.apache.spark.sql.Observation()
-        val updated = round(cur, i + block - 1 >= 2)
-          .observe(obs, count_if(col("label") =!= col("__old")).as("changed"))
-          .drop("__old")
-          .localCheckpoint(true)
-        // zero changes in the block's FINAL round = fixpoint (monotone
-        // propagation): earlier rounds of the block don't need inspecting
-        val changed = obs.get("changed").asInstanceOf[Long]
-        freeCheckpoint(labels) // superseded snapshot's blocks, not GC-deferred
-        labels = updated
-        done = changed == 0
-        i += block
-      }
-      sym.unpersist()
-      // silent truncation would ship WRONG clusters (and q31's oracle would
-      // catch it only when a deep chain occurs) — fail loudly instead
-      if (!done) {
-        freeCheckpoint(labels) // don't strand the last snapshot's blocks
-        throw new IllegalStateException(
-          s"connectedComponents did not converge in $maxIter iterations " +
-            "(even with pointer-jumping, ~2^maxIter reach); raise maxIter")
-      }
-      // already localCheckpoint'ed: materialized, lineage truncated, blocks
-      // GC-cleaned with the frame — safe to hand back as-is
-      labels
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    // one fused round. aug = graph edges + self-loops + (from round 2,
+    // labels still == ids before that) id→label pointer edges; then
+    // new label(v) = min over aug-neighbors u of label(u) covers own
+    // label (self-loop), neighbor labels, and label(label(v)) — the
+    // pointer jump that makes deep chains O(log d). The tagged self-loop
+    // carries the OLD label through the agg for change detection.
+    def round(l: DataFrame, withJump: Boolean): DataFrame = {
+      val graphE = sym.select(col("src"), col("dst"), lit(false).as("self"))
+      val selfE = l.select(col("id").as("src"), col("id").as("dst"), lit(true).as("self"))
+      val jumpE = l.select(col("id").as("src"), col("label").as("dst"), lit(false).as("self"))
+      val aug = if (withJump) graphE.union(selfE).union(jumpE) else graphE.union(selfE)
+      aug.join(l.select(col("id").as("dst"), col("label").as("dlabel")), Seq("dst"))
+        .groupBy(col("src"))
+        .agg(min(col("dlabel")).as("label"),
+          min(when(col("self"), col("dlabel"))).as("__old"))
+        .select(col("src").as("id"), col("label"), col("__old"))
     }
+
+    var i = 0
+    var done = false
+    while (!done && i < maxIter) {
+      val block = math.min(checkpointEvery, maxIter - i)
+      // intermediate rounds compose into the same job (no action, no
+      // checkpoint); only the block's last round observes + materializes.
+      // Lineage grows 3^block between checkpoints — bounded by the small
+      // checkpointEvery, never by the total round count.
+      var cur = labels
+      for (k <- 0 until block - 1) cur = round(cur, i + k >= 2).drop("__old")
+      val obs = org.apache.spark.sql.Observation()
+      val updated = round(cur, i + block - 1 >= 2)
+        .observe(obs, count_if(col("label") =!= col("__old")).as("changed"))
+        .drop("__old")
+        .localCheckpoint(true)
+      // zero changes in the block's FINAL round = fixpoint (monotone
+      // propagation): earlier rounds of the block don't need inspecting
+      val changed = obs.get("changed").asInstanceOf[Long]
+      freeCheckpoint(labels) // superseded snapshot's blocks, not GC-deferred
+      labels = updated
+      done = changed == 0
+      i += block
+    }
+    symA.unpersist()
+    // silent truncation would ship WRONG clusters (and q31's oracle would
+    // catch it only when a deep chain occurs) — fail loudly instead
+    if (!done) {
+      freeCheckpoint(labels) // don't strand the last snapshot's blocks
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations " +
+          "(even with pointer-jumping, ~2^maxIter reach); raise maxIter")
+    }
+    // already localCheckpoint'ed: materialized, lineage truncated, blocks
+    // GC-cleaned with the frame — safe to hand back as-is
+    labels
   }
 
   /** Release a superseded localCheckpoint's storage blocks NOW instead of

@@ -12,4 +12,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  /** Rebind a DataFrame's logical plan to another session of the SAME
+    * SparkContext (`Dataset.ofRows` is private[sql]). Used by iterative
+    * jobs (connected components) that size `spark.sql.shuffle.partitions`
+    * for the job in a CLONED session instead of mutating the caller's —
+    * cached/persisted data is shared at the SharedState level, so a
+    * persisted input resolves to the same cache from the clone. */
+  def withSession(df: DataFrame, s: SparkSession): DataFrame =
+    classic.Dataset.ofRows(s.asInstanceOf[classic.SparkSession], df.queryExecution.logical)
 }

@@ -108,9 +108,13 @@ class DedupSpec extends SparkSuite {
   test("connectedComponents: clusters labeled by smallest member") {
     // components: {1,2,3,4} (chain), {10,11}, singleton edges only
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a_id", "b_id")
+    val confBefore = spark.conf.get("spark.sql.shuffle.partitions")
     val labels = Dedup.connectedComponents(edges)
       .as[(Long, Long)].collect().toMap
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    // the edge-count shuffle sizing lives in a CLONED session — the
+    // caller's conf is untouched during AND after the run
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == confBefore)
   }
 
   test("connectedComponents fails loudly when maxIter is below the component diameter") {

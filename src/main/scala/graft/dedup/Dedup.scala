@@ -324,78 +324,82 @@ object Dedup {
     * (a_id, b_id) → (id, label) with label = smallest id in the component —
     * turns near-dup PAIRS into dedup CLUSTERS (survivor = the label).
     *
-    * Iterative min-label propagation PLUS label pointer-jumping: each round
-    * takes the min over (own label, neighbor labels, label-of-label). The
-    * neighbor step alone is O(component diameter) rounds — fine for the
-    * shallow star/clique shapes near-dup clusters form, fatal for deep
-    * chains; the label-of-label shortcut roughly doubles the propagation
-    * distance per round (the pointer-doubling idea behind
-    * large-star/small-star and hash-to-min), giving O(log d) rounds on deep
-    * chains (spec: a 1000-edge path converges in <= 12 rounds where plain
-    * min-label needs 1000). The shortcut join is skipped for the first two
-    * rounds, where label == id (round 0) and label-of-label == label for
-    * shallow graphs — so star/clique workloads pay nothing extra.
+    * TWO-PHASE hybrid, tuned by what each phase is good at:
+    *
+    * Phase 1 — fused min-label propagation with pointer jumping, ONE join +
+    * ONE aggregate per round (self-loops carry the old label through the
+    * agg; id→label pointer edges fuse the label-of-label shortcut into the
+    * same groupBy). Near-dup graphs are shallow stars/cliques: this
+    * finishes them in a handful of the cheapest possible rounds. It is
+    * NOT guaranteed fast on deep components — convergence speed depends on
+    * how ids are laid out on the graph (a permuted-id 4095-diameter path
+    * blew past 40 rounds; sequential-id test paths had flattered it) — so
+    * it gets a FIXED budget of rounds, never the whole maxIter.
+    *
+    * Phase 2 (only if phase 1 hits its budget unconverged) — contract the
+    * graph by current labels (strictly fewer nodes) and finish with
+    * alternating LARGE-STAR / SMALL-STAR contraction (Kiveris, Lattanzi,
+    * Mirrokni, Rastogi, Vassilvitskii — "Connected Components in MapReduce
+    * and Beyond", SoCC'14; the algorithm behind GraphFrames' CC):
+    *  - large-star connects each node's strictly larger neighbors to
+    *    m = min(Γ(u) ∪ {u}); small-star connects the node and its smaller
+    *    neighbors to m;
+    *  - fixpoint = stars centered at component minima, in provably
+    *    O(log² n) rounds (≈log₂ diameter in practice) INDEPENDENT of id
+    *    layout — the guarantee phase 1 lacks. The final label composes
+    *    phase-1 labels with the star labels of their roots.
+    *
+    * The CC scale probe (CCProbe: 12M nodes, 3000 planted 4095-diameter
+    * permuted-id paths) pins the whole-pipeline round count and exactness.
     *
     * The result is locally checkpointed (materialized, lineage truncated) —
-    * it never replays the loop, and its blocks are released when the frame
-    * is garbage-collected; no caller-side unpersist contract. Throws
-    * IllegalStateException if maxIter rounds don't reach the fixpoint
-    * rather than returning wrong labels.
+    * it never replays the loop; superseded per-round snapshots are freed
+    * eagerly. Throws IllegalStateException if maxIter total rounds don't
+    * reach the fixpoint rather than returning wrong labels.
     *
-    * Cost shape (the per-round constant dominates small graphs — a 1.3k-edge
-    * frame at 32 shuffle partitions paid ~0.4 s/round of pure scheduling):
-    *  - ONE join + ONE aggregate per round: the neighbor-min, own-label and
-    *    pointer-jump lookups are FUSED by augmenting the edge list with
-    *    self-loops (tagged, carrying the old label out through the agg) and
-    *    id→label pointer edges, so min over the augmented neighbors' labels
-    *    = min(own, neighbors', label-of-label) in a single groupBy;
-    *  - checkpoint every `checkpointEvery` rounds, not every round: rounds
-    *    in between are plan-composed and execute inside one job (convergence
-    *    is still sound — label propagation is monotone, so a final round
-    *    that changes nothing IS the fixpoint, whichever round preceded it);
-    *  - per-round shuffle width sized from the observed edge count
-    *    (~250k edges/partition, min 2) — at sf0.1 that is 2 tasks per
-    *    stage, not 32; at 10^10 edges it scales past the session default
-    *    instead of bottlenecking on it. The width is set in a CLONED
-    *    session (`newSession()` — own conf, same SparkContext, shared
-    *    cache/SharedState), so the CALLER's session conf is never touched
-    *    and concurrent queries on it plan normally; explicit per-join
-    *    repartition was measured 35% slower (loses the map-side partial
-    *    combine and AQE's freedom), so the conf route stays.
+    * Scale shape:
+    *  - no step materializes neighborhood lists or pair products; phase-2
+    *    edge counts never grow (each input edge yields exactly one output);
+    *  - shuffle width is sized from the observed edge count (~250k
+    *    edges/partition, min 2): at sf0.1 that is 2 tasks per stage, not
+    *    32; at 10^10 edges it scales past the session default. The width
+    *    lives in a CLONED session (`newSession()` — own conf, same
+    *    SparkContext, shared cache/SharedState), so the CALLER's conf is
+    *    never touched; explicit per-join repartition was measured 35%
+    *    slower (loses map-side partial combines and AQE's freedom);
+    *  - convergence detection rides each round's own materialization via
+    *    Observation — no extra pass.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 30,
-      checkpointEvery: Int = 2): DataFrame = {
-    // <= 0 would make the block size 0: rounds execute but `i` never
-    // advances, silently disabling the maxIter non-convergence guard
-    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
+  def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame =
+    connectedComponentsStats(edges, maxIter)._1
+
+  /** [[connectedComponents]] plus its loop telemetry — (labels, total
+    * rounds executed, shuffle width used). The scale probe asserts rounds
+    * stays logarithmic and the width actually grows past the session
+    * default on big edge lists (sf0.1 only ever exercises p=2). */
+  private[graft] def connectedComponentsStats(edges: DataFrame,
+      maxIter: Int = 30): (DataFrame, Int, Int) = {
     val spark = edges.sparkSession
-    // both orientations in ONE pass over the edge list: a union of two
-    // selects re-derives the (typically expensive, unpersisted) upstream
-    // candidate-pair pipeline once per branch — q31's edges are the whole
-    // q28 banded join, so that doubled the setup cost
-    val symA = edges.select(explode(array(
-        struct(col("a_id").as("src"), col("b_id").as("dst")),
-        struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .persist()
-    val m = symA.count() // materializes the persist AND sizes the loop
-    val p = math.max(2, math.min((m / 250000L + 1).toInt, 10000))
-    // job-scoped conf: the loop (and the frame handed back) plans under a
-    // clone with the edge-derived width; the shared CacheManager resolves
-    // symA's persisted blocks from the clone, so nothing recomputes
+    // canonical undirected edges (u < v), deduped, self-loops dropped; the
+    // upstream candidate-pair pipeline (q31 feeds the whole q28 banded
+    // join) is evaluated ONCE into this persisted frame
+    val eA = edges.select(
+        least(col("a_id"), col("b_id")).as("u"),
+        greatest(col("a_id"), col("b_id")).as("v"))
+      .where(col("u") =!= col("v")).distinct().persist()
+    val m0 = eA.count() // materializes the persist AND sizes the loop
+    val p = math.max(2, math.min((m0 * 2 / 250000L + 1).toInt, 10000))
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", p.toString)
-    val sym = org.apache.spark.sql.GraftSqlBridge.withSession(symA, s2)
+    val e0 = org.apache.spark.sql.GraftSqlBridge.withSession(eA, s2)
+    val sym = e0.select(col("u").as("src"), col("v").as("dst"))
+      .union(e0.select(col("v").as("src"), col("u").as("dst")))
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
+
+    // ---- phase 1: fused min-propagation + pointer jump ----
     var labels: DataFrame = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true)
-
-    // one fused round. aug = graph edges + self-loops + (from round 2,
-    // labels still == ids before that) id→label pointer edges; then
-    // new label(v) = min over aug-neighbors u of label(u) covers own
-    // label (self-loop), neighbor labels, and label(label(v)) — the
-    // pointer jump that makes deep chains O(log d). The tagged self-loop
-    // carries the OLD label through the agg for change detection.
-    def round(l: DataFrame, withJump: Boolean): DataFrame = {
+    def propRound(l: DataFrame, withJump: Boolean): DataFrame = {
       val graphE = sym.select(col("src"), col("dst"), lit(false).as("self"))
       val selfE = l.select(col("id").as("src"), col("id").as("dst"), lit(true).as("self"))
       val jumpE = l.select(col("id").as("src"), col("label").as("dst"), lit(false).as("self"))
@@ -406,42 +410,100 @@ object Dedup {
           min(when(col("self"), col("dlabel"))).as("__old"))
         .select(col("src").as("id"), col("label"), col("__old"))
     }
-
-    var i = 0
+    // two propagation rounds per job (between checkpoints); the budget is
+    // FIXED — deep graphs move on to phase 2 instead of burning maxIter
+    val budget = math.min(8, maxIter)
+    var rounds = 0
     var done = false
-    while (!done && i < maxIter) {
-      val block = math.min(checkpointEvery, maxIter - i)
-      // intermediate rounds compose into the same job (no action, no
-      // checkpoint); only the block's last round observes + materializes.
-      // Lineage grows 3^block between checkpoints — bounded by the small
-      // checkpointEvery, never by the total round count.
+    while (!done && rounds < budget) {
+      val block = math.min(2, budget - rounds)
       var cur = labels
-      for (k <- 0 until block - 1) cur = round(cur, i + k >= 2).drop("__old")
+      for (k <- 0 until block - 1) cur = propRound(cur, rounds + k >= 2).drop("__old")
       val obs = org.apache.spark.sql.Observation()
-      val updated = round(cur, i + block - 1 >= 2)
+      val updated = propRound(cur, rounds + block - 1 >= 2)
         .observe(obs, count_if(col("label") =!= col("__old")).as("changed"))
         .drop("__old")
         .localCheckpoint(true)
-      // zero changes in the block's FINAL round = fixpoint (monotone
-      // propagation): earlier rounds of the block don't need inspecting
       val changed = obs.get("changed").asInstanceOf[Long]
-      freeCheckpoint(labels) // superseded snapshot's blocks, not GC-deferred
+      freeCheckpoint(labels)
       labels = updated
       done = changed == 0
-      i += block
+      rounds += block
+      if (debug) System.err.println(s"[cc] prop round=$rounds changed=$changed")
     }
-    symA.unpersist()
-    // silent truncation would ship WRONG clusters (and q31's oracle would
-    // catch it only when a deep chain occurs) — fail loudly instead
+
+    // ---- phase 2: contract by labels, finish with star contraction ----
     if (!done) {
-      freeCheckpoint(labels) // don't strand the last snapshot's blocks
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter iterations " +
-          "(even with pointer-jumping, ~2^maxIter reach); raise maxIter")
+      val lu = labels.select(col("id").as("src"), col("label").as("lu"))
+      val lv = labels.select(col("id").as("dst"), col("label").as("lv"))
+      var cur = sym.join(lu, "src").join(lv, "dst")
+        .select(least(col("lu"), col("lv")).as("u"),
+          greatest(col("lu"), col("lv")).as("v"))
+        .where(col("u") =!= col("v")).distinct()
+        .localCheckpoint(true)
+
+      // one star op: m(u) = min(Γ(u) ∪ {u}); large connects strictly
+      // larger neighbors to m, small connects u and its smaller ones to m
+      def star(e: DataFrame, large: Boolean): DataFrame = {
+        val se = e.select(col("u"), col("v"))
+          .union(e.select(col("v").as("u"), col("u").as("v")))
+        val mins = se.groupBy(col("u"))
+          .agg(min(col("v")).as("__mn"))
+          .select(col("u"), least(col("__mn"), col("u")).as("m"))
+        val out =
+          if (large)
+            se.where(col("v") > col("u")).join(mins, "u")
+              .select(col("v").as("u"), col("m").as("v"))
+          else
+            se.where(col("v") < col("u")).join(mins, "u")
+              .select(col("v").as("u"), col("m").as("v"))
+              .union(mins.select(col("u"), col("m").as("v")))
+        out.select(greatest(col("u"), col("v")).as("u"),
+            least(col("u"), col("v")).as("v"))
+          .where(col("u") =!= col("v")).distinct()
+      }
+
+      var work = star(cur, large = true) // next round's large half, lazy
+      var prevSig = (-1L, -1L)
+      var starDone = false
+      while (!starDone && rounds < maxIter) {
+        val obs = org.apache.spark.sql.Observation()
+        val stepped = star(work, large = false)
+          .observe(obs,
+            count(lit(1)).as("cnt"),
+            // bit_xor: order-independent, overflow-free set signature (the
+            // edge list is distinct; sum() overflows Long under ANSI)
+            coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("sig"))
+          .localCheckpoint(true)
+        val sig = (obs.get("cnt").asInstanceOf[Long], obs.get("sig").asInstanceOf[Long])
+        freeCheckpoint(cur)
+        cur = stepped
+        rounds += 1
+        if (debug) System.err.println(s"[cc] star round=$rounds edges=${sig._1}")
+        // identical (count, checksum) across a full large+small round =
+        // fixpoint (the star ops are deterministic functions of the set)
+        starDone = sig == prevSig
+        prevSig = sig
+        work = star(stepped, large = true)
+      }
+      if (!starDone) {
+        freeCheckpoint(labels); freeCheckpoint(cur)
+        eA.unpersist()
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter rounds; raise maxIter")
+      }
+      // fixpoint edges are (root, componentMin) stars over phase-1 roots;
+      // compose: a row's final label = star label of its phase-1 root
+      // (roots untouched by phase 2 — already isolated — keep their own)
+      val starMap = cur.select(col("u").as("label"), col("v").as("__root"))
+      val composed = labels.join(starMap, Seq("label"), "left")
+        .select(col("id"), coalesce(col("__root"), col("label")).as("label"))
+        .localCheckpoint(true)
+      freeCheckpoint(labels); freeCheckpoint(cur)
+      labels = composed
     }
-    // already localCheckpoint'ed: materialized, lineage truncated, blocks
-    // GC-cleaned with the frame — safe to hand back as-is
-    labels
+    eA.unpersist()
+    (labels, rounds, p)
   }
 
   /** Release a superseded localCheckpoint's storage blocks NOW instead of

@@ -62,6 +62,39 @@ object SchemaRegistry {
     resp.body()
   }
 
+  private def jsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
+
+  /** Register a schema under a subject — the WRITE half of the Confluent
+    * protocol (`POST /subjects/{subject}/versions`, body
+    * `{schema, schemaType, references}`); returns the registry-assigned
+    * schema id. Lets a discovered/authored plan push its schemas back to
+    * the registry before generating against them (the reference's
+    * metadata flow only reads). */
+  def register(baseUrl: String, subject: String, schema: String,
+      schemaType: String = "AVRO",
+      references: Seq[(String, String, Int)] = Nil): Int = {
+    val refsJson = references.map { case (n, s, v) =>
+      s"""{"name":${jsonStr(n)},"subject":${jsonStr(s)},"version":$v}"""
+    }.mkString("[", ",", "]")
+    val body =
+      s"""{"schema":${jsonStr(schema)},"schemaType":${jsonStr(schemaType)},"references":$refsJson}"""
+    val req = java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"$baseUrl/subjects/${enc(subject)}/versions"))
+      .timeout(java.time.Duration.ofMillis(10000))
+      .header("Content-Type", "application/vnd.schemaregistry.v1+json")
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() != 200)
+      throw new IllegalStateException(
+        s"schema registry POST $baseUrl/subjects/$subject/versions returned " +
+          s"${resp.statusCode()}: ${resp.body().take(200)}")
+    graft.util.Jsons.dbl(graft.util.Jsons.parse(resp.body()) \ "id").map(_.toInt)
+      .getOrElse(throw new IllegalStateException(
+        s"register response for '$subject' has no id: ${resp.body().take(200)}"))
+  }
+
   /** `GET /subjects` — all registered subject names. */
   def listSubjects(baseUrl: String): Seq[String] =
     graft.util.Jsons.parse(get(s"$baseUrl/subjects")) match {

@@ -117,9 +117,9 @@ class DedupSpec extends SparkSuite {
     assert(spark.conf.get("spark.sql.shuffle.partitions") == confBefore)
   }
 
-  test("connectedComponents fails loudly when maxIter is below the component diameter") {
-    // a 7-node chain needs ~6 propagation rounds; maxIter=2 must throw, not
-    // silently return partially-propagated (wrong) labels
+  test("connectedComponents fails loudly when maxIter is below what the graph needs") {
+    // a 7-node chain contracts in 4 star rounds; maxIter=2 must throw, not
+    // silently return partially-contracted (wrong) labels
     val chain = (1L until 7L).map(i => (i, i + 1)).toDF("a_id", "b_id")
     val e = intercept[IllegalStateException](Dedup.connectedComponents(chain, maxIter = 2))
     assert(e.getMessage.contains("did not converge"))
@@ -128,16 +128,39 @@ class DedupSpec extends SparkSuite {
     assert(ok.forall(_._2 == 1L) && ok.length == 7)
   }
 
-  test("connectedComponents: 1000-edge path converges in <= 12 rounds (pointer jump)") {
-    // worst case for min-label: a deep chain with the min at one end. Plain
-    // neighbor-min propagation needs 1000 rounds; the label-of-label pointer
-    // jump roughly doubles reach per round (r_i = 2*r_{i-1}+1), so maxIter=12
-    // converging AT ALL is the proof the jump works — the loop throws past
-    // maxIter rather than returning partial labels.
+  test("connectedComponents: 1000-edge path converges in <= 22 rounds (hybrid)") {
+    // deep chain: plain neighbor-min propagation would need 1000 rounds.
+    // The hybrid spends its fixed 8-round propagation budget, then star
+    // contraction finishes the contracted graph logarithmically (measured:
+    // 19 total) — maxIter=22 converging AT ALL is the proof; the loop
+    // throws past maxIter rather than returning partial labels.
     val path = (0L until 1000L).map(i => (i, i + 1)).toDF("a_id", "b_id")
-    val labels = Dedup.connectedComponents(path, maxIter = 12)
-      .as[(Long, Long)].collect()
+    val (ldf, rounds, _) = Dedup.connectedComponentsStats(path, maxIter = 22)
+    val labels = ldf.as[(Long, Long)].collect()
     assert(labels.length == 1001 && labels.forall(_._2 == 0L))
+    assert(rounds <= 22)
+  }
+
+  test("connectedComponents: round count is independent of id layout (permuted path)") {
+    // THE regression the CC scale probe caught: min-propagation +
+    // label-of-label shortcut converges fast only when id order follows
+    // graph position — a 4095-diameter path with ids scrambled by an affine
+    // bijection mod a prime blew past 40 rounds. The star-contraction
+    // finish is topology-only: the same permuted path converges in 17
+    // total rounds (8 propagation + 9 star).
+    val n = 4096L
+    val P = java.math.BigInteger.valueOf(n).nextProbablePrime().longValueExact()
+    val a = 6364136223846793005L % P
+    def perm(c: org.apache.spark.sql.Column) =
+      pmod(c % P * (a % P) + 1442695040888963407L % P, lit(P))
+    val ppath = spark.range(0, n - 1)
+      .select(perm(col("id")).as("a_id"), perm(col("id") + 1).as("b_id"))
+    val (labels, rounds, _) = Dedup.connectedComponentsStats(ppath, maxIter = 20)
+    assert(rounds <= 20)
+    val l = labels.cache()
+    assert(l.count() == n)
+    assert(l.select("label").distinct().count() == 1) // one component
+    l.unpersist()
   }
 
   test("connectedComponents matches a union-find oracle on a mixed deep/shallow graph") {
@@ -166,7 +189,7 @@ class DedupSpec extends SparkSuite {
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
     val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct.map(x => x -> find(x)).toMap
-    val got = Dedup.connectedComponents(edges.toSeq.toDF("a_id", "b_id"), maxIter = 16)
+    val got = Dedup.connectedComponents(edges.toSeq.toDF("a_id", "b_id"), maxIter = 24)
       .as[(Long, Long)].collect().toMap
     assert(got.size == expected.size)
     assert(got == expected)

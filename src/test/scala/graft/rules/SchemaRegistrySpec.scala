@@ -113,6 +113,59 @@ class SchemaRegistrySpec extends SparkSuite {
     }
   }
 
+  test("register -> import round-trip against a stateful registry") {
+    // stateful stub: POST /subjects/{s}/versions stores the schema and
+    // assigns an id; GET serves it back — the Confluent write protocol
+    val stored = scala.collection.concurrent.TrieMap[String, (Int, String, String)]()
+    val nextId = new java.util.concurrent.atomic.AtomicInteger(100)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def respond(ex: com.sun.net.httpserver.HttpExchange, code: Int, payload: String): Unit = {
+      val bytes = payload.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val path = ex.getRequestURI.getPath
+      (ex.getRequestMethod, path) match {
+        case ("POST", p) if p.startsWith("/subjects/") && p.endsWith("/versions") =>
+          val subject = p.stripPrefix("/subjects/").stripSuffix("/versions")
+          val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+          val j = graft.util.Jsons.parse(body)
+          val schema = graft.util.Jsons.str(j \ "schema").get
+          val st = graft.util.Jsons.str(j \ "schemaType").getOrElse("AVRO")
+          val id = nextId.incrementAndGet()
+          stored(subject) = (id, st, schema)
+          respond(ex, 200, s"""{"id":$id}""")
+        case ("GET", p) if p.startsWith("/subjects/") && p.contains("/versions/") =>
+          val subject = p.stripPrefix("/subjects/").takeWhile(_ != '/')
+          stored.get(subject) match {
+            case Some((id, st, schema)) => respond(ex, 200,
+              s"""{"subject":"$subject","version":1,"id":$id,"schemaType":"$st","schema":"${jstr(schema)}"}""")
+            case None => respond(ex, 404, """{"error_code":40401,"message":"nope"}""")
+          }
+        case _ => respond(ex, 404, """{"error_code":40401,"message":"nope"}""")
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val id = SchemaRegistry.register(base, "roundtrip-value", avroSchema)
+      assert(id > 100)
+      val imp = SchemaRegistry.importSubject(base, "roundtrip-value")
+      assert(imp.subject == "roundtrip-value")
+      assert(imp.specs.nonEmpty)
+      // the imported specs generate (the schema survived the wire intact)
+      val df = graft.generator.Generator.generate(s, 50L, imp.specs)
+      assert(df.count() == 50)
+      // registering under an encoded-character subject round-trips too
+      val e = intercept[IllegalStateException](
+        SchemaRegistry.importSubject(base, "never-registered"))
+      assert(e.getMessage.contains("404"))
+    } finally server.stop(0)
+  }
+
   test("unknown schema types and HTTP errors fail loudly") {
     withRegistry { base =>
       val e = intercept[IllegalArgumentException](

@@ -91,6 +91,72 @@ class JdbcMetadataSpec extends SparkSuite {
     assert(profiled.exists(_.nonEmpty))
   }
 
+  test("composite-FK delete lifecycle: children-first keyed DELETEs empty the schema") {
+    // fresh database (the round-trip test above leaves rows in its own db)
+    val url2 = Jdbc.derbyUrl(
+      Files.createTempDirectory("graft_derby_life").toString + "/db")
+    def ddl2(statements: String*): Unit = {
+      val conn = java.sql.DriverManager.getConnection(url2)
+      try statements.foreach(conn.createStatement().executeUpdate)
+      finally conn.close()
+    }
+    ddl2(
+      """CREATE TABLE customers (
+        |  cust_id INT NOT NULL PRIMARY KEY,
+        |  region VARCHAR(2) NOT NULL,
+        |  joined DATE NOT NULL,
+        |  CONSTRAINT uq_cust2 UNIQUE (cust_id, region)
+        |)""".stripMargin,
+      """CREATE TABLE orders (
+        |  order_id BIGINT NOT NULL PRIMARY KEY,
+        |  cust_id INT NOT NULL,
+        |  region VARCHAR(2) NOT NULL,
+        |  amount DOUBLE NOT NULL,
+        |  CONSTRAINT fk_ord2 FOREIGN KEY (cust_id, region)
+        |    REFERENCES customers (cust_id, region)
+        |)""".stripMargin)
+
+    val tables = JdbcMetadata.discover(url2, "APP")
+    val plan = JdbcMetadata.toPlan(tables,
+      counts = Map("CUSTOMERS" -> 40L, "ORDERS" -> 300L))
+    val o = MultiPlanRunner.run(s, plan)
+    Jdbc.write(o.frames("CUSTOMERS"), url2, "APP.CUSTOMERS", org.apache.spark.sql.SaveMode.Append)
+    Jdbc.write(o.frames("ORDERS"), url2, "APP.ORDERS", org.apache.spark.sql.SaveMode.Append)
+
+    // track the generated keys: ORDERS by its PK, CUSTOMERS by the
+    // COMPOSITE key — the delete must match multi-column tuples
+    val folder = Files.createTempDirectory("graft_track_life").toString
+    import graft.generator.RecordTracking
+    RecordTracking.track(o.frames("ORDERS"), Seq("ORDER_ID"), folder, "p", "ORDERS")
+    RecordTracking.track(o.frames("CUSTOMERS"), Seq("CUST_ID", "REGION"), folder, "p", "CUSTOMERS")
+
+    // the ordering MATTERS: parent-first dies on the database's own FK
+    // constraint (every batch has at least one referenced customer)
+    val e = intercept[Exception] {
+      RecordTracking.deleteTrackedFromJdbc(s, url2, "APP.CUSTOMERS", folder, "p", "CUSTOMERS")
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .flatMap(x => Option(x.getMessage)).toSeq
+    assert(rootMessages(e).exists(m =>
+      m.contains("FK_ORD2") || m.toLowerCase.contains("foreign key")))
+
+    // children-first (deleteOrder = reverse insert order) empties cleanly;
+    // the interrupted parent delete left its tracking state intact, so the
+    // retry still has the full key set
+    val order = o.insertOrder.reverse
+    assert(order == Seq("ORDERS", "CUSTOMERS"))
+    val results = order.map(t =>
+      t -> RecordTracking.deleteTrackedFromJdbc(s, url2, s"APP.$t", folder, "p", t))
+    results.foreach { case (t, r) =>
+      assert(r.isDefined, s"$t had no tracking state")
+      assert(r.get._2 == 0L, s"$t not empty after delete: ${r.get._2} rows")
+    }
+    // tracking state dropped with the delete
+    assert(RecordTracking.tracked(s, folder, "p", "ORDERS").isEmpty)
+    assert(RecordTracking.tracked(s, folder, "p", "CUSTOMERS").isEmpty)
+  }
+
   test("unsupported column types fail loudly, not as random strings") {
     val t = JdbcMetadata.DbTable("APP", "X", Seq(JdbcMetadata.DbColumn(
       "c", java.sql.Types.OTHER, "XML", 0, 0, nullable = true,

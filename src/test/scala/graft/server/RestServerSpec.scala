@@ -194,4 +194,69 @@ class RestServerSpec extends SparkSuite {
       assert(post(p, "/preview", "][not-json").statusCode() == 400)
     } finally srv.stop()
   }
+
+  test("UI form builder: the page's own JS composes YAML that runs (node-executed)") {
+    val node = Seq("/usr/bin/node", "/usr/local/bin/node")
+      .find(p => new java.io.File(p).canExecute)
+    assume(node.isDefined, "node not installed")
+    // the served page carries the form elements
+    val srv = new RestServer(spark).start()
+    val page = try {
+      HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(java.net.URI.create(s"http://127.0.0.1:${srv.boundPort}/")).build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+    } finally srv.stop()
+    Seq("faddrow", "fbuild", "frows", "ftask", "fcount", "fsink").foreach(id =>
+      assert(page.contains(s"""id="$id""""), s"form element $id missing from GET /"))
+
+    // run the REAL script the page serves: the DOM-free prefix (KINDS +
+    // buildYaml) executes under node; a mismatch between what the page
+    // ships and what this test believes it ships is impossible by
+    // construction
+    val script = page.substring(page.indexOf("const KINDS"), page.indexOf("// --- DOM wiring"))
+    val driver = script +
+      """
+        |const y1 = buildYaml("minimal_example", "users", "10", "", "", [
+        |  {name: "id", kind: "regex", opts: "USR[0-9]{6}"},
+        |  {name: "name", kind: "faker", opts: "#{Name.fullName}"}]);
+        |const y2 = buildYaml("kinds", "t", "25", "json", process.argv[2], [
+        |  {name: "n", kind: "int", opts: "5,9"},
+        |  {name: "status", kind: "oneOf", opts: "open,closed"},
+        |  {name: "seq", kind: "sequential", opts: "ACC,6"},
+        |  {name: "d", kind: "date", opts: "2024-01-01,30"},
+        |  {name: "flag", kind: "boolean", opts: ""},
+        |  {name: "up", kind: "sql", opts: "UPPER(status)"},
+        |  {name: "", kind: "int", opts: ""}]);
+        |console.log(y1 + "===SPLIT===\n" + y2);
+        |""".stripMargin
+    val dir = Files.createTempDirectory("graft_ui_js")
+    val js = dir.resolve("build.js")
+    Files.writeString(js, driver)
+    val sinkDir = dir.resolve("out").toString
+    val proc = new ProcessBuilder(node.get, js.toString, sinkDir)
+      .redirectErrorStream(true).start()
+    val outText = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    assert(proc.waitFor() == 0, s"node failed: $outText")
+    val Array(y1, y2) = outText.split("===SPLIT===\n")
+
+    // minimal.yaml shape: previews 10 rows with the declared generators
+    val samples = Preview.preview(spark, y1)
+    assert(samples.map(_.dataset) == Seq("users"))
+    assert(samples.head.rows.size == 10)
+    assert(samples.head.rows.forall(_.matches(""".*"id":"USR\d{6}".*""")))
+    assert(samples.head.rows.forall(_.contains(""""name":""")))
+
+    // all-kinds + sink: parses, generates 25 rows, writes the json sink;
+    // the blank-name row is skipped, sql sees its oneOf sibling
+    val o = graft.plan.MultiPlanRunner.run(spark,
+      graft.plan.MultiPlanRunner.parseJson(graft.plan.PlanRunner.yamlToJson(y2)))
+    assert(o.counts("t") == 25L)
+    val written = spark.read.json(sinkDir)
+    assert(written.count() == 25)
+    assert(written.columns.sorted.toSeq == Seq("d", "flag", "n", "seq", "status", "up"))
+    import org.apache.spark.sql.functions._
+    assert(written.where(col("up") =!= upper(col("status"))).count() == 0)
+    assert(written.where(col("n") < 5 || col("n") > 9).count() == 0)
+    assert(written.where(col("seq").rlike("^ACC\\d{6}$")).count() == 25)
+  }
 }

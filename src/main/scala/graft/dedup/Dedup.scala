@@ -380,20 +380,24 @@ object Dedup {
   private[graft] def connectedComponentsStats(edges: DataFrame,
       maxIter: Int = 30): (DataFrame, Int, Int) = {
     val spark = edges.sparkSession
-    // canonical undirected edges (u < v), deduped, self-loops dropped; the
-    // upstream candidate-pair pipeline (q31 feeds the whole q28 banded
-    // join) is evaluated ONCE into this persisted frame
-    val eA = edges.select(
-        least(col("a_id"), col("b_id")).as("u"),
-        greatest(col("a_id"), col("b_id")).as("v"))
-      .where(col("u") =!= col("v")).distinct().persist()
+    // both orientations in ONE pass over the edge list (a union of two
+    // selects would re-derive the typically-expensive unpersisted upstream
+    // candidate-pair pipeline once per branch — q31's edges are the whole
+    // q28 banded join). NOT deduped: phase 1's min-aggregation is
+    // idempotent under duplicate edges, and phase 2 starts with its own
+    // distinct at contraction — a dedup pass here would cost one extra
+    // full-edge-list shuffle for nothing.
+    val eA = edges.where(col("a_id") =!= col("b_id"))
+      .select(explode(array(
+        struct(col("a_id").as("src"), col("b_id").as("dst")),
+        struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .persist()
     val m0 = eA.count() // materializes the persist AND sizes the loop
-    val p = math.max(2, math.min((m0 * 2 / 250000L + 1).toInt, 10000))
+    val p = math.max(2, math.min((m0 / 250000L + 1).toInt, 10000))
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", p.toString)
-    val e0 = org.apache.spark.sql.GraftSqlBridge.withSession(eA, s2)
-    val sym = e0.select(col("u").as("src"), col("v").as("dst"))
-      .union(e0.select(col("v").as("src"), col("u").as("dst")))
+    val sym = org.apache.spark.sql.GraftSqlBridge.withSession(eA, s2)
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
 
     // ---- phase 1: fused min-propagation + pointer jump ----

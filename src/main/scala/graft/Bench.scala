@@ -121,7 +121,7 @@ object Bench {
     val total = results.values.sum
     val imgsPerSec = (pipelineRows / pipeSec).toLong
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_rows":$pipelineRows,"pipeline_images_per_sec":$imgsPerSec,"pipeline_reps":[${pipeReps.map(t => f"$t%.3f").mkString(",")}],"passes":$passes,"load_hint":[$loadBefore,$loadMid,$loadAfter],"contended":$contended,"n_errors":${errors.size},"errors":$errJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_rows":$pipelineRows,"pipeline_images_per_sec":$imgsPerSec,"pipeline_reps":[${pipeReps.map(t => (math.round(t * 1000) / 1000.0).toString).mkString(",")}],"passes":$passes,"load_hint":[$loadBefore,$loadMid,$loadAfter],"contended":$contended,"n_errors":${errors.size},"errors":$errJson}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
     spark.stop()
     // after spark.stop() so no executor/log lines can follow it on stdout

@@ -386,8 +386,11 @@ object Dedup {
     // q28 banded join). NOT deduped: phase 1's min-aggregation is
     // idempotent under duplicate edges, and phase 2 starts with its own
     // distinct at contraction — a dedup pass here would cost one extra
-    // full-edge-list shuffle for nothing.
-    val eA = edges.where(col("a_id") =!= col("b_id"))
+    // full-edge-list shuffle for nothing. Self-loop input edges are KEPT:
+    // a node appearing only as (a, a) must still come back labeled a
+    // (phase 1's id universe derives from these endpoints; phase 2 drops
+    // self-loops at contraction, where the node is already registered).
+    val eA = edges
       .select(explode(array(
         struct(col("a_id").as("src"), col("b_id").as("dst")),
         struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
@@ -445,6 +448,12 @@ object Dedup {
           greatest(col("lu"), col("lv")).as("v"))
         .where(col("u") =!= col("v")).distinct()
         .localCheckpoint(true)
+      // last read of the full symmetrized edge list was the contraction
+      // just materialized — free its cached blocks BEFORE the star rounds
+      // (at 10^10 edges, holding 2x the edge list through O(log n) rounds
+      // would evict working blocks; unpersist is idempotent, the final
+      // call after the loop covers the phase-1-only path)
+      eA.unpersist()
 
       // one star op: m(u) = min(Γ(u) ∪ {u}); large connects strictly
       // larger neighbors to m, small connects u and its smaller ones to m

@@ -332,8 +332,17 @@ object Generator {
     val lateIdx = col("__index_inc")
     val referencedHeads: Set[String] = late.flatMap(s => refHeads(s) - s.name).toSet
     val preStaged = late.filter(s => referencedHeads.contains(s.name)).flatMap(plainSubset)
-    val df1 = preStaged.foldLeft(df)((d, ps) =>
-      d.withColumn(ps.name, ps.toColumnWith(uniform, seed, lateIdx)))
+    val df1 = preStaged.foldLeft(df) { (d, ps) =>
+      val c = ps.toColumnWith(uniform, seed, lateIdx)
+      // same null draw (key + index) as the spec's final stage-B build:
+      // a cross-spec reference must see null exactly where the finished
+      // column is null, not the pre-null staged value
+      val withNulls = nullProb.get(ps.name) match {
+        case Some(p) => when(uniform(ps.name + "\u0000null", seed, lateIdx) < p, lit(null)).otherwise(c)
+        case None => c
+      }
+      d.withColumn(ps.name, withNulls)
+    }
     // Stage B: full builds in computed-dependency order ([[topoOrder]] —
     // edges only for references that TOUCH a computed path; plain-path
     // references were satisfied by stage A). Each hybrid spec builds in a

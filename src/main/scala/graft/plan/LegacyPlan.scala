@@ -80,7 +80,12 @@ object LegacyPlan {
 
     // the reference casts computed (sql/static) fields to their DECLARED
     // type (typed temp columns) — map the scalar type names to DDL; struct/
-    // array-typed sql stays untyped (its sql already produces the shape)
+    // array-typed sql stays untyped (its sql already produces the shape).
+    // NOTE an OMITTED type maps to "string" on purpose: the reference's
+    // field type defaults to string (api Constants.scala:393) and its sql
+    // evaluator casts string-typed sql results with CAST((expr) AS STRING)
+    // (core GeneratorUtil.scala:219-221), so an untyped `sql:` field is
+    // stringified there too — matching, not diverging.
     val declaredDdl: Option[String] = typ match {
       case "integer" | "int" => Some("int")
       case "long" => Some("bigint")

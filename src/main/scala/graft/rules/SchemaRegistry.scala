@@ -62,9 +62,7 @@ object SchemaRegistry {
     resp.body()
   }
 
-  private def jsonStr(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-      .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
+  private def jsonStr(s: String): String = graft.util.Jsons.quote(s)
 
   /** Register a schema under a subject — the WRITE half of the Confluent
     * protocol (`POST /subjects/{subject}/versions`, body

@@ -117,6 +117,15 @@ class DedupSpec extends SparkSuite {
     assert(spark.conf.get("spark.sql.shuffle.partitions") == confBefore)
   }
 
+  test("connectedComponents keeps nodes that appear only in self-loop edges") {
+    // a caller mapping every input node to a cluster must find node 5 —
+    // filtering self-loops out of the edge list before the id universe is
+    // derived would silently drop it
+    val edges = Seq((1L, 2L), (5L, 5L)).toDF("a_id", "b_id")
+    val labels = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 5L -> 5L))
+  }
+
   test("connectedComponents fails loudly when maxIter is below what the graph needs") {
     // a 7-node chain contracts in 4 star rounds; maxIter=2 must throw, not
     // silently return partially-contracted (wrong) labels

@@ -99,6 +99,27 @@ class GeneratorSpec extends SparkSuite {
     assert(math.abs(nulls / 10000.0 - 0.2) < 0.02)
   }
 
+  test("cross-spec references see the POST-null referenced column") {
+    // 'body' is a LATE spec (carries nested sql) whose plain path
+    // body.customer_id is read by a sibling sql — and body has a null
+    // probability. The stage-A pre-staged subset must carry the SAME null
+    // draw as the final column, or 'key' would read values from rows
+    // where body is null in the output (and the result would flip with
+    // declaration order).
+    val body = StructSpec("body", Seq(
+      RegexField("customer_id", "CUST[0-9]{4}"),
+      SqlField("upper_id", "UPPER(body.customer_id)")))
+    val key = SqlField("key", "body.customer_id")
+    val df = Generator.generate(spark, 4000L, Seq(key, body), seed = 11L,
+      nullProb = Map("body" -> 0.3)).cache()
+    assert(math.abs(df.where(col("body").isNull).count() / 4000.0 - 0.3) < 0.03)
+    // key is null exactly where body is null, equal to its id elsewhere
+    assert(df.where(col("body").isNull && col("key").isNotNull).count() == 0)
+    assert(df.where(col("body").isNotNull &&
+      (col("key") =!= col("body.customer_id"))).count() == 0)
+    df.unpersist()
+  }
+
   test("fan-out emits lo..hi children per parent") {
     val base = Generator.generate(spark, 1000L, Seq(SequentialField("pid", "P", 6)), seed = 5L)
     val kids = Generator.fanOut(base, "pid", 1, 4)

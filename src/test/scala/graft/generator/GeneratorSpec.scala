@@ -339,4 +339,31 @@ class GeneratorSpec extends SparkSuite {
         aggregate(col("o.items"), lit(0L), (acc, x) => acc + x.getField("line")).as("expect"))
     assert(ord.where(col("total") =!= col("expect")).count() == 0)
   }
+
+  test("element-scoped sql: three-level nesting (reference lambda depths x,y,z)") {
+    // regions[].stores[].skus[].markup references the depth-3 element
+    // (skus.cost), the depth-2 element (stores.factor) and the depth-1
+    // element (regions.tax) in one expression — the reference rewrites
+    // this with three lambda variables (GeneratorUtil.scala:420-426
+    // allocates x,y,z,w per depth); here each array position substitutes
+    // the enclosing scopes' expressions directly.
+    val specs = Seq(
+      ArraySpec("regions", StructSpec("element", Seq(
+        IntField("tax", 1, 9),
+        ArraySpec("stores", StructSpec("element", Seq(
+          IntField("factor", 2, 4),
+          ArraySpec("skus", StructSpec("element", Seq(
+            IntField("cost", 10, 99),
+            SqlField("markup",
+              "skus.cost * stores.factor + regions.tax"))), 1, 3))), 1, 3))), 1, 3))
+    val df = Generator.generate(spark, 150L, specs, seed = 17L)
+    val flat = df.select(explode(col("regions")).as("r"))
+      .select(col("r.tax").as("tax"), explode(col("r.stores")).as("s"))
+      .select(col("tax"), col("s.factor").as("factor"), explode(col("s.skus")).as("k"))
+    assert(flat.count() > 150)
+    assert(flat.where(
+      col("k.markup") =!= (col("k.cost") * col("factor") + col("tax"))).count() == 0)
+    // values vary per element at every depth (not row-constant)
+    assert(flat.select("k.markup").distinct().count() > 20)
+  }
 }

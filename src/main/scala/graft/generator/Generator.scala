@@ -211,6 +211,156 @@ final case class CastSpec(inner: FieldSpec, ddlType: String) extends FieldSpec {
     inner.toColumnWith(uniform, seed, idx).cast(ddlType)
 }
 
+/** Gaussian numeric (the reference's `mean`+`stddev` options and
+  * `distribution: normal`, RandomDataGenerator.scala:639-644 — RANDN
+  * rescaled): Box–Muller over two keyed uniforms, so it is deterministic
+  * and partitioning-invariant where the reference's RANDN is neither. */
+final case class NormalField(name: String, mean: Double, stddev: Double) extends FieldSpec {
+  def toColumn(u: Column, idx: Column, seed: Long): Column =
+    throw new UnsupportedOperationException("NormalField uses toColumnWith")
+  override def toColumnWith(uniform: (String, Long, Column) => Column, seed: Long, idx: Column): Column = {
+    val u1 = uniform(name, seed, idx)
+    val u2 = uniform(s"$name#bm", seed, idx)
+    // z ~ N(0,1); log(1-u1) is safe: u1 in [0,1) keeps the argument in (0,1]
+    sqrt(log(lit(1.0) - u1) * -2.0) * cos(u2 * (2.0 * math.Pi)) * stddev + mean
+  }
+}
+
+/** Range-clamped exponential (the reference's `distribution: exponential`
+  * with `distributionRateParam`, RandomDataGenerator.scala:645-646:
+  * GREATEST(min, LEAST(max, diff * (-LN(1-u)/rate) + min))). */
+final case class ExpRangeField(name: String, lo: Double, hi: Double, rate: Double) extends FieldSpec {
+  def toColumn(u: Column, idx: Column, seed: Long): Column =
+    greatest(lit(lo), least(lit(hi), (-log(lit(1.0) - u) / rate) * (hi - lo) + lo))
+}
+
+/** `start + __index_inc` (the reference's `incremental` numeric option,
+  * RandomDataGenerator.scala:630-638): unique, monotone with the row
+  * index, collision-free by construction. */
+final case class IncrementalField(name: String, start: Long) extends FieldSpec {
+  def toColumn(u: Column, idx: Column, seed: Long): Column = (lit(start) + idx).cast("long")
+}
+
+/** Date uniform over the WEEKDAYS of [start, start+days) (the reference's
+  * `dateExcludeWeekends`, RandomDataGenerator.scala:233-252). The
+  * reference builds SEQUENCE+FILTER at runtime; the range is a literal, so
+  * the weekday list is computed once here and the column is a single
+  * codegen'd element_at — no higher-order functions per row. Falls back to
+  * the plain uniform date when the range has no weekdays. */
+final case class WeekdayDateField(name: String, start: String, days: Int) extends FieldSpec {
+  private val weekdays: Seq[java.sql.Date] = {
+    val s = java.time.LocalDate.parse(start)
+    (0 until math.max(days, 1)).map(s.plusDays(_))
+      .filter(d => d.getDayOfWeek != java.time.DayOfWeek.SATURDAY &&
+        d.getDayOfWeek != java.time.DayOfWeek.SUNDAY)
+      .map(java.sql.Date.valueOf)
+  }
+  def toColumn(u: Column, idx: Column, seed: Long): Column =
+    if (weekdays.isEmpty) date_add(to_date(lit(start)), (u * math.max(days, 1)).cast("int"))
+    else element_at(array(weekdays.map(lit): _*), (u * weekdays.size).cast("int") + 1)
+}
+
+/** Random subset WITHOUT repetition of a fixed value list (the reference's
+  * `arrayUniqueFrom`, RandomDataGenerator.scala:400-405:
+  * SLICE(SHUFFLE(values))): per-row shuffle = sort the literal list by a
+  * row-keyed hash of each value, then slice to a drawn length. The list is
+  * tiny and literal, so the interpreted sort lambda is negligible. */
+final case class UniqueFromArrayField(name: String, values: Seq[String],
+    minLen: Int, maxLen: Int) extends FieldSpec {
+  require(values.nonEmpty, s"array $name: arrayUniqueFrom needs values")
+  def toColumn(u: Column, idx: Column, seed: Long): Column =
+    throw new UnsupportedOperationException("UniqueFromArrayField uses toColumnWith")
+  override def toColumnWith(uniform: (String, Long, Column) => Column, seed: Long, idx: Column): Column = {
+    val mx = math.min(math.max(maxLen, 0), values.size)
+    val mn = math.min(math.max(minLen, 0), mx)
+    val len = (lit(mn) + (uniform(s"$name#len", seed, idx) * (mx - mn + 1)).cast("int"))
+    val salt = (uniform(s"$name#shuffle", seed, idx) * (1L << 40)).cast("long")
+    val keyed = transform(array(values.map(lit): _*),
+      v => struct(xxhash64(v, salt).as("h"), v.as("v")))
+    slice(transform(array_sort(keyed), s => s.getField("v")), lit(1), len)
+  }
+}
+
+/** ROUND(inner, digits) (the reference's numeric `round` option,
+  * RandomDataGenerator.scala:651-655). */
+final case class RoundWrapSpec(inner: FieldSpec, digits: Int) extends FieldSpec {
+  def name: String = inner.name
+  def toColumn(u: Column, idx: Column, seed: Long): Column =
+    round(inner.toColumn(u, idx, seed), digits)
+  override def toColumnWith(uniform: (String, Long, Column) => Column, seed: Long, idx: Column): Column =
+    round(inner.toColumnWith(uniform, seed, idx), digits)
+}
+
+/** Probabilistic edge-case / null injection around any plain generator
+  * (the reference's `enableEdgeCase`/`edgeCaseProb` and
+  * `enableNull`/`nullProb` field options, DataGenerator.scala:54-69): one
+  * band draw selects edge-case [0, pEdge), null [pEdge, pEdge+pNull), or
+  * the generated value. The reference picks ONE edge case per field via an
+  * unseeded driver-side random; here each ROW draws from the list, keyed —
+  * deterministic and strictly more varied. Only wraps NON-computed specs
+  * (construction-checked): a computed inner would need the late stage. */
+final case class EdgeNullWrapSpec(inner: FieldSpec, edgeProb: Double,
+    nullProb: Double, edges: Seq[Column]) extends FieldSpec {
+  require(!Generator.hasSqlDeep(inner),
+    s"${inner.name}: enableNull/enableEdgeCase on computed (sql) fields is not supported")
+  require(edgeProb >= 0 && nullProb >= 0 && edgeProb + nullProb <= 1.0,
+    s"${inner.name}: bad edge/null probabilities ($edgeProb, $nullProb)")
+  def name: String = inner.name
+  def toColumn(u: Column, idx: Column, seed: Long): Column =
+    throw new UnsupportedOperationException("EdgeNullWrapSpec uses toColumnWith")
+  override def toColumnWith(uniform: (String, Long, Column) => Column, seed: Long, idx: Column): Column = {
+    val band = uniform(s"$name#band", seed, idx)
+    val base = inner.toColumnWith(uniform, seed, idx)
+    val withEdge =
+      if (edgeProb > 0 && edges.nonEmpty) {
+        val pick = uniform(s"$name#edgepick", seed, idx)
+        when(band < edgeProb, element_at(array(edges: _*), (pick * edges.size).cast("int") + 1))
+      } else when(lit(false), lit(null))
+    withEdge.when(band < edgeProb + nullProb, lit(null)).otherwise(base)
+  }
+}
+
+/** Empty-array injection (the reference's `arrayEmptyProb`,
+  * RandomDataGenerator.scala:361-368): with probability p the array is
+  * empty — emitted as a zero-length slice of the generated array so the
+  * element type is preserved without knowing its DDL (the generated
+  * expression is deterministic per row, so referencing it twice is safe). */
+final case class EmptyArrayWrapSpec(inner: FieldSpec, p: Double) extends FieldSpec {
+  require(!Generator.hasSqlDeep(inner),
+    s"${inner.name}: arrayEmptyProb on arrays with computed elements is not supported")
+  def name: String = inner.name
+  def toColumn(u: Column, idx: Column, seed: Long): Column =
+    throw new UnsupportedOperationException("EmptyArrayWrapSpec uses toColumnWith")
+  override def toColumnWith(uniform: (String, Long, Column) => Column, seed: Long, idx: Column): Column = {
+    val base = inner.toColumnWith(uniform, seed, idx)
+    when(uniform(s"$name#empty", seed, idx) < p, slice(base, 1, 0)).otherwise(base)
+  }
+}
+
+/** Per-type edge-case literal lists (mirroring the reference's
+  * RandomDataGenerator edgeCases vals: numeric extremes and zero, IEEE
+  * specials, epoch/calendar boundary dates, degenerate strings). */
+object EdgeCases {
+  def forType(typ: String): Seq[Column] = typ.toLowerCase match {
+    case "string" => Seq("", "\n", "\r", "\t", " ", "\u0000").map(lit(_))
+    case "int" | "integer" => Seq(Int.MaxValue, Int.MinValue, 0).map(lit(_))
+    case "long" => Seq(Long.MaxValue, Long.MinValue, 0L).map(lit(_))
+    case "short" => Seq(Short.MaxValue, Short.MinValue, 0.toShort).map(v => lit(v).cast("smallint"))
+    case "byte" => Seq(Byte.MaxValue, Byte.MinValue).map(v => lit(v).cast("tinyint"))
+    case "double" | "number" => Seq(Double.PositiveInfinity, Double.MaxValue,
+      Double.MinPositiveValue, 0.0, -0.0, Double.MinValue, Double.NegativeInfinity,
+      Double.NaN).map(lit(_))
+    case "float" => Seq(Float.PositiveInfinity, Float.MaxValue, Float.MinPositiveValue,
+      0.0f, -0.0f, Float.MinValue, Float.NegativeInfinity, Float.NaN).map(lit(_))
+    case "date" => Seq("0001-01-01", "1582-10-15", "1970-01-01", "9999-12-31")
+      .map(d => lit(java.sql.Date.valueOf(d)))
+    case "timestamp" => Seq("0001-01-01 00:00:00", "1582-10-15 23:59:59",
+      "1970-01-01 00:00:00", "9999-12-31 23:59:59")
+      .map(t => lit(java.sql.Timestamp.valueOf(t)))
+    case _ => Nil // boolean/decimal/complex: no meaningful edge literals
+  }
+}
+
 /** Computed column: arbitrary SQL over previously generated fields (the
   * reference's computed-column stage, GeneratorUtil.scala:93-269). Computed
   * fields may reference each other in ANY listed order — [[Generator]]
@@ -576,6 +726,7 @@ object Generator {
     case ArraySpec(_, e, _, _) => sqlTexts(e)
     case FixedMapSpec(_, es, _, _) => es.flatMap(sqlTexts)
     case CastSpec(inner, _) => sqlTexts(inner)
+    case RoundWrapSpec(inner, _) => sqlTexts(inner)
     case _ => Nil
   }
 
@@ -617,6 +768,7 @@ object Generator {
   private def computedPaths(s: FieldSpec): Seq[Seq[String]] = s match {
     case _: SqlField => Seq(Nil)
     case CastSpec(inner, _) => computedPaths(inner)
+    case RoundWrapSpec(inner, _) => computedPaths(inner)
     case StructSpec(_, cs) => cs.flatMap(c => computedPaths(c).map(p => c.name +: p))
     case ArraySpec(_, e, _, _) => e match {
       case est: StructSpec => est.children.flatMap(c => computedPaths(c).map(p => c.name +: p))
@@ -627,12 +779,13 @@ object Generator {
   }
 
   /** Does this spec (recursively) contain a computed [[SqlField]]? */
-  private[generator] def hasSqlDeep(s: FieldSpec): Boolean = s match {
+  private[graft] def hasSqlDeep(s: FieldSpec): Boolean = s match {
     case _: SqlField => true
     case StructSpec(_, cs) => cs.exists(hasSqlDeep)
     case ArraySpec(_, e, _, _) => hasSqlDeep(e)
     case FixedMapSpec(_, es, _, _) => es.exists(hasSqlDeep)
     case CastSpec(inner, _) => hasSqlDeep(inner)
+    case RoundWrapSpec(inner, _) => hasSqlDeep(inner)
     case _ => false
   }
 

@@ -77,6 +77,42 @@ object LegacyPlan {
     // the reference accepts `static` at the field level AND inside options
     val static = str(j \ "static").orElse(str(o \ "static"))
     def opt(k: String) = o \ k match { case JNothing => None; case v => Some(v) }
+    // extended generator options — the reference's own key names
+    // (api Constants.scala:84-112,137); value lists accept a YAML list OR
+    // the reference's comma string (quotes-aware for weighted entries)
+    def optFlag(k: String): Option[Boolean] =
+      if (graft.util.Jsons.bool(o \ k)) Some(true) else None
+    def strList(k: String): Option[Seq[String]] = (o \ k) match {
+      case JNothing => None
+      case JString(s) => Some(LegacyPlan.splitTopLevel(s).map(_.trim).filter(_.nonEmpty))
+      case other => Some(arr(other).flatMap(str)).filter(_.nonEmpty)
+    }
+    val gopts: Option[GenOptions] = {
+      val g = GenOptions(
+        mean = dbl(o \ "mean"),
+        stddev = dbl(o \ "stddev"),
+        distribution = str(o \ "distribution"),
+        distributionRateParam = dbl(o \ "distributionRateParam"),
+        // `incremental: true` = start at the reference's default 1;
+        // a number = the start value (RandomDataGenerator.scala:634-636)
+        incremental = (o \ "incremental") match {
+          case JNothing | JBool(false) | JString("false") => None
+          case JBool(true) | JString("true") => Some(1L)
+          case v => dbl(v).map(_.toLong)
+        },
+        round = dbl(o \ "round").map(_.toInt),
+        dateExcludeWeekends = optFlag("dateExcludeWeekends"),
+        enableNull = optFlag("enableNull"),
+        nullProb = dbl(o \ "nullProb"),
+        enableEdgeCase = optFlag("enableEdgeCase"),
+        edgeCaseProb = dbl(o \ "edgeCaseProb"),
+        arrayEmptyProb = dbl(o \ "arrayEmptyProb"),
+        arrayUniqueFrom = strList("arrayUniqueFrom"),
+        arrayOneOf = strList("arrayOneOf"),
+        arrayWeightedOneOf = strList("arrayWeightedOneOf"),
+        arrayFixedSize = dbl(o \ "arrayFixedSize").map(_.toInt))
+      if (g.isEmpty) None else Some(g)
+    }
 
     // the reference casts computed (sql/static) fields to their DECLARED
     // type (typed temp columns) — map the scalar type names to DDL; struct/
@@ -141,8 +177,25 @@ object LegacyPlan {
           case "double" | "float" | "decimal" =>
             FieldDef(name, "double", lo = dbl(o \ "min").orElse(Some(0.0)),
               hi = dbl(o \ "max").orElse(Some(1000.0)))
-          case "timestamp" => FieldDef(name, "timestamp")
-          case "date" => FieldDef(name, "date")
+          // min/max bound the draw range (reference getMinValue/getMaxValue,
+          // RandomDataGenerator.scala:222-231: DATE_ADD(min, u * daysBetween))
+          case "timestamp" =>
+            val mn = str(o \ "min")
+            val d = for {
+              a <- mn; b <- str(o \ "max")
+              between <- scala.util.Try(java.time.Duration.between(
+                java.time.LocalDateTime.parse(a.replace(' ', 'T')),
+                java.time.LocalDateTime.parse(b.replace(' ', 'T'))).toDays.toInt).toOption
+            } yield math.max(between, 1)
+            FieldDef(name, "timestamp", start = mn, days = d)
+          case "date" =>
+            val mn = str(o \ "min")
+            val d = for {
+              a <- mn; b <- str(o \ "max")
+              between <- scala.util.Try(java.time.temporal.ChronoUnit.DAYS.between(
+                java.time.LocalDate.parse(a), java.time.LocalDate.parse(b)).toInt).toOption
+            } yield math.max(between, 1)
+            FieldDef(name, "date", start = mn, days = d)
           case "boolean" => FieldDef(name, "boolean")
           case "string" =>
             FieldDef(name, "alphanum",
@@ -155,7 +208,14 @@ object LegacyPlan {
             FieldDef(name, "struct", fields = Some(arr(j \ "fields").map(field)))
           case "array" =>
             val children = arr(j \ "fields")
+            // `arrayType` names the element type (reference ARRAY_TYPE,
+            // Constants.scala:107) — the element inherits the options map
+            // so min/max/regex bound the element values
+            val elem = str(o \ "arrayType").map(t => field(JObject(List(
+              "name" -> JString("element"), "type" -> JString(t),
+              "options" -> o.removeField { case (k, _) => k == "arrayType" }))))
             FieldDef(name, "array",
+              element = elem,
               fields = if (children.nonEmpty) Some(children.map(field)) else None,
               minLen = dbl(o \ "arrayMinLen").map(_.toInt),
               maxLen = dbl(o \ "arrayMaxLen").map(_.toInt))
@@ -169,10 +229,13 @@ object LegacyPlan {
             // generators (kafka headers map entries, array<struct> with
             // regex/min/max element specs) — forward them
             val children = arr(j \ "fields")
+            // maps size via mapMinSize/mapMaxSize (reference
+            // Constants.scala:94-95, defaults 0..5); arrays via
+            // arrayMinLen/arrayMaxLen — both ride through min/maxLen
             FieldDef(name, str(j \ "type").get,
               fields = if (children.nonEmpty) Some(children.map(field)) else None,
-              minLen = dbl(o \ "arrayMinLen").map(_.toInt),
-              maxLen = dbl(o \ "arrayMaxLen").map(_.toInt))
+              minLen = dbl(o \ "arrayMinLen").orElse(dbl(o \ "mapMinSize")).map(_.toInt),
+              maxLen = dbl(o \ "arrayMaxLen").orElse(dbl(o \ "mapMaxSize")).map(_.toInt))
           case at if at.startsWith("array<") && at.endsWith(">") =>
             val inner = at.stripPrefix("array<").stripSuffix(">").trim
             // the element inherits the field's OPTIONS (min/max/regex...) —
@@ -194,7 +257,23 @@ object LegacyPlan {
                 "in options: regex/oneOf/min/max/isUnique/expression/sql/static)")
         }
     }
-    parsed.copy(omit = omit)
+    parsed.copy(omit = omit, options = gopts.orElse(parsed.options))
+  }
+
+  /** Split a comma string at top level — commas inside single quotes don't
+    * split (the reference's weighted-value strings: `'a,b':0.2,'c':0.8`,
+    * RandomDataGenerator.scala:467-490). */
+  private[plan] def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    s.foreach {
+      case '\'' => inQuote = !inQuote; cur += '\''
+      case ',' if !inQuote => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    out += cur.toString
+    out.toSeq
   }
 
   private final case class StepInfo(

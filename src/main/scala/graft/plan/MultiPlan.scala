@@ -66,6 +66,46 @@ final case class ValidationDef(
     rules: Seq[RuleSpec],
     errorThreshold: Double = 0.0)
 
+/** Per-field generator options beyond the core type dispatch — key names
+  * match the reference's option constants verbatim
+  * (`api/.../model/Constants.scala:84-112,137`) so the legacy dialect maps
+  * 1:1 and the native dialect gains the same vocabulary under `options:`.
+  *
+  *  - `mean`+`stddev` → gaussian draw; `distribution: normal` alone →
+  *    N(min, 1) (the reference's RANDN+min, RandomDataGenerator.scala:643);
+  *    `distribution: exponential` + `distributionRateParam` → range-clamped
+  *    exponential;
+  *  - `incremental` (start value) → start + row index, collision-free;
+  *  - `round` → ROUND(value, digits);
+  *  - `dateExcludeWeekends` → weekday-only date draw;
+  *  - `enableNull`/`nullProb` (default 0.1), `enableEdgeCase`/
+  *    `edgeCaseProb` (default 0.5) → banded null / typed-edge-case
+  *    injection around any non-computed generator
+  *    (DataGenerator.scala:31-69 semantics: edge band first, then null);
+  *  - array shapes: `arrayUniqueFrom` (subset without repetition),
+  *    `arrayOneOf` (with repetition), `arrayWeightedOneOf` (`value:weight`
+  *    entries), `arrayFixedSize`, `arrayEmptyProb`.
+  */
+final case class GenOptions(
+    mean: Option[Double] = None,
+    stddev: Option[Double] = None,
+    distribution: Option[String] = None,
+    distributionRateParam: Option[Double] = None,
+    incremental: Option[Long] = None,
+    round: Option[Int] = None,
+    dateExcludeWeekends: Option[Boolean] = None,
+    enableNull: Option[Boolean] = None,
+    nullProb: Option[Double] = None,
+    enableEdgeCase: Option[Boolean] = None,
+    edgeCaseProb: Option[Double] = None,
+    arrayEmptyProb: Option[Double] = None,
+    arrayUniqueFrom: Option[Seq[String]] = None,
+    arrayOneOf: Option[Seq[String]] = None,
+    arrayWeightedOneOf: Option[Seq[String]] = None,
+    arrayFixedSize: Option[Int] = None) {
+  def isEmpty: Boolean = this == GenOptions()
+}
+
 /** One field of a task, dispatched on `type` to the [[FieldSpec]] ADT.
   * Types: int, double, exponential, oneOf, sequential, alphanum, regex,
   * template, date, timestamp, sql, boolean, struct (with `fields`),
@@ -100,12 +140,66 @@ final case class FieldDef(
       * computed (sql/static) field to its DECLARED type
       * (`GeneratorUtil`'s typed temp columns); carried separately so the
       * `type:` dispatch stays on "sql". */
-    castTo: Option[String] = None) {
+    castTo: Option[String] = None,
+    /** Extended generator options (distributions, null/edge injection,
+      * array shapes) — see [[GenOptions]]. */
+    options: Option[GenOptions] = None) {
 
   private def keptChildren(fs: Seq[FieldDef]): Seq[FieldDef] =
     fs.filterNot(_.omit.contains(true))
 
-  def toSpec: FieldSpec = `type`.toLowerCase match {
+  private def genOpts: GenOptions = options.getOrElse(GenOptions())
+
+  /** Numeric dispatch honoring the distribution / incremental / round
+    * options (reference RandomDataGenerator.scala:620-661: incremental
+    * wins, then mean+stddev, then distribution, then uniform; `round`
+    * wraps; int-like continuous draws get ROUND(...,0) + an integral
+    * cast exactly as the reference's final CAST does). */
+  private def numericSpec(defLo: Double, defHi: Double, intLike: Boolean): FieldSpec = {
+    val o = genOpts
+    val l = lo.getOrElse(defLo)
+    val h = hi.getOrElse(defHi)
+    val base: FieldSpec =
+      if (o.incremental.isDefined) IncrementalField(name, o.incremental.get)
+      else if (o.mean.isDefined && o.stddev.isDefined) NormalField(name, o.mean.get, o.stddev.get)
+      else if (o.distribution.exists(_.equalsIgnoreCase("normal"))) NormalField(name, l, 1.0)
+      else if (o.distribution.exists(_.equalsIgnoreCase("exponential")))
+        ExpRangeField(name, l, h, o.distributionRateParam.getOrElse(1.0))
+      else if (intLike) IntField(name, l.toLong, h.toLong)
+      else DoubleField(name, l, h)
+    val continuous = !(base.isInstanceOf[IntField] || base.isInstanceOf[IncrementalField])
+    val rounded = o.round match {
+      case Some(d) => RoundWrapSpec(base, d)
+      case None if intLike && continuous => RoundWrapSpec(base, 0)
+      case None => base
+    }
+    if (intLike && continuous) CastSpec(rounded, "bigint") else rounded
+  }
+
+  /** Null / edge-case injection around the dispatched spec (outermost, so
+    * the banded draw sees the final typed value). Only non-computed specs:
+    * [[EdgeNullWrapSpec]] construction-checks that. */
+  private def withNullEdge(spec: FieldSpec): FieldSpec = {
+    val o = genOpts
+    if (!o.enableNull.contains(true) && !o.enableEdgeCase.contains(true)) spec
+    // computed (sql/static) fields bypass the wrapper in the reference too
+    // (DataGenerator.scala:40-42 returns the static literal before the
+    // edge/null bands are built) — matching, not diverging
+    else if (Generator.hasSqlDeep(spec)) spec
+    else {
+      val edges = if (o.enableEdgeCase.contains(true)) EdgeCases.forType(`type`) else Nil
+      // a type with no edge literals (boolean, complex) collapses the edge
+      // band to 0 — those rows draw the base value, not a surprise null
+      val pe = if (edges.nonEmpty) o.edgeCaseProb.getOrElse(0.5) else 0.0
+      val pn = if (o.enableNull.contains(true)) o.nullProb.getOrElse(0.1) else 0.0
+      if (pe == 0.0 && pn == 0.0) spec
+      else EdgeNullWrapSpec(spec, pe, pn, edges)
+    }
+  }
+
+  def toSpec: FieldSpec = withNullEdge(baseSpec)
+
+  private def baseSpec: FieldSpec = `type`.toLowerCase match {
     // inline DDL complex types (the reference's docker examples spell
     // `array<struct<txn_date: date, ...>>`, `map<string,string>`,
     // `decimal(5,2)` directly in `type:`) — parse with Spark's own DDL
@@ -141,12 +235,32 @@ final case class FieldDef(
       StructSpec(name, keptChildren(fields.getOrElse(throw new IllegalArgumentException(
         s"$name: struct needs fields"))).map(_.toSpec))
     case "array" =>
-      val elem = element.map(_.toSpec)
-        .orElse(fields.map(fs => StructSpec("element", keptChildren(fs).map(_.toSpec))))
-        .getOrElse(AlphaNumField("element", 5, 12))
-      ArraySpec(name, elem, minLen.getOrElse(0), maxLen.getOrElse(3))
-    case "int" | "integer" => IntField(name, lo.getOrElse(0.0).toLong, hi.getOrElse(1000000.0).toLong)
-    case "double" | "number" => DoubleField(name, lo.getOrElse(0.0), hi.getOrElse(1.0))
+      val o = genOpts
+      val (mn, mx) = o.arrayFixedSize match {
+        case Some(s) => (s, s)
+        case None => (minLen.getOrElse(0), maxLen.getOrElse(3))
+      }
+      val base: FieldSpec =
+        if (o.arrayUniqueFrom.exists(_.nonEmpty))
+          UniqueFromArrayField(name, o.arrayUniqueFrom.get, mn, mx)
+        else if (o.arrayOneOf.exists(_.nonEmpty)) {
+          val vs = o.arrayOneOf.get
+          ArraySpec(name, OneOfField("element", vs.map(v => (v, 1.0 / vs.size))), mn, mx)
+        } else if (o.arrayWeightedOneOf.exists(_.nonEmpty))
+          ArraySpec(name, OneOfField("element",
+            FieldDef.parseWeighted(name, o.arrayWeightedOneOf.get)), mn, mx)
+        else {
+          val elem = element.map(_.toSpec)
+            .orElse(fields.map(fs => StructSpec("element", keptChildren(fs).map(_.toSpec))))
+            .getOrElse(AlphaNumField("element", 5, 12))
+          ArraySpec(name, elem, mn, mx)
+        }
+      o.arrayEmptyProb.filter(_ > 0.0) match {
+        case Some(p) => EmptyArrayWrapSpec(base, p)
+        case None => base
+      }
+    case "int" | "integer" => numericSpec(0.0, 1000000.0, intLike = true)
+    case "double" | "number" => numericSpec(0.0, 1.0, intLike = false)
     case "exponential" => ExponentialField(name, rate.getOrElse(1.0))
     case "oneof" | "enum" =>
       val vs = values.getOrElse(throw new IllegalArgumentException(s"$name: oneOf needs values"))
@@ -156,7 +270,10 @@ final case class FieldDef(
       pattern.getOrElse(throw new IllegalArgumentException(s"$name: regex needs pattern")))
     case "template" | "faker" => TemplateField(name,
       template.getOrElse(throw new IllegalArgumentException(s"$name: template needs template")))
-    case "date" => DateField(name, start.getOrElse("2022-01-01"), days.getOrElse(365))
+    case "date" =>
+      val (s0, d0) = (start.getOrElse("2022-01-01"), days.getOrElse(365))
+      if (genOpts.dateExcludeWeekends.contains(true)) WeekdayDateField(name, s0, d0)
+      else DateField(name, s0, d0)
     case "timestamp" => TimestampField(name, start.getOrElse("2022-01-01 00:00:00"),
       days.map(_ * 86400L).getOrElse(365L * 86400))
     case "sql" | "computed" =>
@@ -172,6 +289,30 @@ final case class FieldDef(
 }
 
 object FieldDef {
+  /** `arrayWeightedOneOf` entries (`value:weight`, value possibly
+    * single-quoted — the reference's `'val1':0.2` spelling,
+    * RandomDataGenerator.scala:416-427) → (value, weight) pairs.
+    * [[OneOfField]] normalizes by the total itself. The weight separator
+    * is the LAST colon so values containing colons survive. */
+  def parseWeighted(field: String, entries: Seq[String]): Seq[(String, Double)] = {
+    val pairs = entries.map(_.trim).filter(_.nonEmpty).map { e =>
+      val i = e.lastIndexOf(':')
+      require(i > 0 && i < e.length - 1,
+        s"field '$field': bad weighted entry '$e' (expected value:weight)")
+      val raw = e.substring(0, i).trim
+      val v = if (raw.length >= 2 && raw.head == '\'' && raw.last == '\'')
+        raw.substring(1, raw.length - 1) else raw
+      val w = try e.substring(i + 1).trim.toDouble catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"field '$field': weight in '$e' is not a number")
+      }
+      require(w >= 0, s"field '$field': negative weight in '$e'")
+      (v, w)
+    }
+    require(pairs.map(_._2).sum > 0, s"field '$field': total weight must be > 0")
+    pairs
+  }
+
   /** Is this `type:` string an inline DDL complex type? ONE predicate for
     * both YAML dialects. */
   def isInlineDdl(t: String): Boolean = {

@@ -104,6 +104,49 @@ object ForeignKeys {
     out.toSeq
   }
 
+  /** Partial-relationship nullability (the reference's FK `nullability`
+    * post-processing, `core/foreignkey/strategy/NullabilityStrategy.scala`):
+    * a fraction of child rows gets NULL in the FK fields, after key
+    * assignment. Strategies:
+    *
+    *  - `random`: keyed hash on the row identity < pct — deterministic and
+    *    partitioning-invariant (the reference hashes all columns + seed,
+    *    same idea);
+    *  - `head` / `tail`: first/last pct of rows IN GENERATION ORDER. The
+    *    reference counts the frame and ranks it through an unpartitioned
+    *    `Window.orderBy(lit(1))` — a single-task sort at scale. Here the
+    *    row index is recovered from the sequential identity column the
+    *    runner already carries and the total is the planned row count, so
+    *    both strategies are one narrow projection: no count job, no window,
+    *    no shuffle.
+    *
+    * All FK fields of the relation null together (a half-null composite FK
+    * would be a key that never existed). */
+  def applyNullability(
+      df: DataFrame,
+      identityCol: String,
+      fkCols: Seq[String],
+      pct: Double,
+      strategy: String,
+      totalRows: Long,
+      seed: Long): DataFrame = {
+    require(pct >= 0.0 && pct <= 1.0, s"nullPercentage $pct out of [0,1]")
+    if (pct == 0.0) return df
+    // identity is "<name>:<zero-padded index>" — the suffix is the row index
+    val rowIdx = substring_index(col(identityCol), ":", -1).cast("long")
+    val flag = strategy.toLowerCase match {
+      case "head" => rowIdx < math.round(totalRows * pct)
+      case "tail" => rowIdx >= totalRows - math.round(totalRows * pct)
+      case "random" =>
+        (pmod(xxhash64(lit(seed), col(identityCol)), lit(1L << 40)).cast("double")
+          / lit((1L << 40).toDouble)) < pct
+      case other => throw new IllegalArgumentException(
+        s"unknown FK nullability strategy '$other' (random|head|tail)")
+    }
+    fkCols.foldLeft(df)((d, c) =>
+      d.withColumn(c, when(flag, lit(null).cast(d.schema(c).dataType)).otherwise(col(c))))
+  }
+
   /** Cardinality-driven record-count adjustment — the reference's
     * `CardinalityCountAdjustmentProcessor` (`core/plan/
     * CardinalityCountAdjustmentProcessor.scala:20-110`): an FK edge with a

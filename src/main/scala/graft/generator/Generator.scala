@@ -281,6 +281,21 @@ final case class UniqueFromArrayField(name: String, values: Seq[String],
   }
 }
 
+/** UUID-shaped string (the reference's `uuid` field option,
+  * TaskBuilder.scala:1795-1810,1992-2001: md5 of a driving value formatted
+  * 8-4-4-4-12; bare `uuid()` is Spark's UUID() there — nondeterministic).
+  * Here the bare form drives off the keyed row hash, so it is unique per
+  * row, deterministic, and partitioning-invariant. The uuid-from-field and
+  * uuid+incremental variants become [[SqlField]]s at parse time (they
+  * reference other columns). */
+final case class UuidField(name: String) extends FieldSpec {
+  def toColumn(u: Column, idx: Column, seed: Long): Column = {
+    val h = md5(concat(lit(seed.toString), lit("|uuid|"), lit(name), lit("|"), idx.cast("string")))
+    concat(substring(h, 1, 8), lit("-"), substring(h, 9, 4), lit("-"),
+      substring(h, 13, 4), lit("-"), substring(h, 17, 4), lit("-"), substring(h, 21, 12))
+  }
+}
+
 /** ROUND(inner, digits) (the reference's numeric `round` option,
   * RandomDataGenerator.scala:651-655). */
 final case class RoundWrapSpec(inner: FieldSpec, digits: Int) extends FieldSpec {

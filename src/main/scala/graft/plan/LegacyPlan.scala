@@ -150,6 +150,24 @@ object LegacyPlan {
       case None =>
         if (opt("sql").isDefined)
           FieldDef(name, "sql", sql = str(o \ "sql"), castTo = declaredDdl)
+        else if (opt("uuid").isDefined) {
+          // the reference's uuid conversions (TaskConversionRegistry.scala:
+          // 293-309 + TaskBuilder.scala:1795-1810,1992-2001): uuid +
+          // incremental → md5(start + row index) formatted 8-4-4-4-12
+          // (deterministic there too — byte-compatible); uuid: "<field>" →
+          // md5 of that field's value; bare uuid → keyed per-row UuidField
+          def toUuidSql(c: String) = {
+            val cast = s"CAST($c AS STRING)"
+            s"CONCAT(SUBSTR(MD5($cast),1,8),'-',SUBSTR(MD5($cast),9,4),'-'," +
+              s"SUBSTR(MD5($cast),13,4),'-',SUBSTR(MD5($cast),17,4),'-',SUBSTR(MD5($cast),21,12))"
+          }
+          val uuidOf = str(o \ "uuid").getOrElse("")
+          gopts.flatMap(_.incremental) match {
+            case Some(start) => FieldDef(name, "sql", sql = Some(toUuidSql(s"$start + __index_inc")))
+            case None if uuidOf.nonEmpty => FieldDef(name, "sql", sql = Some(toUuidSql(uuidOf)))
+            case None => FieldDef(name, "uuid")
+          }
+        }
         else if (opt("expression").isDefined) // faker expression
           FieldDef(name, "template", template = str(o \ "expression"))
         else if (opt("regex").isDefined)
@@ -498,7 +516,12 @@ object LegacyPlan {
             case (names, n) if childFields.nonEmpty && childFields.forall(names.contains) => n
           })
         RelationshipDef(s"${child.map(_._1).getOrElse(childStep)}.${childFields.mkString(",")}",
-          s"$srcName.${srcFields.mkString(",")}", ratio)
+          s"$srcName.${srcFields.mkString(",")}", ratio,
+          // partial relationships (reference `nullability` block on the FK:
+          // nullPercentage of children carry null FKs, strategy
+          // random|head|tail — NullabilityStrategy.scala)
+          nullPercentage = dbl(fk \ "nullability" \ "nullPercentage").filter(_ > 0),
+          nullStrategy = str(fk \ "nullability" \ "strategy"))
       }
     }
     val seed = str(j \ "sinkOptions" \ "seed").flatMap(_.toLongOption).getOrElse(42L)

@@ -42,7 +42,15 @@ final case class TaskDef(
   * the column part as a comma list: `"transactions.account_number,year"` —
   * the sampled unit is then the parent's distinct field TUPLE.
   */
-final case class RelationshipDef(from: String, to: String, ratio: Option[Double] = None) {
+final case class RelationshipDef(from: String, to: String, ratio: Option[Double] = None,
+    /** Partial relationship (the reference's FK `nullability` block,
+      * `core/foreignkey/strategy/NullabilityStrategy.scala`): this fraction
+      * of child rows carries NULL FK fields instead of a sampled parent
+      * key. `nullStrategy` picks which rows: `random` (default, keyed
+      * hash — deterministic and partitioning-invariant), `head` (first
+      * N%), `tail` (last N%). */
+    nullPercentage: Option[Double] = None,
+    nullStrategy: Option[String] = None) {
   private def split(s: String): (String, Seq[String]) = {
     val i = s.indexOf('.')
     val cols =
@@ -266,6 +274,7 @@ final case class FieldDef(
       val vs = values.getOrElse(throw new IllegalArgumentException(s"$name: oneOf needs values"))
       OneOfField(name, vs.map(v => (v, 1.0 / vs.size)))
     case "sequential" => SequentialField(name, prefix.getOrElse(""), pad.getOrElse(10))
+    case "uuid" => UuidField(name)
     case "regex" => RegexField(name,
       pattern.getOrElse(throw new IllegalArgumentException(s"$name: regex needs pattern")))
     case "template" | "faker" => TemplateField(name,
@@ -433,6 +442,12 @@ object MultiPlanRunner {
           df, RowId, r.childCols, frames(r.parentTable), r.parentCols,
           seed = plan.seed ^ (r.childCols.mkString(",") + "->" + r.parentTable).hashCode.toLong,
           maxLookup = 50000000L)
+        // partial relationship: null out this fraction of the assigned FKs
+        r.nullPercentage.filter(_ > 0).foreach { pct =>
+          df = ForeignKeys.applyNullability(df, RowId, r.childCols, pct,
+            r.nullStrategy.getOrElse("random"), counts(name),
+            seed = plan.seed ^ ("null:" + r.childCols.sorted.mkString(",")).hashCode.toLong)
+        }
       }
       // top-level omit fields existed so computed fields / FKs could
       // reference them — drop them from the OUTPUT (reference omit-drop)

@@ -277,6 +277,12 @@ object Unified {
           Map.empty, Map.empty, Map.empty),
         Nil, fileDeleted ++ jdbcDeleted)
     }
+    // per-task write metrics for the run report (the reference's
+    // SparkRecordListener): counts what the writer tasks actually
+    // committed, off the scheduler bus — no extra job at any scale
+    val recListener = new graft.pipeline.RecordListener
+    spark.sparkContext.addSparkListener(recListener)
+    try {
     val gen =
       if (doGenerate) MultiPlanRunner.run(spark, plan)
       else {
@@ -354,11 +360,13 @@ object Unified {
     // per-run report (reference enableSaveReports + generatedReportsFolderPath)
     graft.util.Jsons.str(j \ "config" \ "folders" \ "generatedReportsFolderPath")
       .filter(_ => flag("enableSaveReports", default = true))
-      .foreach(dir => writeReport(outcome, dir))
+      .foreach(dir => writeReport(outcome, dir, recListener.settled()))
     outcome
+    } finally spark.sparkContext.removeSparkListener(recListener)
   }
 
-  private def writeReport(o: UnifiedOutcome, dir: String): Unit = {
+  private def writeReport(o: UnifiedOutcome, dir: String,
+      rec: graft.pipeline.RecordListener): Unit = {
     import graft.util.Jsons.quote
     val counts = o.generation.insertOrder.map(t =>
       s"${quote(t)}:${o.generation.counts.getOrElse(t, 0L)}").mkString("{", ",", "}")
@@ -366,6 +374,9 @@ object Unified {
       s"""{"step":${quote(sv.step)},"rule":${quote(r.rule)},"total":${r.total},""" +
         s""""errors":${r.errors},"success":${r.success}}""")).mkString("[", ",", "]")
     val json = s"""{"name":${quote(o.name)},"success":${o.success},""" +
+      s""""recordsWritten":${rec.recordsWritten},""" +
+      s""""recordsPerSec":${math.round(rec.recordsPerSec)},""" +
+      s""""writeTasks":${rec.tasks.size},""" +
       s""""counts":$counts,"validations":$vals}"""
     val d = java.nio.file.Paths.get(dir)
     java.nio.file.Files.createDirectories(d)

@@ -186,6 +186,54 @@ class FieldOptionsSpec extends SparkSuite {
     df.unpersist()
   }
 
+  test("uuid: shaped, unique, deterministic across partitioning") {
+    val specs = Seq(UuidField("u"))
+    val df = Generator.generate(spark, 5000L, specs, seed = 31L).cache()
+    val shape = "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"
+    assert(df.where(!col("u").rlike(shape)).count() == 0)
+    assert(df.select("u").distinct().count() == 5000)
+    df.unpersist()
+    val a = Generator.generate(spark, 800L, specs, seed = 32L, partitions = 3)
+      .collect().map(_.getString(0)).sorted
+    val b = Generator.generate(spark, 800L, specs, seed = 32L, partitions = 17)
+      .collect().map(_.getString(0)).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("legacy uuid variants: incremental-driven and field-driven md5 formatting") {
+    val yaml =
+      """name: "uuid_task"
+        |steps:
+        |  - name: "t"
+        |    count: {records: 500}
+        |    fields:
+        |      - name: "account_id"
+        |        options: {uuid: "", incremental: 1000000}
+        |      - name: "seqno"
+        |        type: "long"
+        |        options: {incremental: 1000000}
+        |      - name: "derived_id"
+        |        options: {uuid: "seqno"}
+        |      - name: "free_id"
+        |        options: {uuid: ""}
+        |""".stripMargin
+    val tasks = LegacyPlan.parseTaskFile(yaml)
+    val df = Generator.generate(spark, 500L, tasks.head.fields.map(_.toSpec), seed = 33L).cache()
+    // the reference's formula: md5(cast(driving value as string)) as 8-4-4-4-12
+    def uuidOf(c: org.apache.spark.sql.Column) = {
+      val h = md5(c.cast("string"))
+      concat(substring(h, 1, 8), lit("-"), substring(h, 9, 4), lit("-"),
+        substring(h, 13, 4), lit("-"), substring(h, 17, 4), lit("-"), substring(h, 21, 12))
+    }
+    // account_id derives from 1000000 + row index == the seqno column
+    assert(df.where(col("account_id") =!= uuidOf(col("seqno"))).count() == 0)
+    assert(df.where(col("derived_id") =!= uuidOf(col("seqno"))).count() == 0)
+    val shape = "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"
+    assert(df.where(!col("free_id").rlike(shape)).count() == 0)
+    assert(df.select("free_id").distinct().count() == 500)
+    df.unpersist()
+  }
+
   test("native dialect: options block rides through json4s extraction") {
     val yaml =
       """name: "native_opts"

@@ -152,6 +152,12 @@ class UnifiedSpec extends SparkSuite {
       java.nio.file.Files.readString(reportFiles.head.toPath))
     assert(graft.util.Jsons.bool(rjson \ "success"))
     assert((rjson \ "validations").children.nonEmpty)
+    // per-task write metrics rode the scheduler bus into the report
+    // (reference SparkRecordListener): the parquet sink committed the
+    // generated rows through at least one writer task
+    assert(graft.util.Jsons.dbl(rjson \ "recordsWritten").exists(_ >= 300.0),
+      (rjson \ "recordsWritten").toString)
+    assert(graft.util.Jsons.dbl(rjson \ "writeTasks").exists(_ >= 1.0))
 
     // pass 2: enableGenerateData=false → validations run against the SINK
     // paths written by pass 1 (validate-existing mode), nothing regenerated

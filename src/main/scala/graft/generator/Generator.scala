@@ -468,7 +468,22 @@ object Generator {
       nullProb: Map[String, Double] = Map.empty,
       uniform: (String, Long, Column) => Column = xxhashUniform): DataFrame = {
     val base = if (partitions > 0) spark.range(0, n, 1, partitions) else spark.range(n)
-    val idx = col("id")
+    buildFrom(base.toDF(), col("id"), specs, seed, nullProb, uniform, Nil)
+  }
+
+  /** Core of [[generate]] over an ARBITRARY base frame and row-identity
+    * expression: `idx` drives every keyed draw (any per-row-distinct
+    * deterministic value works — all draws hash it again), `carry` columns
+    * of the base ride through unchanged (per-group fields of
+    * [[generatePerField]] / FK fields of [[fanOutChildren]]). */
+  private[graft] def buildFrom(
+      base: DataFrame,
+      idx: Column,
+      specs: Seq[FieldSpec],
+      seed: Long,
+      nullProb: Map[String, Double],
+      uniform: (String, Long, Column) => Column,
+      carry: Seq[String]): DataFrame = {
     // LATE specs — top-level SqlFields AND structs containing nested sql
     // children (the reference's nested computed fields) — apply in a second
     // projection over the full frame
@@ -481,7 +496,7 @@ object Generator {
       }
       withNulls.as(s.name)
     }
-    val df = base.select((idx.as("__index_inc") +: cols): _*)
+    val df = base.select((carry.map(col) ++ (idx.as("__index_inc") +: cols)): _*)
     // the late stage runs over the projected frame, where the row index
     // column is named __index_inc (not the range's `id`); nullProb applies
     // to late specs the same way it does to plain ones.
@@ -802,6 +817,164 @@ object Generator {
     case CastSpec(inner, _) => hasSqlDeep(inner)
     case RoundWrapSpec(inner, _) => hasSqlDeep(inner)
     case _ => false
+  }
+
+  /** Per-group size draw for `count.perField` (the reference's
+    * PerFieldCount: a static count, a min/max range, or weighted
+    * `"n->w"` choices, `PlanModels.scala:112-116` +
+    * `DataGeneratorFactory.scala:75-100`). */
+  final case class PerFieldCounts(
+      count: Option[Long] = None,
+      min: Option[Int] = None,
+      max: Option[Int] = None,
+      weighted: Seq[(Int, Double)] = Nil,
+      /** Shape of the range draw: uniform (default) | normal | zipf |
+        * power (the reference's cardinality distributions,
+        * `api Constants.scala:363-366` — its own generators only log
+        * zipf/power; here all four draw for real). */
+      distribution: Option[String] = None) {
+    require(count.isDefined || (min.isDefined && max.isDefined) || weighted.nonEmpty,
+      "perField needs a count, a min+max range, or weighted choices")
+    require(min.forall(_ >= 0) && max.forall(m => m >= min.getOrElse(0)),
+      s"perField bad bounds [$min, $max]")
+    require(weighted.forall(_._2 >= 0) && (weighted.isEmpty || weighted.map(_._2).sum > 0),
+      "perField weighted choices need non-negative weights with a positive total")
+    require(max.forall(m => m - min.getOrElse(0) <= 4096) || shape == "uniform",
+      "non-uniform perField draws build a per-size branch — cap the range at 4096")
+
+    private def shape: String = distribution.map(_.toLowerCase).getOrElse("uniform") match {
+      case s @ ("uniform" | "normal" | "zipf" | "power") => s
+      case other => throw new IllegalArgumentException(
+        s"unknown perField distribution '$other' (uniform|normal|zipf|power)")
+    }
+
+    def isStatic: Boolean = count.isDefined
+    /** Expected group size — drives planned-count bookkeeping (exact for
+      * static/uniform/weighted; analytic for normal/zipf/power). */
+    def mean: Double = count.map(_.toDouble).getOrElse {
+      (min, max) match {
+        case (Some(a), Some(b)) => shape match {
+          case "uniform" | "normal" => (a + b) / 2.0
+          case _ =>
+            val w = rankWeights(a, b)
+            (a to b).zip(w).map { case (k, p) => k * p }.sum
+        }
+        case _ => weighted.map(p => p._1 * p._2).sum / weighted.map(_._2).sum
+      }
+    }
+
+    /** zipf: P(k) ∝ 1/rank; power: P(k) ∝ 1/rank² over [a, b], normalized. */
+    private def rankWeights(a: Int, b: Int): Seq[Double] = {
+      val s = if (shape == "power") 2.0 else 1.0
+      val raw = (a to b).zipWithIndex.map { case (_, r) => 1.0 / math.pow(r + 1.0, s) }
+      val tot = raw.sum
+      raw.map(_ / tot)
+    }
+
+    /** Per-group drawn size as a keyed deterministic Column. */
+    def draw(uniform: (String, Long, Column) => Column, seed: Long, idx: Column): Column =
+      count.map(c => lit(c.toInt): Column).getOrElse {
+        val u = uniform("__perfield_n", seed, idx)
+        (min, max) match {
+          case (Some(a), Some(b)) if a == b => lit(a)
+          case (Some(a), Some(b)) => shape match {
+            case "uniform" => lit(a) + (u * (b - a + 1)).cast("int")
+            case "normal" =>
+              // Box–Muller centered mid-range, σ = range/6 (≈99.7% inside),
+              // clamped — "most parents near the middle". The reference's
+              // numeric 'normal' is RANDN + min (σ=1 pinned at the
+              // minimum); mid-centering is the documented divergence.
+              val u2 = uniform("__perfield_n#bm", seed, idx)
+              val z = sqrt(log(lit(1.0) - u) * -2.0) * cos(u2 * (2.0 * math.Pi))
+              greatest(lit(a), least(lit(b),
+                round(z * ((b - a) / 6.0) + (a + b) / 2.0, 0).cast("int")))
+            case _ =>
+              // inverse CDF over the bounded size domain — a codegen'd
+              // branch per size, no HOF, no shuffle
+              val cum = rankWeights(a, b).scanLeft(0.0)(_ + _).tail
+              cum.init.zipWithIndex.foldRight(lit(b): Column) {
+                case ((c, i), acc) => when(u < c, lit(a + i)).otherwise(acc)
+              }
+          }
+          case _ =>
+            OneOfField("__perfield_n", weighted.map(p => (p._1.toString, p._2)))
+              .toColumn(u, idx, seed).cast("int")
+        }
+      }
+  }
+
+  /** Grouped generation (the reference's `count.perField` without an FK:
+    * `DataGeneratorFactory.generateRecordsPerField`, 54-100): `records`
+    * groups, each with its per-group fields generated ONCE and a drawn
+    * number of member rows whose remaining fields vary per row. One narrow
+    * explode — no shuffle, no window, exact group sizes at any scale
+    * (the reference builds a per-row array of regenerated structs and
+    * explodes it; same shape, same cost). */
+  def generatePerField(
+      spark: SparkSession,
+      records: Long,
+      specs: Seq[FieldSpec],
+      groupFields: Seq[String],
+      counts: PerFieldCounts,
+      seed: Long = 42L,
+      partitions: Int = 0,
+      nullProb: Map[String, Double] = Map.empty,
+      uniform: (String, Long, Column) => Column = xxhashUniform): DataFrame = {
+    val (groupSpecs, rest) = specs.partition(s => groupFields.contains(s.name))
+    require(groupSpecs.map(_.name).toSet == groupFields.toSet,
+      s"perField fields ${groupFields.mkString(",")} must all be declared fields")
+    require(groupSpecs.forall(s => !hasSqlDeep(s)),
+      "perField group fields must be plain (non-computed)")
+    val base = if (partitions > 0) spark.range(0, records, 1, partitions) else spark.range(records)
+    val idx = col("id")
+    val groupCols = groupSpecs.map(s => s.toColumnWith(uniform, seed, idx).as(s.name))
+    val fanned = base
+      .select((idx.as("__pidx") +: groupCols) :+ counts.draw(uniform, seed, idx).as("__n"): _*)
+      .withColumn("__cidx",
+        explode(when(col("__n") >= 1, sequence(lit(1), col("__n"))).otherwise(array())))
+    // member-row identity: distinct per (group, member), deterministic —
+    // every keyed draw hashes it again, so contiguity is not required
+    val memberIdx = xxhash64(col("__pidx"), col("__cidx"))
+    buildFrom(fanned, memberIdx, rest, seed, nullProb, uniform, carry = groupSpecs.map(_.name))
+  }
+
+  /** FK-coupled per-parent fan-out (the reference's perField ON the FK
+    * fields — its CardinalityCountAdjustmentProcessor turns that into a
+    * synthetic cardinality, over-generates parent×max rows and block-maps
+    * them back; here the child is generated FROM the parent frame
+    * directly): every parent row emits a drawn number of child rows that
+    * carry the parent's key tuple verbatim, remaining child fields
+    * generated per row. Exact per-parent group sizes, exact referential
+    * integrity, no sampling join, no shuffle — the parent scan fans out
+    * narrowly at any scale. */
+  def fanOutChildren(
+      parent: DataFrame,
+      parentCols: Seq[String],
+      childCols: Seq[String],
+      childSpecs: Seq[FieldSpec],
+      counts: PerFieldCounts,
+      seed: Long,
+      nullProb: Map[String, Double] = Map.empty,
+      uniform: (String, Long, Column) => Column = xxhashUniform): DataFrame = {
+    require(parentCols.nonEmpty && parentCols.size == childCols.size,
+      s"fanOutChildren: parent fields $parentCols and child fields $childCols must pair up")
+    require(childSpecs.forall(s => !childCols.contains(s.name)),
+      "fanOutChildren: childSpecs must exclude the FK fields (carried from the parent)")
+    // a parent tuple with any null field can't parent (composite-key
+    // semantics, same rule as assignKeys)
+    val keyed = parent
+      .select(parentCols.zip(childCols).map { case (p, c) => col(p).as(c) }: _*)
+      .where(childCols.map(col(_).isNotNull).reduce(_ && _))
+    // parent identity = hash of the key tuple (parents are distinct rows;
+    // 64-bit collisions only correlate two parents' draws, never corrupt)
+    val pidx = xxhash64(lit(seed) +: childCols.map(col): _*)
+    val fanned = keyed
+      .withColumn("__pidx", pidx)
+      .withColumn("__n", counts.draw(uniform, seed, col("__pidx")))
+      .withColumn("__cidx",
+        explode(when(col("__n") >= 1, sequence(lit(1), col("__n"))).otherwise(array())))
+    val memberIdx = xxhash64(col("__pidx"), col("__cidx"))
+    buildFrom(fanned, memberIdx, childSpecs, seed, nullProb, uniform, carry = childCols)
   }
 
   /** Per-parent fan-out (the reference's per-field count,

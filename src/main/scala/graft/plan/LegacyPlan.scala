@@ -278,6 +278,12 @@ object LegacyPlan {
     parsed.copy(omit = omit, options = gopts.orElse(parsed.options))
   }
 
+  /** A YAML list OR a comma string → trimmed values (top-level split). */
+  private def listOrCsvTop(v: JValue): Seq[String] = v match {
+    case JString(s) => splitTopLevel(s).map(_.trim).filter(_.nonEmpty)
+    case other => graft.util.Jsons.arr(other).flatMap(graft.util.Jsons.str)
+  }
+
   /** Split a comma string at top level — commas inside single quotes don't
     * split (the reference's weighted-value strings: `'a,b':0.2,'c':0.8`,
     * RandomDataGenerator.scala:467-490). */
@@ -296,8 +302,9 @@ object LegacyPlan {
 
   private final case class StepInfo(
       task: TaskDef,
-      /** (fieldNames, perFieldCount) when count.perField is declared. */
-      perField: Option[(Seq[String], Double)])
+      /** Declared `count.perField`, when present (also carried on the
+        * task itself — kept here for the FK ratio bookkeeping). */
+      perField: Option[PerFieldDef])
 
   /** One reference task FILE → its steps as generation tasks. */
   def parseTaskFile(text: String): Seq[TaskDef] = parseSteps(text).map(_.task)
@@ -313,9 +320,24 @@ object LegacyPlan {
           .getOrElse(1000L)
         val perField = (s \ "count" \ "perField") match {
           case JNothing => None
-          case pf => Some((
-            arr(pf \ "fieldNames").flatMap(str),
-            dbl(pf \ "count").getOrElse(1.0)))
+          case pf =>
+            // counts live at count: OR under options: (both appear in the
+            // reference corpus); weighted entries spell "n->w"
+            def cnt(k: String) = dbl(pf \ k).orElse(dbl(pf \ "options" \ k))
+            val oneOf = ((pf \ "oneOf", pf \ "options" \ "oneOf") match {
+              case (JNothing, JNothing) => None
+              case (v, JNothing) => Some(listOrCsvTop(v))
+              case (_, v) => Some(listOrCsvTop(v))
+            }).filter(_.nonEmpty)
+            val mn = cnt("min").map(_.toInt)
+            val mx = cnt("max").map(_.toInt)
+            val c0 = cnt("count").map(_.toLong)
+            // the reference's default per-field count is 10
+            // (Constants.scala:402) when nothing narrows it
+            val c = if (c0.isEmpty && (mn.isEmpty || mx.isEmpty) && oneOf.isEmpty)
+              Some(10L) else c0
+            Some(PerFieldDef(arr(pf \ "fieldNames").flatMap(str), c, mn, mx, oneOf,
+              str(pf \ "distribution").orElse(str(pf \ "options" \ "distribution"))))
         }
         // a sink only exists for file-typed steps (or no declared type →
         // parquet). A jdbc/kafka step with an options.path must NOT fall
@@ -354,7 +376,7 @@ object LegacyPlan {
             } :+ FieldDef("value", "sql", sql = Some("TO_JSON(body)"))
           case _ => fields0
         }
-        StepInfo(TaskDef(name, records, fields, sink), perField)
+        StepInfo(TaskDef(name, records, fields, sink, perField), perField)
       }
   }
 
@@ -509,23 +531,53 @@ object LegacyPlan {
           case fs => fs
         }
         val child = resolveStep(childDs, childStep)
-        // explicit cardinality on the relation wins; else the child step's
-        // count.perField on the FK fields is the reference's ratio spelling
-        val ratio = dbl(fk \ "source" \ "cardinality" \ "ratio")
+        // relationship-level cardinality lives on the FK itself (current
+        // layout) or under source: (older layout) — min/max/distribution
+        // become a per-parent fan-out on the child task (synthesized below)
+        val card = (fk \ "cardinality") match {
+          case JNothing => fk \ "source" \ "cardinality"
+          case c => c
+        }
+        // explicit cardinality ratio on the relation wins; else the child
+        // step's count.perField on the FK fields is the ratio spelling
+        // (mean of the declared draw — static count, range, or weights)
+        val ratio = dbl(card \ "ratio")
           .orElse(child.map(_._2).flatMap(_.perField).collect {
-            case (names, n) if childFields.nonEmpty && childFields.forall(names.contains) => n
+            case pf if childFields.nonEmpty && childFields.forall(pf.fieldNames.contains) =>
+              pf.toCounts.mean
           })
-        RelationshipDef(s"${child.map(_._1).getOrElse(childStep)}.${childFields.mkString(",")}",
+        val childName = child.map(_._1).getOrElse(childStep)
+        // synthesize a perField fan-out on the child for cardinality
+        // min/max or a non-uniform distribution (ratio+zipf → zipf over
+        // [1, 2·ratio-1], mean ≈ ratio under uniform; documented approx)
+        val synthPf: Option[(String, PerFieldDef)] =
+          (dbl(card \ "min").map(_.toInt), dbl(card \ "max").map(_.toInt),
+            str(card \ "distribution").filterNot(_.equalsIgnoreCase("uniform"))) match {
+            case (Some(a), Some(b), d) if childFields.nonEmpty =>
+              Some(childName -> PerFieldDef(childFields, None, Some(a), Some(b), None, d))
+            case (None, None, Some(d)) if childFields.nonEmpty && ratio.isDefined =>
+              val r = math.max(math.round(ratio.get).toInt, 1)
+              Some(childName -> PerFieldDef(childFields, None, Some(1),
+                Some(math.max(2 * r - 1, 1)), None, Some(d)))
+            case _ => None
+          }
+        (RelationshipDef(s"$childName.${childFields.mkString(",")}",
           s"$srcName.${srcFields.mkString(",")}", ratio,
           // partial relationships (reference `nullability` block on the FK:
           // nullPercentage of children carry null FKs, strategy
           // random|head|tail — NullabilityStrategy.scala)
           nullPercentage = dbl(fk \ "nullability" \ "nullPercentage").filter(_ > 0),
-          nullStrategy = str(fk \ "nullability" \ "strategy"))
+          nullStrategy = str(fk \ "nullability" \ "strategy")), synthPf)
       }
     }
     val seed = str(j \ "sinkOptions" \ "seed").flatMap(_.toLongOption).getOrElse(42L)
-    MultiPlanSpec(planName, seed, steps.map(_._3.task), fks)
+    val synthByTask = fks.flatMap(_._2).toMap
+    val tasks = steps.map(_._3.task).map(t =>
+      synthByTask.get(t.name) match {
+        case Some(pf) if t.perField.isEmpty => t.copy(perField = Some(pf))
+        case _ => t
+      })
+    MultiPlanSpec(planName, seed, tasks, fks.map(_._1))
   }
 
   private def stripQualifier(taskName: String): String =

@@ -34,7 +34,35 @@ final case class TaskDef(
     name: String,
     count: Long,
     fields: Seq[FieldDef],
-    sink: Option[SinkSpec] = None)
+    sink: Option[SinkSpec] = None,
+    /** Per-field-combination row counts (the reference's `count.perField`):
+      * `count` groups of `records` each draw a member count — static,
+      * min/max range, or weighted `"n->w"` choices. With an FK on the
+      * same fields the runner fans children out of the parent frame
+      * instead ([[Generator.fanOutChildren]]). */
+    perField: Option[PerFieldDef] = None)
+
+/** `count.perField` in both dialects: fieldNames + one of count /
+  * min+max / weighted oneOf entries (`"3->0.7"` — the reference's
+  * count-option spelling, TaskConversionRegistry one-of-weighted). */
+final case class PerFieldDef(
+    fieldNames: Seq[String],
+    count: Option[Long] = None,
+    min: Option[Int] = None,
+    max: Option[Int] = None,
+    oneOf: Option[Seq[String]] = None,
+    distribution: Option[String] = None) {
+  def toCounts: Generator.PerFieldCounts = {
+    val weighted = oneOf.getOrElse(Nil).map { e =>
+      e.split("->") match {
+        case Array(v, w) => (v.trim.toInt, w.trim.toDouble)
+        case Array(v) => (v.trim.toInt, 1.0)
+        case _ => throw new IllegalArgumentException(s"perField oneOf entry '$e' (want n or n->w)")
+      }
+    }
+    Generator.PerFieldCounts(count, min, max, weighted, distribution)
+  }
+}
 
 /** `from` = child `"table.column"`, `to` = parent `"table.column"`;
   * `ratio` = children per parent (optional cardinality). Composite keys
@@ -428,12 +456,44 @@ object MultiPlanRunner {
     // generate parents before children so every FK samples from a frame
     // that already exists; one extra sequential field is the row identity
     val frames = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
+    var finalCounts = counts
     order.foreach { name =>
       val task = taskByName(name)
-      val specs = task.fields.map(_.toSpec) :+ SequentialField(RowId, name + ":", 12)
-      var df = Generator.generate(spark, counts(name), specs,
-        seed = plan.seed ^ name.hashCode.toLong)
-      plan.relationships.filter(_.childTable == name).foreach { r =>
+      val taskSeed = plan.seed ^ name.hashCode.toLong
+      val rels = plan.relationships.filter(_.childTable == name)
+      // perField on FK fields only composes cleanly when the FK covers
+      // EXACTLY the perField tuple — a partial overlap would regenerate
+      // part of a group's identity per row
+      task.perField.foreach { pf =>
+        val overlapping = rels.filter(r => r.childCols.exists(pf.fieldNames.contains))
+        require(overlapping.forall(r => r.childCols.toSet == pf.fieldNames.toSet),
+          s"task '$name': an FK overlaps the perField fields ${pf.fieldNames.mkString(",")} " +
+            "partially — declare the FK on exactly the perField fields")
+        require(overlapping.size <= 1,
+          s"task '$name': multiple FKs target the perField fields — at most one can drive the fan-out")
+      }
+      val fkFan: Option[RelationshipDef] = task.perField.flatMap(pf =>
+        rels.find(r => r.childCols.toSet == pf.fieldNames.toSet))
+      val rowIdSpec = SequentialField(RowId, name + ":", 12)
+      var df = (task.perField, fkFan) match {
+        // FK-coupled: children fan straight out of the parent frame —
+        // exact per-parent group sizes AND exact referential integrity,
+        // no sampling join (Generator.fanOutChildren)
+        case (Some(pf), Some(r)) =>
+          val childSpecs = task.fields.filterNot(f => pf.fieldNames.contains(f.name))
+            .map(_.toSpec) :+ rowIdSpec
+          Generator.fanOutChildren(frames(r.parentTable), r.parentCols, r.childCols,
+            childSpecs, pf.toCounts, seed = taskSeed)
+        // standalone grouping: `count` groups, drawn member counts
+        case (Some(pf), None) =>
+          Generator.generatePerField(spark, counts(name),
+            task.fields.map(_.toSpec) :+ rowIdSpec, pf.fieldNames, pf.toCounts,
+            seed = taskSeed)
+        case _ =>
+          Generator.generate(spark, counts(name),
+            task.fields.map(_.toSpec) :+ rowIdSpec, seed = taskSeed)
+      }
+      rels.filterNot(fkFan.contains).foreach { r =>
         // seed mixed PER RELATIONSHIP: a shared seed makes every FK on this
         // table hash the same (seed, row-id) pair — with equal parent key
         // counts the sampled indices coincide row-for-row, a fully
@@ -448,6 +508,28 @@ object MultiPlanRunner {
             r.nullStrategy.getOrElse("random"), counts(name),
             seed = plan.seed ^ ("null:" + r.childCols.sorted.mkString(",")).hashCode.toLong)
         }
+      }
+      // nullability still applies to the fanned FK (random only: head/tail
+      // rank by the sequential row identity a fan-out doesn't carry)
+      fkFan.foreach { r =>
+        r.nullPercentage.filter(_ > 0).foreach { pct =>
+          require(r.nullStrategy.forall(_.equalsIgnoreCase("random")),
+            s"task '$name': FK nullability strategy '${r.nullStrategy.getOrElse("")}' needs " +
+              "sequential row order, which a perField fan-out doesn't have — use 'random'")
+          df = ForeignKeys.applyNullability(df, RowId, r.childCols, pct, "random", 0L,
+            seed = plan.seed ^ ("null:" + r.childCols.sorted.mkString(",")).hashCode.toLong)
+        }
+      }
+      // exact row-count bookkeeping for perField tasks: static sizes are
+      // arithmetic; drawn sizes take one count job on the narrow
+      // generation plan (metadata-grade cost, documented)
+      task.perField.foreach { pf =>
+        val exact =
+          if (pf.toCounts.isStatic)
+            fkFan.map(r => finalCounts(r.parentTable) * pf.toCounts.count.get)
+              .getOrElse(counts(name) * pf.toCounts.count.get)
+          else df.count()
+        finalCounts += name -> exact
       }
       // top-level omit fields existed so computed fields / FKs could
       // reference them — drop them from the OUTPUT (reference omit-drop)
@@ -467,6 +549,6 @@ object MultiPlanRunner {
       v.dataset -> RuleEngine.validateAllWithSamples(df, rules, v.errorThreshold)
     }.toMap
 
-    MultiPlanOutcome(plan.name, order, counts, frames.toMap, validations)
+    MultiPlanOutcome(plan.name, order, finalCounts, frames.toMap, validations)
   }
 }

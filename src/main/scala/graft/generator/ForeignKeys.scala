@@ -147,6 +147,62 @@ object ForeignKeys {
       d.withColumn(c, when(flag, lit(null).cast(d.schema(c).dataType)).otherwise(col(c))))
   }
 
+  /** FK generation mode `all-combinations` (the reference's
+    * `core/foreignkey/strategy/GenerationModeStrategy.scala:107-166`): the
+    * child frame is split into 2^n blocks (n = FK field count); in block c,
+    * FK field i keeps its sampled VALID value iff bit i of c is set and is
+    * otherwise replaced with a deterministic INVALID value — so every
+    * valid/invalid pattern of the n-field key appears in the output. The
+    * reference ranks rows with an unpartitioned `row_number().over(Window
+    * .orderBy(lit(1)))` — a single-task global sort at scale; here the block
+    * id derives from the sequential row identity the generator already
+    * carries, so the whole mode is ONE narrow projection: no count job, no
+    * window, no shuffle, partitioning-invariant.
+    *
+    * Invalid values mirror the reference's seeded branch: strings →
+    * "INVALID_" + 8 hash hex chars, int/long → identity-keyed positive hash
+    * mod 999999999 / 999999999999 (the reference's constants), other types →
+    * NULL. All are keyed on (seed, row identity, field index) so re-runs are
+    * bit-identical on any partitioning.
+    *
+    * `totalRows <= 0` (a cardinality fan-out child, whose identity is not
+    * sequential) switches the block id to a keyed hash: every pattern still
+    * appears with ~uniform frequency, only the contiguous-block layout is
+    * given up — same contract as [[applyNullability]]'s random strategy.
+    */
+  def applyAllCombinations(
+      df: DataFrame,
+      identityCol: String,
+      fkCols: Seq[String],
+      totalRows: Long,
+      seed: Long): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    require(fkCols.nonEmpty, "applyAllCombinations: no FK fields")
+    require(fkCols.size <= 20,
+      s"applyAllCombinations: ${fkCols.size} FK fields → 2^${fkCols.size} patterns is not a usable matrix")
+    val combos = 1 << fkCols.size
+    val comboId =
+      if (totalRows > 0) {
+        // identity is "<name>:<zero-padded index>" — the suffix is the row index
+        val rowIdx = substring_index(col(identityCol), ":", -1).cast("long")
+        pmod(floor(rowIdx / lit(math.max(1L, totalRows / combos))).cast("long"), lit(combos.toLong))
+      } else pmod(xxhash64(lit(seed), lit("combo"), col(identityCol)), lit(combos.toLong))
+    fkCols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+      val invalidate = comboId.bitwiseAND(lit((1 << i).toLong)) === 0L
+      val invalid = d.schema(c).dataType match {
+        case StringType =>
+          concat(lit("INVALID_"),
+            substring(md5(concat_ws(":", lit(seed), col(identityCol), lit(i))), 1, 8))
+        case IntegerType =>
+          pmod(xxhash64(lit(seed), col(identityCol), lit(i)), lit(999999999L)).cast(IntegerType)
+        case LongType =>
+          pmod(xxhash64(lit(seed), col(identityCol), lit(i)), lit(999999999999L))
+        case dt => lit(null).cast(dt)
+      }
+      d.withColumn(c, when(invalidate, invalid).otherwise(col(c)))
+    }
+  }
+
   /** Cardinality-driven record-count adjustment — the reference's
     * `CardinalityCountAdjustmentProcessor` (`core/plan/
     * CardinalityCountAdjustmentProcessor.scala:20-110`): an FK edge with a

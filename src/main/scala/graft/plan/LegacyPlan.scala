@@ -567,7 +567,14 @@ object LegacyPlan {
           // nullPercentage of children carry null FKs, strategy
           // random|head|tail — NullabilityStrategy.scala)
           nullPercentage = dbl(fk \ "nullability" \ "nullPercentage").filter(_ > 0),
-          nullStrategy = str(fk \ "nullability" \ "strategy")), synthPf)
+          nullStrategy = str(fk \ "nullability" \ "strategy"),
+          // reference generationMode lives on the generate relation
+          // (ForeignKeyProcessor.scala:181 `target.generationMode`); accept
+          // an FK-level spelling as fallback. "partial" is the nullability
+          // block above (the reference's partial branch is also a no-op
+          // beyond NullabilityStrategy, GenerationModeStrategy.scala:72-86)
+          generationMode = str(g \ "generationMode").orElse(str(fk \ "generationMode"))
+            .filter(_.equalsIgnoreCase("all-combinations"))), synthPf)
       }
     }
     val seed = str(j \ "sinkOptions" \ "seed").flatMap(_.toLongOption).getOrElse(42L)

@@ -78,7 +78,14 @@ final case class RelationshipDef(from: String, to: String, ratio: Option[Double]
       * hash — deterministic and partitioning-invariant), `head` (first
       * N%), `tail` (last N%). */
     nullPercentage: Option[Double] = None,
-    nullStrategy: Option[String] = None) {
+    nullStrategy: Option[String] = None,
+    /** Reference FK `generationMode` (`GenerationModeStrategy.scala`):
+      * `all-exist` (default) — every child carries a valid parent key;
+      * `partial` — valid keys + the `nullability` fraction nulled (i.e. the
+      * block above); `all-combinations` — the child is blocked into 2^n
+      * groups covering every valid/invalid pattern of the n FK fields
+      * ([[graft.generator.ForeignKeys.applyAllCombinations]]). */
+    generationMode: Option[String] = None) {
   private def split(s: String): (String, Seq[String]) = {
     val i = s.indexOf('.')
     val cols =
@@ -508,6 +515,11 @@ object MultiPlanRunner {
             r.nullStrategy.getOrElse("random"), counts(name),
             seed = plan.seed ^ ("null:" + r.childCols.sorted.mkString(",")).hashCode.toLong)
         }
+        // all-combinations mode: block the child into 2^n valid/invalid
+        // FK-field patterns (one narrow projection over the row identity)
+        if (r.generationMode.exists(_.equalsIgnoreCase("all-combinations")))
+          df = ForeignKeys.applyAllCombinations(df, RowId, r.childCols, counts(name),
+            seed = plan.seed ^ ("combo:" + r.childCols.sorted.mkString(",")).hashCode.toLong)
       }
       // nullability still applies to the fanned FK (random only: head/tail
       // rank by the sequential row identity a fan-out doesn't carry)
@@ -519,6 +531,11 @@ object MultiPlanRunner {
           df = ForeignKeys.applyNullability(df, RowId, r.childCols, pct, "random", 0L,
             seed = plan.seed ^ ("null:" + r.childCols.sorted.mkString(",")).hashCode.toLong)
         }
+        // fan-out identities aren't sequential → hash-assigned combination
+        // blocks (every pattern still appears, ~uniform frequency)
+        if (r.generationMode.exists(_.equalsIgnoreCase("all-combinations")))
+          df = ForeignKeys.applyAllCombinations(df, RowId, r.childCols, 0L,
+            seed = plan.seed ^ ("combo:" + r.childCols.sorted.mkString(",")).hashCode.toLong)
       }
       // exact row-count bookkeeping for perField tasks: static sizes are
       // arithmetic; drawn sizes take one count job on the narrow

@@ -746,6 +746,47 @@ object Queries {
        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
        |SELECT id, min(r) AS label FROM reach GROUP BY id""".stripMargin
 
+  // ---- q33: FK generationMode all-combinations (GenerationModeStrategy
+  //          .scala:107-166) — orders blocked into 2^1 groups over a string
+  //          FK sampled from region: block 0 carries a deterministic
+  //          INVALID_<md5> value, block 1 the valid sampled key. The block
+  //          id derives from the row identity (no window, no shuffle);
+  //          md5 hex is identical in Spark and DuckDB, so the whole overlay
+  //          is oracle-expressible. ----
+  private def q33(s: SparkSession, dir: String): DataFrame = {
+    val reg = t(s, dir, "region").select(col("r_name")).distinct()
+    val n = reg.count()
+    require(n <= 1000000L, s"q33 lookup side unexpectedly large: $n")
+    val lookup = reg
+      .agg(sort_array(collect_list(col("r_name"))).as("__ks"))
+      .select(posexplode(col("__ks")).as(Seq("idx", "r_name")))
+      .select(col("idx").cast("long").as("idx"), col("r_name"))
+    val orders = t(s, dir, "orders")
+    val total = orders.count()
+    val assigned = orders
+      .withColumn("idx", pmod(col("o_orderkey"), lit(n)))
+      .join(broadcast(lookup), Seq("idx"))
+      .select(col("o_orderkey"), col("r_name"))
+      .withColumn("__rid", concat(lit("o:"), col("o_orderkey")))
+    graft.generator.ForeignKeys
+      .applyAllCombinations(assigned, "__rid", Seq("r_name"), total, seed = 7L)
+      .select(col("o_orderkey"), col("r_name").as("fk_region"))
+  }
+
+  private val q33Sql =
+    """WITH rk AS (SELECT DISTINCT r_name FROM region),
+      |l AS (SELECT r_name, row_number() OVER (ORDER BY r_name) - 1 AS idx FROM rk),
+      |n AS (SELECT count(*) AS cnt FROM rk),
+      |p AS (SELECT greatest(cast(floor(count(*) / 2) AS BIGINT), 1) AS per FROM orders),
+      |a AS (SELECT o_orderkey, l.r_name FROM orders CROSS JOIN n
+      |      JOIN l ON (o_orderkey % n.cnt) = l.idx)
+      |SELECT o_orderkey,
+      |  CASE WHEN cast(floor(o_orderkey / p.per) AS BIGINT) % 2 = 1 THEN r_name
+      |       ELSE 'INVALID_' ||
+      |            substring(md5(concat_ws(':', '7', 'o:' || o_orderkey, '0')), 1, 8)
+      |  END AS fk_region
+      |FROM a CROSS JOIN p""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1 _),
     "q2_quality_rules" -> (q2 _),
@@ -779,6 +820,7 @@ object Queries {
     "q30_top_tokens" -> (q30 _),
     "q31_connected_components" -> (q31 _),
     "q32_faker_template" -> (q32 _),
+    "q33_fk_all_combinations" -> (q33 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -814,5 +856,6 @@ object Queries {
     "q30_top_tokens" -> q30Sql,
     "q31_connected_components" -> q31Sql,
     "q32_faker_template" -> q32Sql,
+    "q33_fk_all_combinations" -> q33Sql,
   )
 }

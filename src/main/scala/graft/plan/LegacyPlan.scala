@@ -362,7 +362,8 @@ object LegacyPlan {
               mode = str(s \ "options" \ "saveMode").getOrElse("overwrite").toLowerCase,
               options = opts)
           }
-        val fields0 = arr(s \ "fields").map(field)
+        val fields0 = arr(s \ "fields").flatMap(fv =>
+          expandHttpField(fv).getOrElse(Seq(field(fv))))
         // real-time body mapping (reference TaskBuilder.realTimeBody:
         // YAML `messageBody`/`httpBody` becomes runtime field `body` plus
         // `value` = TO_JSON(body) — the serialized payload kafka/http
@@ -379,6 +380,81 @@ object LegacyPlan {
         StepInfo(TaskDef(name, records, fields, sink, perField), perField)
       }
   }
+
+  /** YAML `httpUrl` / `httpHeaders` field expansion — the reference's
+    * task-conversion rules (`core/parser/TaskConversionRegistry.scala:
+    * 49-82` feeding `FieldBuilder.httpUrl`, `TaskBuilder.scala:1915-1937`):
+    *
+    *  - `httpUrl` with nested `url` (static, `{param}`-templated), `method`
+    *    (static, default GET), `pathParam` children, `queryParam` children
+    *    (options `style`/`explode` per the OpenAPI serialization matrix) →
+    *    the param fields generate under `pathParam<name>`/`queryParam<name>`
+    *    (the reference's prefixes, `Constants.scala:212-213`) plus a
+    *    computed `url` field — REPLACE + URL_ENCODE for path slots, joined
+    *    `name=value` query parts — and a static `method` field. All pure
+    *    SQL over sibling fields, so the generator's existing computed-column
+    *    topo resolution does the ordering; the per-row delivery twin is
+    *    [[graft.sinks.HttpSink.postRows]].
+    *  - `httpHeaders` with children → one `headers` STRUCT field (each child
+    *    = one header value; the reference tags per-field metadata instead,
+    *    `HttpSinkProcessor.scala:193-198` — a struct carries the same
+    *    per-row shape through any sink).
+    *
+    * Returns None for every other field (normal parse path).
+    */
+  private def expandHttpField(fv: JValue): Option[Seq[FieldDef]] =
+    str(fv \ "name") match {
+      case Some("httpUrl") if (fv \ "fields") != JNothing =>
+        val inner = arr(fv \ "fields")
+        def innerNamed(n: String) = inner.find(f => str(f \ "name").contains(n))
+        val template = innerNamed("url")
+          .flatMap(u => str(u \ "static").orElse(str(u \ "options" \ "static")))
+          .getOrElse(throw new IllegalArgumentException(
+            "httpUrl needs a nested static `url` field (the reference's contract)"))
+        val method = innerNamed("method")
+          .flatMap(m => str(m \ "static").orElse(str(m \ "options" \ "static")))
+          .getOrElse("GET")
+        val pathChildren = innerNamed("pathParam").map(p => arr(p \ "fields")).getOrElse(Nil)
+        val queryChildren = innerNamed("queryParam").map(q => arr(q \ "fields")).getOrElse(Nil)
+        val pathFields = pathChildren.map(c => field(c))
+          .map(f => f.copy(name = s"pathParam${f.name}"))
+        val queryFields = queryChildren.map(c => field(c))
+          .map(f => f.copy(name = s"queryParam${f.name}"))
+        val esc = template.replace("\\", "\\\\").replace("'", "\\'")
+        val withPath = pathFields.foldLeft(s"'$esc'")((u, f) =>
+          s"REPLACE($u, '{${f.name.stripPrefix("pathParam")}}', " +
+            s"URL_ENCODE(CAST(`${f.name}` AS STRING)))")
+        val urlSql =
+          if (queryFields.isEmpty) withPath
+          else {
+            val parts = queryChildren.zip(queryFields).map { case (c, f) =>
+              val n = f.name.stripPrefix("queryParam")
+              val isArray = str(c \ "type").exists(_.toLowerCase.startsWith("array"))
+              if (isArray) {
+                val style = str(c \ "options" \ "style").getOrElse("form").toLowerCase
+                val explode = str(c \ "options" \ "explode").forall(_.toBoolean)
+                val delim = (style, explode) match {
+                  case ("form", false) => ","
+                  case ("spacedelimited", false) => "%20"
+                  case ("pipedelimited", false) => "|"
+                  case _ => s"&$n="
+                }
+                s"CASE WHEN SIZE(`${f.name}`) > 0 THEN CONCAT('$n=', " +
+                  s"ARRAY_JOIN(TRANSFORM(`${f.name}`, x -> CAST(x AS STRING)), '$delim')) " +
+                  "ELSE NULL END"
+              } else s"CONCAT('$n=', CAST(`${f.name}` AS STRING))"
+            }
+            s"CONCAT($withPath, '?', ARRAY_JOIN(ARRAY(${parts.mkString(", ")}), '&'))"
+          }
+        Some(pathFields ++ queryFields ++ Seq(
+          FieldDef("url", "sql", sql = Some(urlSql)),
+          FieldDef("method", "sql",
+            sql = Some("'" + method.replace("'", "\\'") + "'"))))
+      case Some("httpHeaders") if (fv \ "fields") != JNothing =>
+        Some(Seq(FieldDef("headers", "struct",
+          fields = Some(arr(fv \ "fields").map(field)))))
+      case _ => None
+    }
 
   /** Step options that ride through to the sink writer: `partitions` /
     * `numPartitions` (repartition-N), `unwrapTopLevelArray` (bare JSON

@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Rate-limited HTTP delivery — the reference's real-time sink surface
@@ -70,6 +70,132 @@ object HttpSink {
           } catch { case _: Exception => }
           if (!ok) { attempt += 1; Thread.sleep(50L * attempt) }
         }
+        if (ok) posted.add(1) else failed.add(1)
+        sent += 1
+      }
+    }
+    (posted.value, failed.value)
+  }
+
+  /** One query parameter of a templated URL. `column` may be array-typed;
+    * `style`/`explode` follow the OpenAPI serialization matrix the
+    * reference's `httpQueryParam` builder supports (`TaskBuilder.scala:
+    * 1877-1903`): form+explode → `n=a&n=b`, form collapsed → `n=a,b`,
+    * spaceDelimited → `%20`, pipeDelimited → `|`.
+    */
+  final case class QueryParam(
+      name: String,
+      column: Column,
+      isArray: Boolean = false,
+      style: String = "form",
+      explode: Boolean = true)
+
+  /** Per-row URL Column from a `{param}`-templated string — the declarative
+    * twin of the reference's `FieldBuilder.httpUrl` SQL assembly
+    * (`TaskBuilder.scala:1915-1937`): each path param substitutes
+    * URL-encoded into its `{name}` slot, query params render `name=value`
+    * and join with '&' (null parts are dropped by `array_join`, exactly the
+    * reference's ARRAY_JOIN semantics). Pure expression — codegen'd, no UDF.
+    */
+  def urlColumn(
+      template: String,
+      pathParams: Seq[(String, Column)] = Nil,
+      queryParams: Seq[QueryParam] = Nil): Column = {
+    val withPath = pathParams.foldLeft(lit(template)) { case (u, (n, v)) =>
+      replace(u, lit(s"{$n}"), url_encode(v.cast("string")))
+    }
+    if (queryParams.isEmpty) withPath
+    else {
+      val parts = queryParams.map { qp =>
+        if (qp.isArray) {
+          val delim = (qp.style.toLowerCase, qp.explode) match {
+            case ("form", false) => ","
+            case ("spacedelimited", false) => "%20"
+            case ("pipedelimited", false) => "|"
+            case _ => s"&${qp.name}="
+          }
+          when(size(qp.column) > 0,
+            concat(lit(s"${qp.name}="),
+              array_join(transform(qp.column, x => x.cast("string")), delim)))
+        } else concat(lit(s"${qp.name}="), qp.column.cast("string"))
+      }
+      concat(withPath, lit("?"), array_join(array(parts: _*), "&"))
+    }
+  }
+
+  /** Per-row HTTP delivery — the reference's full real-time row contract
+    * (`HttpSinkProcessor.scala:168-199`): URL from the row's `urlCol`,
+    * method from `methodCol` (default POST when absent/null), body from
+    * `bodyCol` (skipped for GET/DELETE), headers from the optional
+    * `headersCol` STRUCT column (each struct field = one header, string
+    * values; the reference tags header fields via metadata — a struct keeps
+    * the same per-row shape without metadata plumbing). Same pacing /
+    * retry / accumulator contract as [[postJson]]; at-least-once.
+    */
+  def postRows(
+      df: DataFrame,
+      urlCol: String = "url",
+      methodCol: Option[String] = Some("method"),
+      bodyCol: Option[String] = Some("value"),
+      headersCol: Option[String] = None,
+      maxRowsPerSec: Int = 0,
+      maxRetries: Int = 2): (Long, Long) = {
+    val spark = df.sparkSession
+    val posted = spark.sparkContext.longAccumulator("http_sink_posted")
+    val failed = spark.sparkContext.longAccumulator("http_sink_failed")
+    val headerNames: Seq[String] = headersCol.toSeq.flatMap { h =>
+      df.schema(h).dataType match {
+        case s: org.apache.spark.sql.types.StructType => s.fieldNames.toSeq
+        case other => throw new IllegalArgumentException(
+          s"headersCol '$h' must be a struct of string header values, got $other")
+      }
+    }
+    val sel = df.select(
+      col(urlCol).cast("string").as("__url") +:
+        methodCol.map(m => upper(coalesce(col(m).cast("string"), lit("POST"))).as("__method"))
+          .getOrElse(lit("POST").as("__method")) +:
+        bodyCol.map(b => col(b).cast("string").as("__body"))
+          .getOrElse(lit(null).cast("string").as("__body")) +:
+        headerNames.map(hn => col(s"${headersCol.get}.`$hn`").cast("string").as(s"__h_$hn")): _*)
+    val nParts = math.max(1, sel.rdd.getNumPartitions)
+    val perPartitionRate = if (maxRowsPerSec > 0) maxRowsPerSec.toDouble / nParts else 0.0
+    val hNames = headerNames // serializable copy for the closure
+    sel.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      val client = java.net.http.HttpClient.newHttpClient()
+      val t0 = System.nanoTime()
+      var sent = 0L
+      it.foreach { row =>
+        if (perPartitionRate > 0) {
+          val due = t0 + (sent * 1e9 / perPartitionRate).toLong
+          val wait = due - System.nanoTime()
+          if (wait > 0) Thread.sleep(wait / 1000000, (wait % 1000000).toInt)
+        }
+        var ok = false
+        try {
+          val method = row.getString(1)
+          val body = if (row.isNullAt(2)) None else Some(row.getString(2))
+          val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(row.getString(0)))
+          hNames.zipWithIndex.foreach { case (hn, i) =>
+            if (!row.isNullAt(3 + i)) b.header(hn, row.getString(3 + i))
+          }
+          // GET/HEAD never carry a body (the JDK client rejects it for GET)
+          val pub = body
+            .filter(_ => method != "GET" && method != "HEAD")
+            .map { s =>
+              b.header("Content-Type", "application/json")
+              java.net.http.HttpRequest.BodyPublishers.ofString(s)
+            }
+            .getOrElse(java.net.http.HttpRequest.BodyPublishers.noBody())
+          val req = b.method(method, pub).build()
+          var attempt = 0
+          while (!ok && attempt <= maxRetries) {
+            try {
+              val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.discarding())
+              ok = resp.statusCode() >= 200 && resp.statusCode() < 300
+            } catch { case _: Exception => }
+            if (!ok) { attempt += 1; Thread.sleep(50L * attempt) }
+          }
+        } catch { case _: Exception => () } // malformed URL / method → failure
         if (ok) posted.add(1) else failed.add(1)
         sent += 1
       }

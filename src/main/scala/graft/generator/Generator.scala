@@ -81,10 +81,17 @@ final case class OneOfField(name: String, values: Seq[(String, Double)]) extends
   }
 }
 
-/** Sequential values: prefix + zero-padded row index (unique by construction). */
+/** Sequential values: prefix + zero-padded row index (unique by construction).
+  * Indices WIDER than `pad` keep their full digits — Spark's `lpad` would
+  * otherwise truncate to the first `pad` chars, which collapses the 64-bit
+  * hashed member indices the perField/fan-out paths use as identities
+  * (~2^37 effective space after truncation → birthday collisions at ~10^5
+  * rows, breaking the uniqueness contract). */
 final case class SequentialField(name: String, prefix: String, pad: Int) extends FieldSpec {
-  def toColumn(u: Column, idx: Column, seed: Long): Column =
-    concat(lit(prefix), lpad(idx.cast("string"), pad, "0"))
+  def toColumn(u: Column, idx: Column, seed: Long): Column = {
+    val s = idx.cast("string")
+    concat(lit(prefix), when(length(s) < pad, lpad(s, pad, "0")).otherwise(s))
+  }
 }
 
 /** Random alphanumeric string of length in [minLen, maxLen] — md5-chain
@@ -357,7 +364,11 @@ final case class EmptyArrayWrapSpec(inner: FieldSpec, p: Double) extends FieldSp
   * specials, epoch/calendar boundary dates, degenerate strings). */
 object EdgeCases {
   def forType(typ: String): Seq[Column] = typ.toLowerCase match {
-    case "string" => Seq("", "\n", "\r", "\t", " ", "\u0000").map(lit(_))
+    // "alphanum" is the plain random-string generator (the legacy dialect's
+    // `type: string` maps to it) -- same edge list as "string"; patterned
+    // generators (regex/template/oneOf) get NO edge literals, matching the
+    // reference where only RandomStringDataGenerator overrides `edgeCases`
+    case "string" | "alphanum" => Seq("", "\n", "\r", "\t", " ", "\u0000").map(lit(_))
     case "int" | "integer" => Seq(Int.MaxValue, Int.MinValue, 0).map(lit(_))
     case "long" => Seq(Long.MaxValue, Long.MinValue, 0L).map(lit(_))
     case "short" => Seq(Short.MaxValue, Short.MinValue, 0.toShort).map(v => lit(v).cast("smallint"))
@@ -942,11 +953,14 @@ object Generator {
     * fields — its CardinalityCountAdjustmentProcessor turns that into a
     * synthetic cardinality, over-generates parent×max rows and block-maps
     * them back; here the child is generated FROM the parent frame
-    * directly): every parent row emits a drawn number of child rows that
-    * carry the parent's key tuple verbatim, remaining child fields
-    * generated per row. Exact per-parent group sizes, exact referential
-    * integrity, no sampling join, no shuffle — the parent scan fans out
-    * narrowly at any scale. */
+    * directly): every DISTINCT non-null parent key tuple emits a drawn
+    * number of child rows that carry the tuple verbatim, remaining child
+    * fields generated per row. Per-tuple (not per-parent-row) semantics is
+    * deliberate: all draws key off the tuple hash, so duplicate parent
+    * rows would emit bit-identical child blocks — one fan per distinct
+    * tuple is the only deterministic, partitioning-invariant reading.
+    * Exact per-tuple group sizes, exact referential integrity, no sampling
+    * join; the dedup is the operator's one shuffle. */
   def fanOutChildren(
       parent: DataFrame,
       parentCols: Seq[String],
@@ -961,12 +975,18 @@ object Generator {
     require(childSpecs.forall(s => !childCols.contains(s.name)),
       "fanOutChildren: childSpecs must exclude the FK fields (carried from the parent)")
     // a parent tuple with any null field can't parent (composite-key
-    // semantics, same rule as assignKeys)
+    // semantics, same rule as assignKeys); duplicate parent key tuples
+    // fan ONCE (the reference's perField count is per unique field-value
+    // set — without the distinct, every duplicate parent row would emit a
+    // bit-identical child block: same draws, same member identities).
+    // The distinct is this operator's one shuffle, keyed on the same
+    // columns the fan-out needs — AQE sizes it.
     val keyed = parent
       .select(parentCols.zip(childCols).map { case (p, c) => col(p).as(c) }: _*)
       .where(childCols.map(col(_).isNotNull).reduce(_ && _))
-    // parent identity = hash of the key tuple (parents are distinct rows;
-    // 64-bit collisions only correlate two parents' draws, never corrupt)
+      .dropDuplicates(childCols)
+    // parent identity = hash of the now-distinct key tuple (64-bit
+    // collisions only correlate two parents' draws, never corrupt)
     val pidx = xxhash64(lit(seed) +: childCols.map(col): _*)
     val fanned = keyed
       .withColumn("__pidx", pidx)

@@ -420,32 +420,23 @@ object LegacyPlan {
           .map(f => f.copy(name = s"pathParam${f.name}"))
         val queryFields = queryChildren.map(c => field(c))
           .map(f => f.copy(name = s"queryParam${f.name}"))
-        val esc = template.replace("\\", "\\\\").replace("'", "\\'")
-        val withPath = pathFields.foldLeft(s"'$esc'")((u, f) =>
-          s"REPLACE($u, '{${f.name.stripPrefix("pathParam")}}', " +
-            s"URL_ENCODE(CAST(`${f.name}` AS STRING)))")
-        val urlSql =
-          if (queryFields.isEmpty) withPath
-          else {
-            val parts = queryChildren.zip(queryFields).map { case (c, f) =>
-              val n = f.name.stripPrefix("queryParam")
-              val isArray = str(c \ "type").exists(_.toLowerCase.startsWith("array"))
-              if (isArray) {
-                val style = str(c \ "options" \ "style").getOrElse("form").toLowerCase
-                val explode = str(c \ "options" \ "explode").forall(_.toBoolean)
-                val delim = (style, explode) match {
-                  case ("form", false) => ","
-                  case ("spacedelimited", false) => "%20"
-                  case ("pipedelimited", false) => "|"
-                  case _ => s"&$n="
-                }
-                s"CASE WHEN SIZE(`${f.name}`) > 0 THEN CONCAT('$n=', " +
-                  s"ARRAY_JOIN(TRANSFORM(`${f.name}`, x -> CAST(x AS STRING)), '$delim')) " +
-                  "ELSE NULL END"
-              } else s"CONCAT('$n=', CAST(`${f.name}` AS STRING))"
-            }
-            s"CONCAT($withPath, '?', ARRAY_JOIN(ARRAY(${parts.mkString(", ")}), '&'))"
-          }
+        // ONE implementation of the URL assembly: build the Column via
+        // HttpSink.urlColumn (the per-row delivery twin uses the same code)
+        // and render it to SQL text for the generator's computed stage —
+        // the OpenAPI style/explode matrix can't drift between the two.
+        import org.apache.spark.sql.functions.col
+        val urlCol = graft.sinks.HttpSink.urlColumn(
+          template,
+          pathParams = pathFields.map(f =>
+            f.name.stripPrefix("pathParam") -> col(f.name)),
+          queryParams = queryChildren.zip(queryFields).map { case (c, f) =>
+            graft.sinks.HttpSink.QueryParam(
+              f.name.stripPrefix("queryParam"), col(f.name),
+              isArray = str(c \ "type").exists(_.toLowerCase.startsWith("array")),
+              style = str(c \ "options" \ "style").getOrElse("form"),
+              explode = str(c \ "options" \ "explode").forall(_.toBoolean))
+          })
+        val urlSql = org.apache.spark.sql.GraftSqlBridge.toSqlText(urlCol)
         Some(pathFields ++ queryFields ++ Seq(
           FieldDef("url", "sql", sql = Some(urlSql)),
           FieldDef("method", "sql",

@@ -509,16 +509,26 @@ object MultiPlanRunner {
           df, RowId, r.childCols, frames(r.parentTable), r.parentCols,
           seed = plan.seed ^ (r.childCols.mkString(",") + "->" + r.parentTable).hashCode.toLong,
           maxLookup = 50000000L)
-        // partial relationship: null out this fraction of the assigned FKs
+        // partial relationship: null out this fraction of the assigned FKs.
+        // perField tasks carry HASHED member identities, not sequential row
+        // indices — head/tail (and block layout below) would rank garbage,
+        // so those paths degrade to the hash-keyed variants, same as the
+        // fkFan branch.
+        val seqIdentity = task.perField.isEmpty
         r.nullPercentage.filter(_ > 0).foreach { pct =>
-          df = ForeignKeys.applyNullability(df, RowId, r.childCols, pct,
-            r.nullStrategy.getOrElse("random"), counts(name),
+          val strat = r.nullStrategy.getOrElse("random")
+          require(seqIdentity || strat.equalsIgnoreCase("random"),
+            s"task '$name': FK nullability strategy '$strat' needs sequential row " +
+              "order, which a perField task doesn't have — use 'random'")
+          df = ForeignKeys.applyNullability(df, RowId, r.childCols, pct, strat,
+            if (seqIdentity) counts(name) else 0L,
             seed = plan.seed ^ ("null:" + r.childCols.sorted.mkString(",")).hashCode.toLong)
         }
         // all-combinations mode: block the child into 2^n valid/invalid
         // FK-field patterns (one narrow projection over the row identity)
         if (r.generationMode.exists(_.equalsIgnoreCase("all-combinations")))
-          df = ForeignKeys.applyAllCombinations(df, RowId, r.childCols, counts(name),
+          df = ForeignKeys.applyAllCombinations(df, RowId, r.childCols,
+            if (seqIdentity) counts(name) else 0L,
             seed = plan.seed ^ ("combo:" + r.childCols.sorted.mkString(",")).hashCode.toLong)
       }
       // nullability still applies to the fanned FK (random only: head/tail
@@ -541,10 +551,13 @@ object MultiPlanRunner {
       // arithmetic; drawn sizes take one count job on the narrow
       // generation plan (metadata-grade cost, documented)
       task.perField.foreach { pf =>
+        // standalone static sizes are arithmetic (groups × per — the group
+        // frame filters nothing); FK-fanned sizes are NOT: fanOutChildren
+        // drops null-keyed parents and dedups repeated key tuples, so the
+        // parent count × per product overstates — count the fanned frame
+        // (one job on the narrow generation plan, metadata-grade cost)
         val exact =
-          if (pf.toCounts.isStatic)
-            fkFan.map(r => finalCounts(r.parentTable) * pf.toCounts.count.get)
-              .getOrElse(counts(name) * pf.toCounts.count.get)
+          if (pf.toCounts.isStatic && fkFan.isEmpty) counts(name) * pf.toCounts.count.get
           else df.count()
         finalCounts += name -> exact
       }

@@ -37,45 +37,17 @@ object HttpSink {
       df: DataFrame,
       url: String,
       maxRowsPerSec: Int = 0,
-      maxRetries: Int = 2): (Long, Long) = {
-    val spark = df.sparkSession
-    val posted = spark.sparkContext.longAccumulator("http_sink_posted")
-    val failed = spark.sparkContext.longAccumulator("http_sink_failed")
-    val json = df.select(to_json(struct(df.columns.map(col): _*)).as("body"))
-    val nParts = math.max(1, json.rdd.getNumPartitions)
-    // fractional per-partition budget: flooring at 1 row/sec/partition would
-    // overshoot the GLOBAL cap by up to nParts/maxRowsPerSec times
-    val perPartitionRate = if (maxRowsPerSec > 0) maxRowsPerSec.toDouble / nParts else 0.0
-    json.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-      val client = java.net.http.HttpClient.newHttpClient()
-      val t0 = System.nanoTime()
-      var sent = 0L
-      it.foreach { row =>
-        // pacing: never exceed perPartitionRate rows/sec from this partition
-        if (perPartitionRate > 0) {
-          val due = t0 + (sent * 1e9 / perPartitionRate).toLong
-          val wait = due - System.nanoTime()
-          if (wait > 0) Thread.sleep(wait / 1000000, (wait % 1000000).toInt)
-        }
-        val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
-          .header("Content-Type", "application/json")
-          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(row.getString(0)))
-          .build()
-        var attempt = 0
-        var ok = false
-        while (!ok && attempt <= maxRetries) {
-          try {
-            val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.discarding())
-            ok = resp.statusCode() >= 200 && resp.statusCode() < 300
-          } catch { case _: Exception => }
-          if (!ok) { attempt += 1; Thread.sleep(50L * attempt) }
-        }
-        if (ok) posted.add(1) else failed.add(1)
-        sent += 1
-      }
-    }
-    (posted.value, failed.value)
-  }
+      maxRetries: Int = 2): (Long, Long) =
+    postRows(
+      df.select(
+        lit(url).as("__fixed_url"),
+        to_json(struct(df.columns.map(col): _*)).as("__json_body")),
+      urlCol = "__fixed_url",
+      methodCol = None, // always POST
+      bodyCol = Some("__json_body"),
+      headersCol = None,
+      maxRowsPerSec = maxRowsPerSec,
+      maxRetries = maxRetries)
 
   /** One query parameter of a templated URL. `column` may be array-typed;
     * `style`/`explode` follow the OpenAPI serialization matrix the
@@ -114,9 +86,13 @@ object HttpSink {
             case ("pipedelimited", false) => "|"
             case _ => s"&${qp.name}="
           }
+          // element-wise stringify via an array CAST, not a transform
+          // lambda: same values, and the expression renders to legal SQL
+          // text (lambdas don't round-trip through Expression.sql — the
+          // legacy-plan expansion reuses this Column as generator sql)
           when(size(qp.column) > 0,
             concat(lit(s"${qp.name}="),
-              array_join(transform(qp.column, x => x.cast("string")), delim)))
+              array_join(qp.column.cast("array<string>"), delim)))
         } else concat(lit(s"${qp.name}="), qp.column.cast("string"))
       }
       concat(withPath, lit("?"), array_join(array(parts: _*), "&"))
@@ -126,7 +102,8 @@ object HttpSink {
   /** Per-row HTTP delivery — the reference's full real-time row contract
     * (`HttpSinkProcessor.scala:168-199`): URL from the row's `urlCol`,
     * method from `methodCol` (default POST when absent/null), body from
-    * `bodyCol` (skipped for GET/DELETE), headers from the optional
+    * `bodyCol` (skipped for GET/HEAD; DELETE keeps its body — the
+    * reference's `setBody` is unconditional), headers from the optional
     * `headersCol` STRUCT column (each struct field = one header, string
     * values; the reference tags header fields via metadata — a struct keeps
     * the same per-row shape without metadata plumbing). Same pacing /

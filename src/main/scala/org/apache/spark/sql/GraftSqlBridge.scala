@@ -13,6 +13,16 @@ object GraftSqlBridge {
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
 
+  /** Eagerly convert a Column's node tree to a real (unresolved) Catalyst
+    * Expression. `ExpressionUtils.expression` wraps the node LAZILY in a
+    * `ColumnNodeExpression` whose `.sql` renders as a fake
+    * `columnnodeexpression(...)` call — useless as SQL text. The converter
+    * produces the genuine UnresolvedFunction/UnresolvedAttribute tree,
+    * whose `.sql` round-trips through `expr()` (lambda-free columns only).
+    */
+  def toSqlText(c: Column): String =
+    classic.ColumnNodeToExpressionConverter(c.node).sql
+
   /** Rebind a DataFrame's logical plan to another session of the SAME
     * SparkContext (`Dataset.ofRows` is private[sql]). Used by iterative
     * jobs (connected components) that size `spark.sql.shuffle.partitions`

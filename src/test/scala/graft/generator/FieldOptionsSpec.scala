@@ -260,4 +260,27 @@ class FieldOptionsSpec extends SparkSuite {
     assert(math.abs(edgeFrac - 0.10) < 0.025, s"edge fraction $edgeFrac")
     df.unpersist()
   }
+
+  test("legacy `type: string` (alphanum) injects string edge cases") {
+    val yaml =
+      """name: "edges"
+        |steps:
+        |  - name: "t"
+        |    count: {records: 2000}
+        |    fields:
+        |      - name: "v"
+        |        type: "string"
+        |        options: {enableEdgeCase: true, edgeCaseProb: 0.2}
+        |""".stripMargin
+    val tasks = LegacyPlan.parseTaskFile(yaml)
+    val df = Generator.generate(spark, 2000L, tasks.head.fields.map(_.toSpec), seed = 31L)
+      .cache()
+    // the legacy dialect maps `type: string` to the alphanum generator —
+    // EdgeCases.forType must treat it as a string (it silently returned
+    // Nil before, collapsing the edge band to 0)
+    val edges = Set("", "\n", "\r", "\t", " ", "\u0000")
+    val frac = df.where(col("v").isin(edges.toSeq: _*)).count() / 2000.0
+    assert(math.abs(frac - 0.2) < 0.035, s"edge fraction $frac")
+    df.unpersist()
+  }
 }

@@ -217,4 +217,85 @@ class PerFieldSpec extends SparkSuite {
     assert(o.counts("access") == df.count())
     df.unpersist()
   }
+
+  test("FK fan-out: duplicate parent key tuples fan once (per unique value set)") {
+    // parents' key column has only 2 distinct values over 40 rows — the
+    // pre-fix behavior emitted 40 bit-identical blocks (same draws, same
+    // member identities); the contract is one block per DISTINCT tuple
+    val plan = MultiPlanRunner.parseYaml(
+      """name: dupfan
+        |seed: 23
+        |tasks:
+        |  - name: parents
+        |    count: 40
+        |    fields:
+        |      - {name: region, type: oneOf, values: [na, eu]}
+        |  - name: children
+        |    count: 1
+        |    perField: {fieldNames: [region], count: 3}
+        |    fields:
+        |      - {name: region, type: alphanum}
+        |      - {name: payload, type: alphanum, minLen: 6, maxLen: 6}
+        |relationships:
+        |  - {from: children.region, to: parents.region}
+        |""".stripMargin)
+    val o = MultiPlanRunner.run(s, plan)
+    val kids = o.frames("children").cache()
+    assert(kids.count() == 6, "2 distinct regions x 3 children")
+    assert(o.counts("children") == 6L, "bookkeeping counts the fanned frame, not parents x per")
+    assert(kids.distinct().count() == 6, "no bit-identical duplicate rows")
+    kids.unpersist()
+  }
+
+  test("perField task with an extra FK: head/tail nullability is rejected, random works") {
+    def yaml(strategy: String) =
+      s"""name: pf_null
+         |seed: 29
+         |tasks:
+         |  - name: parents
+         |    count: 30
+         |    fields:
+         |      - {name: pid, type: sequential, prefix: P, pad: 5}
+         |  - name: refs
+         |    count: 10
+         |    fields:
+         |      - {name: rid, type: sequential, prefix: R, pad: 5}
+         |  - name: children
+         |    count: 1
+         |    perField: {fieldNames: [pid], count: 4}
+         |    fields:
+         |      - {name: pid, type: alphanum}
+         |      - {name: rid, type: alphanum}
+         |relationships:
+         |  - {from: children.pid, to: parents.pid}
+         |  - {from: children.rid, to: refs.rid, nullPercentage: 0.25, nullStrategy: $strategy}
+         |""".stripMargin
+    // head/tail rank by sequential row index — perField rows carry hashed
+    // member identities, so the strategies must be rejected loudly (the
+    // pre-fix code parsed the hash as an index and nulled ~50%)
+    val e = intercept[IllegalArgumentException] {
+      MultiPlanRunner.run(s, MultiPlanRunner.parseYaml(yaml("head")))
+    }
+    assert(e.getMessage.contains("sequential row order"))
+    val kids = MultiPlanRunner.run(s, MultiPlanRunner.parseYaml(yaml("random")))
+      .frames("children").cache()
+    assert(kids.count() == 120)
+    val nullFrac = kids.where(col("rid").isNull).count() / 120.0
+    assert(math.abs(nullFrac - 0.25) < 0.12, s"null fraction $nullFrac")
+    assert(kids.where(col("pid").isNull).count() == 0, "fanned FK untouched")
+    kids.unpersist()
+  }
+
+  test("hashed member identities survive the sequential-id pad (no lpad truncation)") {
+    // SequentialField pads SHORT indices and must keep WIDE ones whole —
+    // Spark lpad truncates to the first `pad` chars, which collapsed the
+    // 64-bit member hashes to ~2^37 effective identity space
+    import org.apache.spark.sql.functions.lit
+    val spec = SequentialField("r", "X:", 5)
+    val row = s.range(1).select(
+      spec.toColumn(lit(0.5), lit(-1234567890123456789L), 1L).as("wide"),
+      spec.toColumn(lit(0.5), lit(7L), 1L).as("short")).head()
+    assert(row.getString(0) == "X:-1234567890123456789", row.getString(0))
+    assert(row.getString(1) == "X:00007", row.getString(1))
+  }
 }

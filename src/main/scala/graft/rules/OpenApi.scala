@@ -33,7 +33,17 @@ object OpenApi {
       /** Validation rules for the request body. */
       bodyRules: Seq[Rule],
       /** Path/query parameter fields, reference-style names. */
-      paramFields: Seq[FieldSpec])
+      paramFields: Seq[FieldSpec],
+      /** SQL for the per-row request URL over `paramFields` — the
+        * reference's `OpenAPIConverter.getUrl` computed field
+        * (`OpenAPIConverter.scala:143-153` delegates to the same
+        * `FieldBuilder.httpUrl` assembly the task dialect uses): path
+        * params URL_ENCODE into their `{name}` slots, query params render
+        * `name=value` with the parameter's declared style/explode. Rendered
+        * from [[graft.sinks.HttpSink.urlColumn]], so importer, task
+        * dialect, and per-row delivery share ONE implementation. Empty
+        * when the operation has no parameters (the template IS the URL). */
+      urlSql: String = "")
 
   def parse(text: String): Seq[Operation] = {
     val json =
@@ -82,19 +92,41 @@ object OpenApi {
       case None => (Nil, Nil)
     }
     val params = (op \ "parameters") match { case JArray(ps) => ps; case _ => Nil }
-    val paramFields = params.flatMap { prm =>
-      val name = (prm \ "name") match { case JString(n) => n; case _ => "" }
-      val in = (prm \ "in") match { case JString(i) => i; case _ => "" }
+    def pstr(j: JValue): Option[String] = j match { case JString(s) => Some(s); case _ => None }
+    val parsed = params.flatMap { prm =>
+      val name = pstr(prm \ "name").getOrElse("")
+      val in = pstr(prm \ "in").getOrElse("")
       val prefix = in match {
         case "path" => Some("pathParam")
         case "query" => Some("queryParam")
         case _ => None // headers/cookies out of scope, as in the reference's core path
       }
       prefix.map { pre =>
-        jsonSchemaField(root, pre + name, prm \ "schema")
+        (in, name, prm, jsonSchemaField(root, pre + name, prm \ "schema"))
       }
     }
-    Operation(path, method, serverUrl + path, bodyFields, bodyRules, paramFields)
+    val paramFields = parsed.map(_._4)
+    val template = serverUrl + path
+    val urlSql =
+      if (parsed.isEmpty) ""
+      else {
+        import org.apache.spark.sql.functions.col
+        org.apache.spark.sql.GraftSqlBridge.toSqlText(graft.sinks.HttpSink.urlColumn(
+          template,
+          pathParams = parsed.collect { case ("path", n, _, f) => n -> col(f.name) },
+          queryParams = parsed.collect { case ("query", n, prm, f) =>
+            graft.sinks.HttpSink.QueryParam(
+              n, col(f.name),
+              isArray = pstr(prm \ "schema" \ "type").contains("array"),
+              // OpenAPI defaults: style=form, explode=true for query params
+              style = pstr(prm \ "style").getOrElse("form"),
+              explode = (prm \ "explode") match {
+                case JBool(b) => b
+                case _ => true
+              })
+          }))
+      }
+    Operation(path, method, template, bodyFields, bodyRules, paramFields, urlSql)
   }
 
   /** A Parsed whose walk starts at `entry` but whose `$ref`s resolve

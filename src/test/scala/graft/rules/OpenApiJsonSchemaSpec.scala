@@ -133,4 +133,31 @@ class OpenApiJsonSchemaSpec extends SparkSuite {
     assert(failed.isEmpty, failed.map(_.rule).toString)
     assert(df.where(!col("kind").isin("cat", "dog", "fish")).isEmpty)
   }
+
+  test("OpenAPI: per-row url field renders path + styled query params") {
+    val doc =
+      """openapi: 3.0.0
+        |info: {title: t, version: "1.0"}
+        |servers:
+        |  - url: "http://h/api"
+        |paths:
+        |  /users/{uid}/posts:
+        |    get:
+        |      parameters:
+        |        - {name: uid, in: path, schema: {type: integer, minimum: 7, maximum: 7}}
+        |        - name: tags
+        |          in: query
+        |          style: form
+        |          explode: false
+        |          schema: {type: array, items: {enum: [x]}, minItems: 2, maxItems: 2}
+        |""".stripMargin
+    val op = OpenApi.parse(doc).head
+    assert(op.urlSql.nonEmpty)
+    // generate the param fields, add the computed url (the importer's SQL
+    // is plain generator sql — same computed-column stage as any field)
+    val df = Generator.generate(s, 3,
+      op.paramFields :+ graft.generator.SqlField("url", op.urlSql), seed = 9L)
+    val urls = df.select("url").collect().map(_.getString(0)).distinct
+    assert(urls.sameElements(Array("http://h/api/users/7/posts?tags=x,x")), urls.mkString(","))
+  }
 }

@@ -425,13 +425,16 @@ object LegacyPlan {
         // and render it to SQL text for the generator's computed stage —
         // the OpenAPI style/explode matrix can't drift between the two.
         import org.apache.spark.sql.functions.col
+        // backtick field names: a param named `page.size` must stay ONE
+        // column reference, not a nested-field path
+        def rawCol(n: String) = col(s"`$n`")
         val urlCol = graft.sinks.HttpSink.urlColumn(
           template,
           pathParams = pathFields.map(f =>
-            f.name.stripPrefix("pathParam") -> col(f.name)),
+            f.name.stripPrefix("pathParam") -> rawCol(f.name)),
           queryParams = queryChildren.zip(queryFields).map { case (c, f) =>
             graft.sinks.HttpSink.QueryParam(
-              f.name.stripPrefix("queryParam"), col(f.name),
+              f.name.stripPrefix("queryParam"), rawCol(f.name),
               isArray = str(c \ "type").exists(_.toLowerCase.startsWith("array")),
               style = str(c \ "options" \ "style").getOrElse("form"),
               explode = str(c \ "options" \ "explode").forall(_.toBoolean))

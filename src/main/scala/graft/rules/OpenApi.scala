@@ -111,18 +111,29 @@ object OpenApi {
       if (parsed.isEmpty) ""
       else {
         import org.apache.spark.sql.functions.col
+        // backtick the generated field names: parameter names may contain
+        // '.' (e.g. `filter.name`), which bare col() would read as a
+        // nested-field path
+        def rawCol(n: String) = col(s"`$n`")
         org.apache.spark.sql.GraftSqlBridge.toSqlText(graft.sinks.HttpSink.urlColumn(
           template,
-          pathParams = parsed.collect { case ("path", n, _, f) => n -> col(f.name) },
+          pathParams = parsed.collect { case ("path", n, _, f) => n -> rawCol(f.name) },
           queryParams = parsed.collect { case ("query", n, prm, f) =>
+            val style = pstr(prm \ "style").getOrElse("form")
             graft.sinks.HttpSink.QueryParam(
-              n, col(f.name),
-              isArray = pstr(prm \ "schema" \ "type").contains("array"),
-              // OpenAPI defaults: style=form, explode=true for query params
-              style = pstr(prm \ "style").getOrElse("form"),
+              n, rawCol(f.name),
+              // array-ness from the GENERATED spec (the schema walker has
+              // already resolved $ref / items-only shapes), not the raw
+              // `schema.type` string
+              isArray = f.isInstanceOf[graft.generator.ArraySpec] ||
+                f.isInstanceOf[graft.generator.EmptyArrayWrapSpec] ||
+                f.isInstanceOf[graft.generator.UniqueFromArrayField],
+              style = style,
+              // OpenAPI serialization defaults: explode=true ONLY for
+              // style=form; every other style defaults to false
               explode = (prm \ "explode") match {
                 case JBool(b) => b
-                case _ => true
+                case _ => style.equalsIgnoreCase("form")
               })
           }))
       }

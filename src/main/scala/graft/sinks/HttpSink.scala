@@ -37,7 +37,13 @@ object HttpSink {
       df: DataFrame,
       url: String,
       maxRowsPerSec: Int = 0,
-      maxRetries: Int = 2): (Long, Long) =
+      maxRetries: Int = 2): (Long, Long) = {
+    // the url is a driver-side constant: validate it HERE so a typo fails
+    // the run loudly instead of burning a full Spark job counting every
+    // row as a delivery failure inside postRows' per-row catch
+    val u = java.net.URI.create(url)
+    require(u.getScheme == "http" || u.getScheme == "https",
+      s"postJson url must be http(s), got '$url'")
     postRows(
       df.select(
         lit(url).as("__fixed_url"),
@@ -48,6 +54,7 @@ object HttpSink {
       headersCol = None,
       maxRowsPerSec = maxRowsPerSec,
       maxRetries = maxRetries)
+  }
 
   /** One query parameter of a templated URL. `column` may be array-typed;
     * `style`/`explode` follow the OpenAPI serialization matrix the

@@ -151,4 +151,38 @@ class HttpUrlSpec extends SparkSuite {
     assert(out.where(!col("value").rlike("^\\{\"account_id\":\"ACC[0-9]{6}\"\\}$")).count() == 0)
     out.unpersist()
   }
+
+  test("postJson: malformed fixed url fails loudly on the driver, not row-by-row") {
+    val df = spark.range(3).selectExpr("id")
+    intercept[IllegalArgumentException] {
+      HttpSink.postJson(df, "not a url")
+    }
+    intercept[IllegalArgumentException] {
+      HttpSink.postJson(df, "file:///etc/passwd")
+    }
+  }
+
+  test("legacy httpUrl: dotted query-param names survive the rendered SQL") {
+    val taskYaml =
+      """name: "api"
+        |steps:
+        |  - name: "calls"
+        |    count: {records: 5}
+        |    fields:
+        |      - name: "httpUrl"
+        |        fields:
+        |          - name: "url"
+        |            static: "http://h/x"
+        |          - name: "queryParam"
+        |            fields:
+        |              - name: "page.size"
+        |                type: "int"
+        |                options: {min: 3, max: 3}
+        |""".stripMargin
+    val tasks = graft.plan.LegacyPlan.parseTaskFile(taskYaml)
+    val df = graft.generator.Generator.generate(spark, 5L,
+      tasks.head.fields.map(_.toSpec), seed = 4L)
+    val urls = df.select("url").collect().map(_.getString(0)).distinct
+    assert(urls.sameElements(Array("http://h/x?page.size=3")), urls.mkString(","))
+  }
 }

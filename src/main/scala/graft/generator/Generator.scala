@@ -507,7 +507,9 @@ object Generator {
       }
       withNulls.as(s.name)
     }
-    val df = base.select((carry.map(col) ++ (idx.as("__index_inc") +: cols)): _*)
+    // carried names may be dotted (nested perField group paths) — backtick
+    // so they stay single-column references
+    val df = base.select((carry.map(n => col(s"`$n`")) ++ (idx.as("__index_inc") +: cols)): _*)
     // the late stage runs over the projected frame, where the row index
     // column is named __index_inc (not the range's `id`); nullProb applies
     // to late specs the same way it does to plain ones.
@@ -931,14 +933,50 @@ object Generator {
       partitions: Int = 0,
       nullProb: Map[String, Double] = Map.empty,
       uniform: (String, Long, Column) => Column = xxhashUniform): DataFrame = {
-    val (groupSpecs, rest) = specs.partition(s => groupFields.contains(s.name))
-    require(groupSpecs.map(_.name).toSet == groupFields.toSet,
+    // group fields may be NESTED paths (`body.customer_id` — the
+    // reference's kafka-relationships sample groups on a struct leaf):
+    // the leaf spec generates ONCE per group under its dotted name, the
+    // owning struct regenerates per member like any other field, and the
+    // group value is spliced back over the leaf afterwards (withField) —
+    // still one narrow explode + one projection, no shuffle
+    val (dottedPaths, plainNames) = groupFields.partition(_.contains("."))
+    val (groupSpecs, rest) = specs.partition(s => plainNames.contains(s.name))
+    require(groupSpecs.map(_.name).toSet == plainNames.toSet,
       s"perField fields ${groupFields.mkString(",")} must all be declared fields")
     require(groupSpecs.forall(s => !hasSqlDeep(s)),
       "perField group fields must be plain (non-computed)")
-    val base = if (partitions > 0) spark.range(0, records, 1, partitions) else spark.range(records)
+    val nestedLeaves: Seq[(String, FieldSpec)] = dottedPaths.map { path =>
+      val parts = path.split("\\.").toSeq
+      val top = specs.find(_.name == parts.head).getOrElse(
+        throw new IllegalArgumentException(
+          s"perField path '$path': no declared field '${parts.head}'"))
+      val leaf = parts.tail.foldLeft(top) { (s, n) =>
+        s match {
+          case StructSpec(_, children) => children.find(_.name == n).getOrElse(
+            throw new IllegalArgumentException(
+              s"perField path '$path': struct '${s.name}' has no child '$n'"))
+          case other => throw new IllegalArgumentException(
+            s"perField path '$path': '${other.name}' is not a struct")
+        }
+      }
+      path -> leaf
+    }
+    val base0 = if (partitions > 0) spark.range(0, records, 1, partitions) else spark.range(records)
     val idx = col("id")
-    val groupCols = groupSpecs.map(s => s.toColumnWith(uniform, seed, idx).as(s.name))
+    // a computed (sql) group leaf — e.g. the reference's uuid+incremental,
+    // which rewrites to sql over __index_inc — evaluates at GROUP level
+    // with __index_inc bound to the group index; sibling references can't
+    // exist yet at this stage and fail analysis loudly
+    val base = if (nestedLeaves.exists(l => hasSqlDeep(l._2)))
+      base0.withColumn("__index_inc", idx) else base0
+    val groupCols = groupSpecs.map(s => s.toColumnWith(uniform, seed, idx).as(s.name)) ++
+      // leaf draws key on the FULL path, independent of the same-named
+      // member-row draw inside the regenerated struct
+      nestedLeaves.map {
+        case (path, SqlField(_, sql)) => expr(sql).as(path)
+        case (path, leaf) =>
+          leaf.toColumnWith((n, sd, i) => uniform(s"$path#$n", sd, i), seed, idx).as(path)
+      }
     val fanned = base
       .select((idx.as("__pidx") +: groupCols) :+ counts.draw(uniform, seed, idx).as("__n"): _*)
       .withColumn("__cidx",
@@ -946,7 +984,27 @@ object Generator {
     // member-row identity: distinct per (group, member), deterministic —
     // every keyed draw hashes it again, so contiguity is not required
     val memberIdx = xxhash64(col("__pidx"), col("__cidx"))
-    buildFrom(fanned, memberIdx, rest, seed, nullProb, uniform, carry = groupSpecs.map(_.name))
+    // splice the group value back over the struct leaf by REWRITING the
+    // leaf as a sql reference to the carried group column — the computed
+    // stage's topo ordering then guarantees any OTHER sql field reading
+    // the leaf (`key: sql(body.customer_id)`) sees the group value, not a
+    // per-member regeneration (a post-hoc withField would run too late)
+    def spliceLeaf(spec: FieldSpec, parts: Seq[String], path: String): FieldSpec =
+      if (parts.length == 1) SqlField(parts.head, s"`$path`")
+      else spec match {
+        case StructSpec(n, children) =>
+          StructSpec(n, children.map(c =>
+            if (c.name == parts(1)) spliceLeaf(c, parts.tail, path) else c))
+        case other => throw new IllegalArgumentException(
+          s"perField path '$path': '${other.name}' is not a struct")
+      }
+    val restSpliced = dottedPaths.foldLeft(rest) { (specs0, path) =>
+      val parts = path.split("\\.").toSeq
+      specs0.map(s => if (s.name == parts.head) spliceLeaf(s, parts, path) else s)
+    }
+    val built = buildFrom(fanned, memberIdx, restSpliced, seed, nullProb, uniform,
+      carry = groupSpecs.map(_.name) ++ dottedPaths)
+    dottedPaths.foldLeft(built)((d, path) => d.drop(path))
   }
 
   /** FK-coupled per-parent fan-out (the reference's perField ON the FK

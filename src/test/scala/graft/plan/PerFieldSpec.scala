@@ -298,4 +298,48 @@ class PerFieldSpec extends SparkSuite {
     assert(row.getString(0) == "X:-1234567890123456789", row.getString(0))
     assert(row.getString(1) == "X:00007", row.getString(1))
   }
+
+  test("nested perField path: struct leaf fixed per group, siblings vary per member") {
+    // the reference's kafka-relationships sample: perField on
+    // `body.customer_id` where customer_id is uuid+incremental (a sql
+    // leaf over __index_inc) — leaf constant within a group, distinct
+    // across groups, sibling struct fields regenerate per member row
+    val taskYaml =
+      """name: "k"
+        |steps:
+        |  - name: "cp"
+        |    count:
+        |      records: 10
+        |      perField: {count: 3, fieldNames: ["body.customer_id"]}
+        |    fields:
+        |      - name: "key"
+        |        type: "string"
+        |        options: {sql: "body.customer_id"}
+        |      - name: "messageBody"
+        |        type: struct
+        |        fields:
+        |          - name: "customer_id"
+        |            options: {uuid: "", incremental: 1}
+        |          - name: "product"
+        |            options: {regex: "PR[0-9]{6}"}
+        |""".stripMargin
+    val spec = graft.plan.LegacyPlan.parsePlan(
+      """name: "p"
+        |tasks:
+        |  - name: "k"
+        |    dataSourceName: "k"
+        |""".stripMargin, Map("k" -> taskYaml))
+    val df = MultiPlanRunner.run(s, spec).frames("cp").cache()
+    assert(df.count() == 30)
+    val g = df.groupBy(col("body.customer_id").as("cid")).agg(
+      count(lit(1)).as("n"), count_distinct(col("body.product")).as("p"))
+    assert(g.count() == 10, "10 distinct group leaves")
+    assert(g.where(col("n") =!= 3).count() == 0, "exactly 3 members per group")
+    assert(g.where(col("p") < 2).count() == 0, "sibling fields vary inside a group")
+    // uuid 8-4-4-4-12 shape and the sql `key` sees the SPLICED value
+    assert(df.where(!col("body.customer_id")
+      .rlike("^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$")).count() == 0)
+    assert(df.where(col("key") =!= col("body.customer_id")).count() == 0)
+    df.unpersist()
+  }
 }

@@ -15,6 +15,31 @@ import org.apache.spark.sql.functions._
   */
 object ForeignKeys {
 
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.types.DataType
+
+  /** FK endpoints may be NESTED paths (`body.account_id` — the reference's
+    * `foreignkey/util/NestedFieldUtil.scala` reads and updates struct
+    * leaves): write through the owning struct with `withField`; a bare
+    * `withColumn("a.b", ...)` would instead create a LITERAL dotted
+    * top-level column and silently leave the nested field untouched. */
+  private def setField(df: DataFrame, path: String, value: Column): DataFrame =
+    if (!path.contains(".")) df.withColumn(path, value)
+    else {
+      val Array(top, inner) = path.split("\\.", 2)
+      df.withColumn(top, col(top).withField(inner, value))
+    }
+
+  /** Data type at a (possibly nested) field path. */
+  private def fieldType(df: DataFrame, path: String): DataType =
+    path.split("\\.").foldLeft(df.schema: DataType) { (dt, p) =>
+      dt match {
+        case s: org.apache.spark.sql.types.StructType => s(p).dataType
+        case other => throw new IllegalArgumentException(
+          s"field path '$path': expected a struct at '$p', got $other")
+      }
+    }
+
   /** Replace/assign `targetCol` in `target` with values sampled uniformly
     * (and deterministically, keyed on `identityCol`) from the distinct
     * values of `source.sourceCol`. The lookup side is broadcast — the big
@@ -53,8 +78,11 @@ object ForeignKeys {
       s"assignKeys: target fields $targetCols and source fields $sourceCols must pair up")
     // null keys are never assignable FK values; a tuple with ANY null field
     // is excluded (SQL composite-key semantics: null never equals anything)
-    val keys = source.select(sourceCols.map(col): _*)
-      .where(sourceCols.map(col(_).isNotNull).reduce(_ && _))
+    // source fields may be nested paths — alias each to a positional name
+    // so the lookup struct's getField below stays well-defined
+    val keys = source
+      .select(sourceCols.zipWithIndex.map { case (s, i) => col(s).as(s"__sk_$i") }: _*)
+      .where(sourceCols.indices.map(i => col(s"__sk_$i").isNotNull).reduce(_ && _))
       .distinct()
     // contiguous ordered index on the lookup side only: bounded by the
     // distinct key count (asserted below — a fact-sized "lookup" must fail
@@ -70,18 +98,21 @@ object ForeignKeys {
         "the index array is single-row by design and only safe on a " +
         "bounded dimension side; raise maxLookup deliberately if intended")
     val lookup = keys
-      .agg(sort_array(collect_list(struct(sourceCols.map(col): _*))).as("__ks"))
+      .agg(sort_array(collect_list(struct(sourceCols.indices.map(i => col(s"__sk_$i")): _*)))
+        .as("__ks"))
       .select(posexplode(col("__ks")).as(Seq("__idx", "__k")))
       .select(col("__idx").cast("long").as("__idx") +:
-        sourceCols.zip(targetCols).map { case (s, t) =>
-          col("__k").getField(s).as(s"__fk_$t")
-        }: _*)
+        sourceCols.indices.map(i => col("__k").getField(s"__sk_$i").as(s"__fk_$i")): _*)
     val joined = target
-      .drop(targetCols: _*) // replaced by the sampled assignment
+      // plain target fields are replaced wholesale; nested ones are
+      // overwritten inside their struct below (nothing to drop)
+      .drop(targetCols.filterNot(_.contains(".")): _*)
       .withColumn("__idx", pmod(xxhash64(lit(seed), col(identityCol)), lit(n)))
       .join(broadcast(lookup), Seq("__idx"), "left")
       .drop("__idx")
-    targetCols.foldLeft(joined)((d, t) => d.withColumnRenamed(s"__fk_$t", t))
+    targetCols.zipWithIndex.foldLeft(joined) { case (d, (t, i)) =>
+      setField(d, t, col(s"__fk_$i")).drop(s"__fk_$i")
+    }
   }
 
   /** Kahn topological sort over FK edges (parent -> child). Returns tables
@@ -144,7 +175,7 @@ object ForeignKeys {
         s"unknown FK nullability strategy '$other' (random|head|tail)")
     }
     fkCols.foldLeft(df)((d, c) =>
-      d.withColumn(c, when(flag, lit(null).cast(d.schema(c).dataType)).otherwise(col(c))))
+      setField(d, c, when(flag, lit(null).cast(fieldType(d, c))).otherwise(col(c))))
   }
 
   /** FK generation mode `all-combinations` (the reference's
@@ -189,7 +220,7 @@ object ForeignKeys {
       } else pmod(xxhash64(lit(seed), lit("combo"), col(identityCol)), lit(combos.toLong))
     fkCols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
       val invalidate = comboId.bitwiseAND(lit((1 << i).toLong)) === 0L
-      val invalid = d.schema(c).dataType match {
+      val invalid = fieldType(d, c) match {
         case StringType =>
           concat(lit("INVALID_"),
             substring(md5(concat_ws(":", lit(seed), col(identityCol), lit(i))), 1, 8))
@@ -199,7 +230,7 @@ object ForeignKeys {
           pmod(xxhash64(lit(seed), col(identityCol), lit(i)), lit(999999999999L))
         case dt => lit(null).cast(dt)
       }
-      d.withColumn(c, when(invalidate, invalid).otherwise(col(c)))
+      setField(d, c, when(invalidate, invalid).otherwise(col(c)))
     }
   }
 

@@ -1030,6 +1030,10 @@ object Generator {
       uniform: (String, Long, Column) => Column = xxhashUniform): DataFrame = {
     require(parentCols.nonEmpty && parentCols.size == childCols.size,
       s"fanOutChildren: parent fields $parentCols and child fields $childCols must pair up")
+    require(childCols.forall(!_.contains(".")),
+      s"fanOutChildren: nested child FK fields (${childCols.filter(_.contains("."))
+        .mkString(",")}) aren't supported in a fan-out — the carried key IS the " +
+        "group identity; declare the FK on a top-level field or use a sampling relationship")
     require(childSpecs.forall(s => !childCols.contains(s.name)),
       "fanOutChildren: childSpecs must exclude the FK fields (carried from the parent)")
     // a parent tuple with any null field can't parent (composite-key

@@ -137,4 +137,42 @@ class FkNullabilitySpec extends SparkSuite {
       .collect().map(_.getLong(0)).sorted
     assert(nullIdx.length == 80 && nullIdx.head == 0L && nullIdx.last == 79L)
   }
+
+  test("nested FK endpoints: child struct leaf sampled from parent, nullability writes in place") {
+    // the reference's NestedFieldUtil surface: FK child field inside a
+    // struct (`body.account_id`) — assignment must overwrite the struct
+    // LEAF, not invent a literal dotted top-level column
+    val plan = MultiPlanRunner.parseYaml(
+      """name: nested_fk
+        |seed: 31
+        |tasks:
+        |  - name: accounts
+        |    count: 20
+        |    fields:
+        |      - {name: account_id, type: regex, pattern: "ACC[0-9]{4}"}
+        |  - name: events
+        |    count: 200
+        |    fields:
+        |      - name: body
+        |        type: struct
+        |        fields:
+        |          - {name: account_id, type: alphanum}
+        |          - {name: amount, type: double, lo: 1, hi: 9}
+        |relationships:
+        |  - {from: events.body.account_id, to: accounts.account_id, nullPercentage: 0.3}
+        |""".stripMargin)
+    val o = MultiPlanRunner.run(s, plan)
+    val events = o.frames("events").cache()
+    assert(events.columns.toSeq == Seq("body"), events.columns.mkString(","))
+    assert(events.count() == 200)
+    val nn = events.where(col("body.account_id").isNotNull)
+    // every non-null leaf exists in the parent (referential integrity)
+    assert(nn.join(o.frames("accounts"),
+      nn("body.account_id") === col("account_id"), "left_anti").count() == 0)
+    val nullFrac = events.where(col("body.account_id").isNull).count() / 200.0
+    assert(math.abs(nullFrac - 0.3) < 0.1, s"null fraction $nullFrac")
+    // sibling struct fields untouched by the overwrite
+    assert(events.where(col("body.amount").isNull).count() == 0)
+    events.unpersist()
+  }
 }

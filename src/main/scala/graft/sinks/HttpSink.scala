@@ -124,9 +124,78 @@ object HttpSink {
       headersCol: Option[String] = None,
       maxRowsPerSec: Int = 0,
       maxRetries: Int = 2): (Long, Long) = {
+    val m = postRowsWithMetrics(df, urlCol, methodCol, bodyCol, headersCol,
+      maxRowsPerSec, maxRetries)
+    (m.posted, m.failed)
+  }
+
+  /** Delivery outcome + response-latency distribution — the reference's
+    * load-test `PerformanceMetrics`/`SimplePercentileCalculator` surface
+    * (`api/.../model/PerformanceMetrics.scala`, `core/generator/metrics/
+    * SimplePercentileCalculator.scala`), collected distributively: each
+    * executor adds per-request wall time (including retries) to a merged
+    * log-scale histogram accumulator — no latency rows ever cross the
+    * wire, so the metric costs O(buckets) per partition at any scale. */
+  final case class DeliveryMetrics(
+      posted: Long,
+      failed: Long,
+      latencyP50Ms: Double,
+      latencyP95Ms: Double,
+      latencyP99Ms: Double,
+      latencyMeanMs: Double)
+
+  /** Immutable merged-histogram snapshot — the accumulator's VALUE type.
+    * (Returning the accumulator itself from `value` recurses infinitely in
+    * `AccumulatorV2.toString`, which Spark's appStatus listener calls —
+    * StackOverflow in the listener thread stops the SparkContext.) */
+  private final case class LatencySnapshot(buckets: Array[Long], totalMicros: Long, n: Long) {
+    override def toString: String = s"LatencySnapshot(n=$n)"
+  }
+
+  /** Log2/16-bucketed latency histogram (±~4% value error), mergeable. */
+  private final class LatencyHistogram(
+      val buckets: Array[Long] = new Array[Long](1024),
+      var totalMicros: Long = 0L,
+      var n: Long = 0L)
+      extends org.apache.spark.util.AccumulatorV2[Long, LatencySnapshot] {
+    def isZero: Boolean = n == 0L
+    def copy(): LatencyHistogram = new LatencyHistogram(buckets.clone(), totalMicros, n)
+    def reset(): Unit = { java.util.Arrays.fill(buckets, 0L); totalMicros = 0L; n = 0L }
+    def add(micros: Long): Unit = {
+      val v = math.max(1L, micros)
+      val idx = math.min(1023, (16.0 * math.log(v.toDouble) / math.log(2.0)).toInt)
+      buckets(idx) += 1; totalMicros += v; n += 1
+    }
+    def merge(o: org.apache.spark.util.AccumulatorV2[Long, LatencySnapshot]): Unit = {
+      val h = o.value
+      var i = 0; while (i < buckets.length) { buckets(i) += h.buckets(i); i += 1 }
+      totalMicros += h.totalMicros; n += h.n
+    }
+    def value: LatencySnapshot = LatencySnapshot(buckets.clone(), totalMicros, n)
+    /** Geometric-midpoint percentile in milliseconds. */
+    def percentileMs(q: Double): Double = {
+      if (n == 0) return 0.0
+      val target = math.max(1L, math.ceil(q * n).toLong)
+      var cum = 0L; var i = 0
+      while (i < buckets.length && cum + buckets(i) < target) { cum += buckets(i); i += 1 }
+      math.pow(2.0, (i + 0.5) / 16.0) / 1000.0
+    }
+    def meanMs: Double = if (n == 0) 0.0 else totalMicros.toDouble / n / 1000.0
+  }
+
+  def postRowsWithMetrics(
+      df: DataFrame,
+      urlCol: String = "url",
+      methodCol: Option[String] = Some("method"),
+      bodyCol: Option[String] = Some("value"),
+      headersCol: Option[String] = None,
+      maxRowsPerSec: Int = 0,
+      maxRetries: Int = 2): DeliveryMetrics = {
     val spark = df.sparkSession
     val posted = spark.sparkContext.longAccumulator("http_sink_posted")
     val failed = spark.sparkContext.longAccumulator("http_sink_failed")
+    val latency = new LatencyHistogram()
+    spark.sparkContext.register(latency, "http_sink_latency")
     val headerNames: Seq[String] = headersCol.toSeq.flatMap { h =>
       df.schema(h).dataType match {
         case s: org.apache.spark.sql.types.StructType => s.fieldNames.toSeq
@@ -155,6 +224,7 @@ object HttpSink {
           if (wait > 0) Thread.sleep(wait / 1000000, (wait % 1000000).toInt)
         }
         var ok = false
+        val reqT0 = System.nanoTime()
         try {
           val method = row.getString(1)
           val body = if (row.isNullAt(2)) None else Some(row.getString(2))
@@ -180,10 +250,13 @@ object HttpSink {
             if (!ok) { attempt += 1; Thread.sleep(50L * attempt) }
           }
         } catch { case _: Exception => () } // malformed URL / method → failure
+        latency.add((System.nanoTime() - reqT0) / 1000L)
         if (ok) posted.add(1) else failed.add(1)
         sent += 1
       }
     }
-    (posted.value, failed.value)
+    DeliveryMetrics(posted.value, failed.value,
+      latency.percentileMs(0.50), latency.percentileMs(0.95),
+      latency.percentileMs(0.99), latency.meanMs)
   }
 }

@@ -185,4 +185,21 @@ class HttpUrlSpec extends SparkSuite {
     val urls = df.select("url").collect().map(_.getString(0)).distinct
     assert(urls.sameElements(Array("http://h/x?page.size=3")), urls.mkString(","))
   }
+
+  test("postRowsWithMetrics: latency percentiles from the merged histogram") {
+    withCaptureServer { (port, received) =>
+      val df = spark.range(40).select(
+        lit(s"http://127.0.0.1:$port/m").as("url"),
+        lit("POST").as("method"),
+        concat(lit("""{"i":"""), col("id"), lit("}")).as("value"))
+      val m = HttpSink.postRowsWithMetrics(df)
+      assert(m.posted == 40 && m.failed == 0)
+      // sane latency shape: all positive, monotone p50 <= p95 <= p99,
+      // localhost round-trips land well under a second
+      assert(m.latencyP50Ms > 0.0 && m.latencyP50Ms < 1000.0, m.toString)
+      assert(m.latencyP50Ms <= m.latencyP95Ms && m.latencyP95Ms <= m.latencyP99Ms)
+      assert(m.latencyMeanMs > 0.0 && m.latencyMeanMs < 1000.0)
+      assert(received.size == 40)
+    }
+  }
 }

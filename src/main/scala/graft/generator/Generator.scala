@@ -822,6 +822,16 @@ object Generator {
   }
 
   /** Does this spec (recursively) contain a computed [[SqlField]]? */
+  /** Does this spec (through any wrappers) generate an ARRAY column?
+    * Used by URL-serialization callers to pick the array rendering. */
+  def isArrayShaped(s: FieldSpec): Boolean = s match {
+    case _: ArraySpec => true
+    case _: UniqueFromArrayField => true
+    case EmptyArrayWrapSpec(inner, _) => isArrayShaped(inner)
+    case EdgeNullWrapSpec(inner, _, _, _) => isArrayShaped(inner)
+    case _ => false
+  }
+
   private[graft] def hasSqlDeep(s: FieldSpec): Boolean = s match {
     case _: SqlField => true
     case StructSpec(_, cs) => cs.exists(hasSqlDeep)

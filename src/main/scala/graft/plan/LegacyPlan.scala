@@ -604,10 +604,11 @@ object LegacyPlan {
         // relationship-level cardinality lives on the FK itself (current
         // layout) or under source: (older layout) — min/max/distribution
         // become a per-parent fan-out on the child task (synthesized below)
-        val card = (fk \ "cardinality") match {
-          case JNothing => fk \ "source" \ "cardinality"
-          case c => c
-        }
+        // the reference carries CardinalityConfig on EACH relation
+        // (`PlanModels.scala:27-34` — generate target first), with FK-level
+        // and source-level spellings accepted as fallbacks
+        val card = Seq(g \ "cardinality", fk \ "cardinality", fk \ "source" \ "cardinality")
+          .find(_ != JNothing).getOrElse(JNothing)
         // explicit cardinality ratio on the relation wins; else the child
         // step's count.perField on the FK fields is the ratio spelling
         // (mean of the declared draw — static count, range, or weights)
@@ -619,25 +620,41 @@ object LegacyPlan {
         val childName = child.map(_._1).getOrElse(childStep)
         // synthesize a perField fan-out on the child for cardinality
         // min/max or a non-uniform distribution (ratio+zipf → zipf over
-        // [1, 2·ratio-1], mean ≈ ratio under uniform; documented approx)
+        // [1, 2·ratio-1], mean ≈ ratio under uniform; documented approx).
+        // NESTED child fields can't fan (the carried key IS the group
+        // identity — fanOutChildren rejects them): fall back to the
+        // sampling path with the ratio mean, which nested assignKeys
+        // supports — sizes approximate, integrity exact.
+        val fanable = childFields.nonEmpty && childFields.forall(!_.contains("."))
         val synthPf: Option[(String, PerFieldDef)] =
           (dbl(card \ "min").map(_.toInt), dbl(card \ "max").map(_.toInt),
             str(card \ "distribution").filterNot(_.equalsIgnoreCase("uniform"))) match {
-            case (Some(a), Some(b), d) if childFields.nonEmpty =>
+            case (Some(a), Some(b), d) if fanable =>
               Some(childName -> PerFieldDef(childFields, None, Some(a), Some(b), None, d))
-            case (None, None, Some(d)) if childFields.nonEmpty && ratio.isDefined =>
+            case (None, None, Some(d)) if fanable && ratio.isDefined =>
               val r = math.max(math.round(ratio.get).toInt, 1)
               Some(childName -> PerFieldDef(childFields, None, Some(1),
                 Some(math.max(2 * r - 1, 1)), None, Some(d)))
             case _ => None
           }
+        // nested + min/max: carry the midpoint as the sampling ratio so the
+        // cardinality still adjusts the child count
+        val ratioAdj =
+          if (!fanable && ratio.isEmpty)
+            (dbl(card \ "min"), dbl(card \ "max")) match {
+              case (Some(a), Some(b)) => Some((a + b) / 2.0)
+              case _ => None
+            }
+          else ratio
         (RelationshipDef(s"$childName.${childFields.mkString(",")}",
-          s"$srcName.${srcFields.mkString(",")}", ratio,
+          s"$srcName.${srcFields.mkString(",")}", ratioAdj,
           // partial relationships (reference `nullability` block on the FK:
           // nullPercentage of children carry null FKs, strategy
           // random|head|tail — NullabilityStrategy.scala)
-          nullPercentage = dbl(fk \ "nullability" \ "nullPercentage").filter(_ > 0),
-          nullStrategy = str(fk \ "nullability" \ "strategy"),
+          nullPercentage = dbl(g \ "nullability" \ "nullPercentage")
+            .orElse(dbl(fk \ "nullability" \ "nullPercentage")).filter(_ > 0),
+          nullStrategy = str(g \ "nullability" \ "strategy")
+            .orElse(str(fk \ "nullability" \ "strategy")),
           // reference generationMode lives on the generate relation
           // (ForeignKeyProcessor.scala:181 `target.generationMode`); accept
           // an FK-level spelling as fallback. "partial" is the nullability

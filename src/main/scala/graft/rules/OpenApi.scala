@@ -125,15 +125,16 @@ object OpenApi {
               // array-ness from the GENERATED spec (the schema walker has
               // already resolved $ref / items-only shapes), not the raw
               // `schema.type` string
-              isArray = f.isInstanceOf[graft.generator.ArraySpec] ||
-                f.isInstanceOf[graft.generator.EmptyArrayWrapSpec] ||
-                f.isInstanceOf[graft.generator.UniqueFromArrayField],
+              isArray = graft.generator.Generator.isArrayShaped(f),
               style = style,
-              // OpenAPI serialization defaults: explode=true ONLY for
-              // style=form; every other style defaults to false
+              // REFERENCE parity: data-caterer defaults explode=true for
+              // every style (`OpenAPIConverter.scala:86`, `TaskBuilder
+              // .scala:1881`) — NOT the OpenAPI spec's style-dependent
+              // default (false for non-form). Both dialects here match the
+              // reference, so the matrix can't drift between them.
               explode = (prm \ "explode") match {
                 case JBool(b) => b
-                case _ => style.equalsIgnoreCase("form")
+                case _ => true
               })
           }))
       }

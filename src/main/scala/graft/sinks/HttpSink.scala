@@ -42,7 +42,8 @@ object HttpSink {
     // the run loudly instead of burning a full Spark job counting every
     // row as a delivery failure inside postRows' per-row catch
     val u = java.net.URI.create(url)
-    require(u.getScheme == "http" || u.getScheme == "https",
+    require(u.getScheme != null &&
+      (u.getScheme.equalsIgnoreCase("http") || u.getScheme.equalsIgnoreCase("https")),
       s"postJson url must be http(s), got '$url'")
     postRows(
       df.select(
@@ -247,7 +248,10 @@ object HttpSink {
               val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.discarding())
               ok = resp.statusCode() >= 200 && resp.statusCode() < 300
             } catch { case _: Exception => }
-            if (!ok) { attempt += 1; Thread.sleep(50L * attempt) }
+            // back off only when another attempt will actually run — a
+            // trailing sleep after the FINAL failure wastes executor time
+            // and inflates the recorded latency of permanently-failed rows
+            if (!ok) { attempt += 1; if (attempt <= maxRetries) Thread.sleep(50L * attempt) }
           }
         } catch { case _: Exception => () } // malformed URL / method → failure
         latency.add((System.nanoTime() - reqT0) / 1000L)

@@ -175,4 +175,49 @@ class FkNullabilitySpec extends SparkSuite {
     assert(events.where(col("body.amount").isNull).count() == 0)
     events.unpersist()
   }
+
+  test("legacy cardinality min/max on a NESTED child FK falls back to sampling, not an aborting fan") {
+    val planYaml =
+      """name: "p"
+        |tasks:
+        |  - name: "db"
+        |    dataSourceName: "db"
+        |sinkOptions:
+        |  foreignKeys:
+        |    - source: {dataSource: "db", step: "accounts", fields: ["account_id"]}
+        |      generate:
+        |        - dataSource: "db"
+        |          step: "events"
+        |          fields: ["body.account_id"]
+        |          cardinality: {min: 2, max: 4}
+        |""".stripMargin
+    val taskYaml =
+      """name: "db"
+        |steps:
+        |  - name: "accounts"
+        |    count: {records: 10}
+        |    fields:
+        |      - name: "account_id"
+        |        options: {regex: "ACC[0-9]{4}", isUnique: "true"}
+        |  - name: "events"
+        |    count: {records: 7}
+        |    fields:
+        |      - name: "body"
+        |        type: struct
+        |        fields:
+        |          - name: "account_id"
+        |          - name: "amount"
+        |            type: "double"
+        |""".stripMargin
+    val spec = LegacyPlan.parsePlan(planYaml, Map("db" -> taskYaml))
+    val o = MultiPlanRunner.run(s, spec)
+    val events = o.frames("events").cache()
+    // cardinality adjusts the child count to parents x midpoint(2,4)=3;
+    // integrity is exact through the nested sampling path
+    assert(events.count() == 30, s"got ${events.count()}")
+    assert(events.where(col("body.account_id").isNull).count() == 0)
+    assert(events.join(o.frames("accounts"),
+      events("body.account_id") === col("account_id"), "left_anti").count() == 0)
+    events.unpersist()
+  }
 }

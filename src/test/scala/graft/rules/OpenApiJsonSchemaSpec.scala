@@ -161,34 +161,44 @@ class OpenApiJsonSchemaSpec extends SparkSuite {
     assert(urls.sameElements(Array("http://h/api/users/7/posts?tags=x,x")), urls.mkString(","))
   }
 
-  test("OpenAPI url field: spec defaults (explode=false for non-form styles), $ref arrays, dotted names") {
-    val doc =
-      """openapi: 3.0.0
-        |info: {title: t, version: "1.0"}
-        |servers:
-        |  - url: "http://h"
-        |paths:
-        |  /q:
-        |    get:
-        |      parameters:
-        |        - name: tags
-        |          in: query
-        |          style: pipeDelimited
-        |          schema: {"$ref": "#/components/schemas/TagList"}
-        |        - name: filter.name
-        |          in: query
-        |          schema: {enum: [z]}
-        |components:
-        |  schemas:
-        |    TagList: {type: array, items: {enum: [x]}, minItems: 2, maxItems: 2}
-        |""".stripMargin
-    val op = OpenApi.parse(doc).head
-    val df = Generator.generate(s, 2,
-      op.paramFields :+ graft.generator.SqlField("url", op.urlSql), seed = 3L)
-    val urls = df.select("url").collect().map(_.getString(0)).distinct
-    // pipeDelimited + omitted explode = collapsed with '|' (OpenAPI default
-    // explode=false for every style except form); the $ref'd array resolves
-    // to array-ness; the dotted param name stays one column reference
-    assert(urls.sameElements(Array("http://h/q?tags=x|x&filter.name=z")), urls.mkString(","))
+  test("OpenAPI url field: $ref arrays, dotted names, explode defaults like the reference") {
+    def doc(explodeLine: String) =
+      s"""openapi: 3.0.0
+         |info: {title: t, version: "1.0"}
+         |servers:
+         |  - url: "http://h"
+         |paths:
+         |  /q:
+         |    get:
+         |      parameters:
+         |        - name: tags
+         |          in: query
+         |          style: pipeDelimited
+         |$explodeLine
+         |          schema: {"$$ref": "#/components/schemas/TagList"}
+         |        - name: filter.name
+         |          in: query
+         |          schema: {enum: [z]}
+         |components:
+         |  schemas:
+         |    TagList: {type: array, items: {enum: [x]}, minItems: 2, maxItems: 2}
+         |""".stripMargin
+    def urls(d: String) = {
+      val op = OpenApi.parse(d).head
+      Generator.generate(s, 2, op.paramFields :+ graft.generator.SqlField("url", op.urlSql),
+        seed = 3L).select("url").collect().map(_.getString(0)).distinct
+    }
+    // explode: false → collapsed with the declared pipe delimiter; the
+    // $ref'd array resolves to array-ness and the dotted param name stays
+    // one column reference
+    val collapsed = urls(doc("          explode: false"))
+    assert(collapsed.sameElements(Array("http://h/q?tags=x|x&filter.name=z")),
+      collapsed.mkString(","))
+    // explode OMITTED → exploded, the REFERENCE's default for every style
+    // (OpenAPIConverter.scala:86 / TaskBuilder.scala:1881), deliberately
+    // NOT the OpenAPI spec's style-dependent default
+    val exploded = urls(doc("          # explode omitted"))
+    assert(exploded.sameElements(Array("http://h/q?tags=x&tags=x&filter.name=z")),
+      exploded.mkString(","))
   }
 }

@@ -561,16 +561,21 @@ object LegacyPlan {
         s"plan '$planName' resolves duplicate step names ${dups.mkString(", ")} even " +
           "after <task>:<step> qualification — rename the steps")
     }
-    // FK addressing: (dataSource, step); a declared dataSource that exists
-    // but lacks the step, or that names no source at all, fails LOUDLY — a
-    // typo'd dataSource silently binding a unique bare step name to a
-    // DIFFERENT source would be a wrong relationship that looks right
+    // FK addressing: (dataSource, step). An FK endpoint on a data source
+    // that is NOT among the enabled tasks drops the relationship with a
+    // warning — the reference's behavior for multi-source plans run with a
+    // subset of sources enabled (`ForeignKeyValidator.scala:42-53` warns
+    // and filters; it never aborts). A dataSource that IS enabled but
+    // lacks the step still fails loudly: that's a typo inside a live
+    // source, and silently binding a unique bare step name to a DIFFERENT
+    // source would be a wrong relationship that looks right.
     val knownDs = steps.map(_._2).toSet
+    def dsEnabled(ds: String): Boolean = ds.isEmpty || knownDs.contains(ds)
+    def warnDisabled(ds: String): Unit = System.err.println(
+      s"[plan '$planName'] foreign key references data source '$ds' which is " +
+        s"not enabled (enabled: ${knownDs.toSeq.sorted.mkString(", ")}) — " +
+        "relationship skipped, as in the reference")
     def resolveStep(ds: String, step: String): Option[(String, StepInfo)] = {
-      if (ds.nonEmpty && !knownDs.contains(ds))
-        throw new IllegalArgumentException(
-          s"plan '$planName': FK references dataSource '$ds' but the enabled " +
-            s"tasks declare only ${knownDs.toSeq.sorted.mkString(", ")}")
       val byDs = steps.filter(x => x._2 == ds && stripQualifier(x._3.task.name) == step)
       val any = steps.filter(x => stripQualifier(x._3.task.name) == step)
       (if (ds.nonEmpty) byDs else any) match {
@@ -592,10 +597,14 @@ object LegacyPlan {
       // reference relations are field LISTS (PlanModels.scala:27-76) — keep
       // the whole tuple; assignKeys samples distinct parent tuples
       val srcFields = arr(fk \ "source" \ "fields").flatMap(str)
+      if (!dsEnabled(srcDs)) { warnDisabled(srcDs); Nil }
+      else {
       val srcName = resolveStep(srcDs, srcStep).map(_._1).getOrElse(srcStep)
-      arr(fk \ "generate").map { g =>
+      arr(fk \ "generate").flatMap { g =>
         val childStep = str(g \ "step").getOrElse("")
         val childDs = str(g \ "dataSource").getOrElse("")
+        if (!dsEnabled(childDs)) { warnDisabled(childDs); None }
+        else Some {
         val childFields = arr(g \ "fields").flatMap(str) match {
           case Nil => srcFields
           case fs => fs
@@ -662,6 +671,8 @@ object LegacyPlan {
           // beyond NullabilityStrategy, GenerationModeStrategy.scala:72-86)
           generationMode = str(g \ "generationMode").orElse(str(fk \ "generationMode"))
             .filter(_.equalsIgnoreCase("all-combinations"))), synthPf)
+        }
+      }
       }
     }
     val seed = str(j \ "sinkOptions" \ "seed").flatMap(_.toLongOption).getOrElse(42L)

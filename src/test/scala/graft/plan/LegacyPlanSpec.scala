@@ -643,4 +643,40 @@ class LegacyPlanSpec extends SparkSuite {
     val o = MultiPlanRunner.run(s, MultiPlanSpec("solo", 1L, tasks.take(1)))
     assert(o.frames("balances").count() == 400)
   }
+
+  test("FK on a disabled data source drops with a warning, enabled-but-missing step still aborts") {
+    // reference ForeignKeyValidator.scala:42-53: multi-source plans run
+    // with a subset of sources warn + skip the FK, never abort
+    val planYaml =
+      """name: "p"
+        |tasks:
+        |  - name: "t1"
+        |    dataSourceName: "json"
+        |sinkOptions:
+        |  foreignKeys:
+        |    - source: {dataSource: "solace", step: "jms_account", fields: ["account_id"]}
+        |      generate:
+        |        - {dataSource: "json", step: "accounts", fields: ["account_id"]}
+        |""".stripMargin
+    val taskYaml =
+      """name: "t1"
+        |steps:
+        |  - name: "accounts"
+        |    count: {records: 5}
+        |    fields:
+        |      - name: "account_id"
+        |        options: {regex: "ACC[0-9]{4}"}
+        |""".stripMargin
+    val spec = LegacyPlan.parsePlan(planYaml, Map("t1" -> taskYaml))
+    assert(spec.relationships.isEmpty, "FK with disabled source dropped")
+    assert(MultiPlanRunner.run(s, spec).frames("accounts").count() == 5)
+    // a typo INSIDE an enabled source stays loud
+    val typo = planYaml.replace("dataSource: \"solace\", step: \"jms_account\"",
+      "dataSource: \"json\", step: \"nope\"")
+    val e = intercept[IllegalArgumentException] {
+      val sp = LegacyPlan.parsePlan(typo, Map("t1" -> taskYaml))
+      MultiPlanRunner.run(s, sp)
+    }
+    assert(e.getMessage != null)
+  }
 }

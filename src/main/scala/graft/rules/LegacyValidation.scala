@@ -186,7 +186,15 @@ object LegacyValidation {
         else {
           val base = df.groupBy(keys.map(col): _*).agg(Map(aggField -> aggType))
           val short = aggField.split('.').last // struct fields: avg_balance, not avg_a.b
-          base.withColumn(s"${aggType}_$short", col(s"`$aggType($aggField)`"))
+          val withShort = base.withColumn(s"${aggType}_$short", col(s"`$aggType($aggField)`"))
+          // the reference's unified docs ALSO abbreviate to the last
+          // _-segment (`avg_balance` for aggField account_balance,
+          // validation-focused.yaml:111) — alias that spelling too when it
+          // doesn't collide with a real column
+          val tail = short.split('_').last
+          if (tail != short && !withShort.columns.contains(s"${aggType}_$tail"))
+            withShort.withColumn(s"${aggType}_$tail", col(s"`$aggType($aggField)`"))
+          else withShort
         }
       aggExprOpt match {
         case Some(aggExpr) =>

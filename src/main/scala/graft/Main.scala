@@ -32,12 +32,22 @@ object Main {
     new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
 
   private def runLegacy(planPath: String, taskFolder: String,
-      validationFolder: Option[String]): Unit = {
+      validationFolder: Option[String],
+      connections: Map[String, Map[String, String]] = Map.empty,
+      runtimeConf: Map[String, String] = Map.empty): Unit = {
     val spark = GraftSession.builder(
       sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]"),
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val o = graft.plan.LegacyPlan.runFolder(spark, readFile(planPath), taskFolder, validationFolder)
+    // application.conf runtime.config entries apply where Spark still
+    // allows runtime changes (same best-effort contract as the unified
+    // dialect's sparkConfig block)
+    runtimeConf.foreach { case (k, v) =>
+      try spark.conf.set(k, v)
+      catch { case _: Exception => System.err.println(s"[graft] runtime config '$k' not settable at runtime — skipped") }
+    }
+    val o = graft.plan.LegacyPlan.runFolder(spark, readFile(planPath), taskFolder,
+      validationFolder, connections)
     val gen = o.generation
     println(s"[graft] plan=${gen.plan} order=${gen.insertOrder.mkString(",")} " +
       s"counts=${gen.insertOrder.map(t => s"$t:${gen.counts(t)}").mkString(",")}")
@@ -55,6 +65,21 @@ object Main {
     if (args.headOption.contains("--legacy")) {
       require(args.length >= 3, "usage: graft.Main --legacy <plan.yaml> <taskFolder> [validationFolder]")
       runLegacy(args(1), args(2), args.lift(3))
+      return
+    }
+    // APPLICATION_CONFIG_PATH (the reference's `ConfigParser.getConfig`
+    // contract): folders/flags/runtime/connections come from the conf,
+    // whose own `${?ENV}` substitutions give env vars the last word
+    if (args.isEmpty && sys.env.contains("APPLICATION_CONFIG_PATH")) {
+      val conf = graft.plan.AppConfig.parse(readFile(sys.env("APPLICATION_CONFIG_PATH")))
+      val planPath = conf.folders.getOrElse("planFilePath",
+        throw new IllegalArgumentException("application.conf: folders.planFilePath missing"))
+      val taskFolder = conf.folders.getOrElse("taskFolderPath",
+        throw new IllegalArgumentException("application.conf: folders.taskFolderPath missing"))
+      // validation runs only when the flag enables it, like the reference
+      val valFolder = conf.folders.get("validationFolderPath")
+        .filter(_ => conf.flags.getOrElse("enableValidation", false))
+      runLegacy(planPath, taskFolder, valFolder, conf.connections, conf.runtimeConfig)
       return
     }
     // the reference's docker contract (application.conf `${?PLAN_FILE_PATH}`

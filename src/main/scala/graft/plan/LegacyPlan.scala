@@ -309,7 +309,13 @@ object LegacyPlan {
   /** One reference task FILE → its steps as generation tasks. */
   def parseTaskFile(text: String): Seq[TaskDef] = parseSteps(text).map(_.task)
 
-  private def parseSteps(text: String): Seq[StepInfo] = {
+  /** `conn` = the named connection's options from application.conf
+    * (AppConfig.connections, keyed by the task summary's dataSourceName) —
+    * the reference merges connection config under step options with the
+    * STEP winning (`SinkFactory` option layering). Here that means the
+    * connection may supply the step's missing `type` (format) and `path`,
+    * and its remaining options ride along under the sink's options. */
+  private def parseSteps(text: String, conn: Map[String, String] = Map.empty): Seq[StepInfo] = {
     val j = toJson(text)
     arr(j \ "steps")
       .filter(s => str(s \ "enabled").forall(_ != "false"))
@@ -346,18 +352,19 @@ object LegacyPlan {
         // concern. File formats whose jars are absent in this build
         // (delta/hudi/iceberg) fail LOUDLY — silently writing nothing at a
         // declared path is data that looks missing for no reason.
-        val typOpt = str(s \ "type")
+        val typOpt = str(s \ "type").orElse(conn.get("format"))
         typOpt.foreach(requireWritableFormat(s"step '$name'", _))
         val sink =
           if (!typOpt.forall(FileFormats.contains)) None
-          else str(s \ "options" \ "path").map { p =>
+          else str(s \ "options" \ "path").orElse(conn.get("path")).map { p =>
             val fmt = typOpt.getOrElse("parquet")
             // Spark 4's built-in XML writer REQUIRES rowTag — default it to
             // the step name (overridable via options.rowTag) so `type: xml`
             // sinks work end-to-end instead of failing at write time
             val opts =
-              (if (fmt == "xml") Map("rowTag" -> str(s \ "options" \ "rowTag").getOrElse(name))
-               else Map.empty[String, String]) ++ sinkPassThrough(s)
+              (conn - "format" - "path") ++
+                (if (fmt == "xml") Map("rowTag" -> str(s \ "options" \ "rowTag").getOrElse(name))
+                 else Map.empty[String, String]) ++ sinkPassThrough(s)
             SinkSpec(format = fmt, path = p,
               mode = str(s \ "options" \ "saveMode").getOrElse("overwrite").toLowerCase,
               options = opts)
@@ -528,7 +535,8 @@ object LegacyPlan {
     * `taskFiles` maps task-summary name → task file text (the reference
     * resolves them from a task folder; callers read the files).
     */
-  def parsePlan(planText: String, taskFiles: Map[String, String]): MultiPlanSpec = {
+  def parsePlan(planText: String, taskFiles: Map[String, String],
+      connections: Map[String, Map[String, String]] = Map.empty): MultiPlanSpec = {
     val j = toJson(planText)
     val planName = str(j \ "name").getOrElse("plan")
     val enabled = arr(j \ "tasks").filter(t => str(t \ "enabled").forall(_ != "false"))
@@ -539,7 +547,7 @@ object LegacyPlan {
       val ds = str(t \ "dataSourceName").getOrElse(taskName)
       val text = taskFiles.getOrElse(taskName,
         throw new IllegalArgumentException(s"no task file supplied for '$taskName'"))
-      parseSteps(text).map(s => (taskName, ds, s))
+      parseSteps(text, connections.getOrElse(ds, Map.empty)).map(s => (taskName, ds, s))
     }
     // a step name appearing under TWO task files is legal reference YAML
     // (addressed there by (dataSource, step)); the engine's task names must
@@ -734,8 +742,9 @@ object LegacyPlan {
     * guessing a generated frame would validate the wrong dataset.
     */
   def runFolder(spark: org.apache.spark.sql.SparkSession, planText: String,
-      taskFolder: String, validationFolder: Option[String] = None): FolderOutcome = {
-    val plan = parsePlan(planText, namedTexts(taskFolder))
+      taskFolder: String, validationFolder: Option[String] = None,
+      connections: Map[String, Map[String, String]] = Map.empty): FolderOutcome = {
+    val plan = parsePlan(planText, namedTexts(taskFolder), connections)
     val o = MultiPlanRunner.run(spark, plan)
     val validationTexts = validationFolder.map(namedTexts(_).values.toSeq).getOrElse(Nil)
     val validations = resolveValidations(planText, validationTexts).map { sv =>

@@ -34,20 +34,22 @@ object Main {
   private def runLegacy(planPath: String, taskFolder: String,
       validationFolder: Option[String],
       connections: Map[String, Map[String, String]] = Map.empty,
-      runtimeConf: Map[String, String] = Map.empty): Unit = {
-    val spark = GraftSession.builder(
-      sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]"),
-      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt).getOrCreate()
+      runtimeConf: Map[String, String] = Map.empty,
+      master: Option[String] = None,
+      generate: Boolean = true): Unit = {
+    // application.conf runtime.master + runtime.config apply at SESSION
+    // BUILD time (the reference hands them to its SparkProvider the same
+    // way) — env vars still win on master, and static confs like
+    // spark.driver.memory can only take effect here, never post-create
+    val b = GraftSession.builder(
+      sys.env.getOrElse("SPARK_GRAFT_MASTER",
+        master.getOrElse(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")),
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
+    runtimeConf.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // application.conf runtime.config entries apply where Spark still
-    // allows runtime changes (same best-effort contract as the unified
-    // dialect's sparkConfig block)
-    runtimeConf.foreach { case (k, v) =>
-      try spark.conf.set(k, v)
-      catch { case _: Exception => System.err.println(s"[graft] runtime config '$k' not settable at runtime — skipped") }
-    }
     val o = graft.plan.LegacyPlan.runFolder(spark, readFile(planPath), taskFolder,
-      validationFolder, connections)
+      validationFolder, connections, generate)
     val gen = o.generation
     println(s"[graft] plan=${gen.plan} order=${gen.insertOrder.mkString(",")} " +
       s"counts=${gen.insertOrder.map(t => s"$t:${gen.counts(t)}").mkString(",")}")
@@ -76,10 +78,15 @@ object Main {
         throw new IllegalArgumentException("application.conf: folders.planFilePath missing"))
       val taskFolder = conf.folders.getOrElse("taskFolderPath",
         throw new IllegalArgumentException("application.conf: folders.taskFolderPath missing"))
-      // validation runs only when the flag enables it, like the reference
+      // flags gate the phases like the reference: enableGenerateData
+      // (default true) and enableValidation (default false)
       val valFolder = conf.folders.get("validationFolderPath")
         .filter(_ => conf.flags.getOrElse("enableValidation", false))
-      runLegacy(planPath, taskFolder, valFolder, conf.connections, conf.runtimeConfig)
+      val generate = conf.flags.getOrElse("enableGenerateData", true)
+      if (!generate) System.err.println(
+        "[graft] flags.enableGenerateData=false — generation skipped, validations only")
+      runLegacy(planPath, taskFolder, valFolder, conf.connections,
+        conf.runtimeConfig, conf.master, generate)
       return
     }
     // the reference's docker contract (application.conf `${?PLAN_FILE_PATH}`

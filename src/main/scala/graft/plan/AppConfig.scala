@@ -31,23 +31,33 @@ object AppConfig {
     "postgres" -> "org.postgresql.Driver",
     "mysql" -> "com.mysql.cj.jdbc.Driver")
 
-  final case class Conf(entries: Map[Vector[String], String]) {
+  final case class Conf(entries: Map[Vector[String], String], blocks: Set[Vector[String]]) {
     def get(path: String*): Option[String] = entries.get(path.toVector)
 
-    /** Direct children of `prefix` that are leaf values. */
+    /** All entries under `prefix`, remaining segments joined with '.' —
+      * the reference flattens with `entrySet()` the same way
+      * (`ConfigParser.scala:73-76`), so `kafka.bootstrap.servers` inside a
+      * connection block survives as one dotted option key. */
     def section(prefix: String*): Map[String, String] = {
       val p = prefix.toVector
       entries.collect {
-        case (k, v) if k.length == p.length + 1 && k.startsWith(p) => k.last -> v
+        case (k, v) if k.length > p.length && k.startsWith(p) =>
+          k.drop(p.length).mkString(".") -> v
       }
     }
 
-    /** Names one level below `prefix` that have entries BELOW them. */
+    /** Names one level below `prefix`: entry paths AND declared (possibly
+      * EMPTY) blocks — the reference registers an empty `csv { csv { } }`
+      * connection too (any OBJECT value, `ConfigParser.scala:70-78`). */
     def subsections(prefix: String*): Seq[String] = {
       val p = prefix.toVector
-      entries.keys.collect {
+      val fromEntries = entries.keys.collect {
         case k if k.length > p.length + 1 && k.startsWith(p) => k(p.length)
-      }.toSeq.distinct.sorted
+      }
+      val fromBlocks = blocks.collect {
+        case b if b.length == p.length + 1 && b.startsWith(p) => b.last
+      }
+      (fromEntries ++ fromBlocks).toSeq.distinct.sorted
     }
 
     def flags: Map[String, Boolean] =
@@ -76,7 +86,11 @@ object AppConfig {
 
   def parse(text: String, env: String => Option[String] = sys.env.get): Conf = {
     val entries = scala.collection.mutable.LinkedHashMap[Vector[String], String]()
+    val blocks = scala.collection.mutable.Set[Vector[String]]()
     var path = Vector.empty[String]
+    // a dotted block key (`a.b { ... }`) pushes several segments at once;
+    // '}' must pop the same number
+    var pushSizes = List.empty[Int]
 
     def stripComment(line: String): String = {
       var inQ = false; var i = 0
@@ -113,10 +127,14 @@ object AppConfig {
 
     text.linesIterator.map(stripComment).map(_.trim).filter(_.nonEmpty).foreach { line =>
       if (line == "}") {
-        require(path.nonEmpty, "application.conf: unbalanced '}'")
-        path = path.dropRight(1)
+        require(pushSizes.nonEmpty, "application.conf: unbalanced '}'")
+        path = path.dropRight(pushSizes.head)
+        pushSizes = pushSizes.tail
       } else if (line.endsWith("{") && !line.contains("=")) {
-        path = path ++ keySegments(line.dropRight(1))
+        val segs = keySegments(line.dropRight(1))
+        path = path ++ segs
+        pushSizes = segs.length :: pushSizes
+        blocks += path
       } else {
         val eq = {
           // first '=' outside quotes
@@ -134,6 +152,6 @@ object AppConfig {
       }
     }
     require(path.isEmpty, "application.conf: unclosed block(s) " + path.mkString("."))
-    Conf(entries.toMap)
+    Conf(entries.toMap, blocks.toSet)
   }
 }

@@ -361,10 +361,21 @@ object LegacyPlan {
             // Spark 4's built-in XML writer REQUIRES rowTag — default it to
             // the step name (overridable via options.rowTag) so `type: xml`
             // sinks work end-to-end instead of failing at write time
+            // scalar step options ride to the writer so the STEP wins over
+            // the connection on any key it spells out (header, delimiter,
+            // compression, ...) — the documented merge order; structural
+            // keys already handled elsewhere are excluded
+            val stepScalarOpts = ((s \ "options") match {
+              case JObject(fs) => fs.collect {
+                case (k, v) if !Set("path", "saveMode")(k) && str(v).isDefined =>
+                  k -> str(v).get
+              }.toMap
+              case _ => Map.empty[String, String]
+            })
             val opts =
               (conn - "format" - "path") ++
                 (if (fmt == "xml") Map("rowTag" -> str(s \ "options" \ "rowTag").getOrElse(name))
-                 else Map.empty[String, String]) ++ sinkPassThrough(s)
+                 else Map.empty[String, String]) ++ stepScalarOpts ++ sinkPassThrough(s)
             SinkSpec(format = fmt, path = p,
               mode = str(s \ "options" \ "saveMode").getOrElse("overwrite").toLowerCase,
               options = opts)
@@ -578,11 +589,21 @@ object LegacyPlan {
     // source, and silently binding a unique bare step name to a DIFFERENT
     // source would be a wrong relationship that looks right.
     val knownDs = steps.map(_._2).toSet
+    // ALL declared data sources, enabled or not — an FK naming a declared-
+    // but-disabled source skips with a warning; one naming a source the
+    // plan NEVER declares is a typo and aborts loudly
+    val declaredDs = arr(j \ "tasks")
+      .flatMap(t => str(t \ "dataSourceName").orElse(str(t \ "name"))).toSet
     def dsEnabled(ds: String): Boolean = ds.isEmpty || knownDs.contains(ds)
-    def warnDisabled(ds: String): Unit = System.err.println(
-      s"[plan '$planName'] foreign key references data source '$ds' which is " +
-        s"not enabled (enabled: ${knownDs.toSeq.sorted.mkString(", ")}) — " +
-        "relationship skipped, as in the reference")
+    def warnDisabled(ds: String): Unit = {
+      require(declaredDs.contains(ds),
+        s"plan '$planName': FK references dataSource '$ds' which no task declares " +
+          s"(declared: ${declaredDs.toSeq.sorted.mkString(", ")}) — typo?")
+      System.err.println(
+        s"[plan '$planName'] foreign key references data source '$ds' which is " +
+          s"declared but not enabled (enabled: ${knownDs.toSeq.sorted.mkString(", ")}) — " +
+          "relationship skipped, as in the reference")
+    }
     def resolveStep(ds: String, step: String): Option[(String, StepInfo)] = {
       val byDs = steps.filter(x => x._2 == ds && stripQualifier(x._3.task.name) == step)
       val any = steps.filter(x => stripQualifier(x._3.task.name) == step)
@@ -743,9 +764,14 @@ object LegacyPlan {
     */
   def runFolder(spark: org.apache.spark.sql.SparkSession, planText: String,
       taskFolder: String, validationFolder: Option[String] = None,
-      connections: Map[String, Map[String, String]] = Map.empty): FolderOutcome = {
+      connections: Map[String, Map[String, String]] = Map.empty,
+      generate: Boolean = true): FolderOutcome = {
     val plan = parsePlan(planText, namedTexts(taskFolder), connections)
-    val o = MultiPlanRunner.run(spark, plan)
+    // flags.enableGenerateData=false (reference FlagsConfig): skip the
+    // generation phase entirely — validations still run on existing data
+    val o =
+      if (generate) MultiPlanRunner.run(spark, plan)
+      else MultiPlanRunner.MultiPlanOutcome(plan.name, Nil, Map.empty, Map.empty, Map.empty)
     val validationTexts = validationFolder.map(namedTexts(_).values.toSeq).getOrElse(Nil)
     val validations = resolveValidations(planText, validationTexts).map { sv =>
       // a validation source must say where its data lives; guessing a

@@ -82,4 +82,66 @@ class AppConfigSpec extends SparkSuite {
     assert(back.count() == 8)
     assert(back.columns.sameElements(Array("account_id")))
   }
+
+  test("parser edges: empty connections, dotted block keys, dotted option keys") {
+    // the reference's docker conf declares EMPTY connections (`csv { csv { } }`)
+    // — they still register with their format (ConfigParser.scala:70-78)
+    val docker = AppConfig.parse(java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/root/reference/example/docker/data/custom/application.conf")),
+      env = _ => None)
+    assert(docker.connections.contains("csv") || docker.connections.contains("json")
+      || docker.connections.nonEmpty, docker.connections.keySet.toString)
+    val conf = AppConfig.parse(
+      """csv {
+        |  files {
+        |  }
+        |}
+        |a.b {
+        |  x = "1"
+        |}
+        |flags {
+        |  enableCount = true
+        |}
+        |kafka {
+        |  mk {
+        |    kafka.bootstrap.servers = "host:9092"
+        |  }
+        |}
+        |""".stripMargin, env = _ => None)
+    assert(conf.connections("files") == Map("format" -> "csv"))
+    // dotted block key pushes two segments and '}' pops both
+    assert(conf.get("a", "b", "x").contains("1"))
+    assert(conf.flags("enableCount"))
+    // dotted leaf keys inside a connection flatten like the reference's
+    // entrySet (one dotted option key)
+    assert(conf.connections("mk")("kafka.bootstrap.servers") == "host:9092")
+  }
+
+  test("enableGenerateData=false skips generation, validations still run") {
+    val dir = java.nio.file.Files.createTempDirectory("noGen").toString
+    val planYaml =
+      """name: "p"
+        |tasks:
+        |  - name: "t1"
+        |    dataSourceName: "csvc"
+        |""".stripMargin
+    val taskYaml =
+      s"""name: "t1"
+         |steps:
+         |  - name: "accounts"
+         |    type: "csv"
+         |    count: {records: 4}
+         |    options: {path: "$dir/out"}
+         |    fields:
+         |      - name: "account_id"
+         |        options: {regex: "ACC[0-9]{4}"}
+         |""".stripMargin
+    val o = LegacyPlan.runFolder(s, planYaml,
+      { val d = java.nio.file.Files.createTempDirectory("tasks")
+        java.nio.file.Files.writeString(d.resolve("t1.yaml"), taskYaml); d.toString },
+      validationFolder = None, generate = false)
+    assert(o.generation.insertOrder.isEmpty && o.generation.counts.isEmpty)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/out")),
+      "no sink written when generation disabled")
+  }
 }

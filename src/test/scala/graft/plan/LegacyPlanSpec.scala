@@ -646,12 +646,16 @@ class LegacyPlanSpec extends SparkSuite {
 
   test("FK on a disabled data source drops with a warning, enabled-but-missing step still aborts") {
     // reference ForeignKeyValidator.scala:42-53: multi-source plans run
-    // with a subset of sources warn + skip the FK, never abort
+    // with a subset of sources warn + skip the FK, never abort — but the
+    // source must be DECLARED (an undeclared name is a typo and aborts)
     val planYaml =
       """name: "p"
         |tasks:
         |  - name: "t1"
         |    dataSourceName: "json"
+        |  - name: "jms_task"
+        |    dataSourceName: "solace"
+        |    enabled: false
         |sinkOptions:
         |  foreignKeys:
         |    - source: {dataSource: "solace", step: "jms_account", fields: ["account_id"]}

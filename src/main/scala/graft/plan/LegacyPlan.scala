@@ -725,13 +725,17 @@ object LegacyPlan {
   def namedTexts(folder: String): Map[String, String] = {
     val dir = java.nio.file.Paths.get(folder)
     require(java.nio.file.Files.isDirectory(dir), s"not a folder: $folder")
-    val stream = java.nio.file.Files.list(dir)
+    // RECURSIVE: the reference's deployed task folders nest by source type
+    // (`example/docker/data/custom/task/file/csv/...`) and its discovery
+    // walks the whole tree
+    val stream = java.nio.file.Files.walk(dir)
     try {
       import scala.jdk.CollectionConverters._
       stream.iterator().asScala
         .filter { p =>
           val n = p.getFileName.toString
-          n.endsWith(".yaml") || n.endsWith(".yml") || n.endsWith(".json")
+          java.nio.file.Files.isRegularFile(p) &&
+            (n.endsWith(".yaml") || n.endsWith(".yml") || n.endsWith(".json"))
         }
         .map(p => new String(java.nio.file.Files.readAllBytes(p)))
         .flatMap(text => graft.util.Jsons.str(toJson(text) \ "name").map(_ -> text))

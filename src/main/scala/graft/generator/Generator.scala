@@ -137,6 +137,26 @@ final case class TemplateField(name: String, template: String) extends FieldSpec
   }
 }
 
+/** Uniqueness-by-construction wrapper for generators whose draw space is
+  * smaller than the row count (the reference's `isUnique` on faker
+  * expressions — its engine dedups duplicates per batch and regenerates,
+  * `core/util/UniqueFieldsUtil.scala:23-60`; a projection can't regenerate,
+  * so the row index splices INTO the value instead: email-shaped values get
+  * `local.<idx>@domain`, anything else appends `-<idx>`). Unique at any
+  * scale, zero shuffle, still one codegen'd projection. */
+final case class UniqueizeSpec(inner: FieldSpec) extends FieldSpec {
+  def name: String = inner.name
+  def toColumn(u: Column, idx: Column, seed: Long): Column =
+    throw new UnsupportedOperationException("UniqueizeSpec uses toColumnWith")
+  override def toColumnWith(uniform: (String, Long, Column) => Column, seed: Long, idx: Column): Column = {
+    val v = inner.toColumnWith(uniform, seed, idx)
+    val i = idx.cast("string")
+    when(v.contains("@"),
+      concat(substring_index(v, "@", 1), lit("."), i, lit("@"), substring_index(v, "@", -1)))
+      .otherwise(concat(v, lit("-"), i))
+  }
+}
+
 /** Date in [start, start+days). */
 final case class DateField(name: String, start: String, days: Int) extends FieldSpec {
   def toColumn(u: Column, idx: Column, seed: Long): Column =

@@ -110,7 +110,11 @@ object LegacyPlan {
         arrayUniqueFrom = strList("arrayUniqueFrom"),
         arrayOneOf = strList("arrayOneOf"),
         arrayWeightedOneOf = strList("arrayWeightedOneOf"),
-        arrayFixedSize = dbl(o \ "arrayFixedSize").map(_.toInt))
+        arrayFixedSize = dbl(o \ "arrayFixedSize").map(_.toInt),
+        // carried for generators whose draw space may collide (faker
+        // expressions uniquify by construction); other types dispatch to
+        // the sequential fallback before options apply
+        unique = optFlag("isUnique"))
       if (g.isEmpty) None else Some(g)
     }
 

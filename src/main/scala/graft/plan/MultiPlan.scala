@@ -145,7 +145,11 @@ final case class GenOptions(
     arrayUniqueFrom: Option[Seq[String]] = None,
     arrayOneOf: Option[Seq[String]] = None,
     arrayWeightedOneOf: Option[Seq[String]] = None,
-    arrayFixedSize: Option[Int] = None) {
+    arrayFixedSize: Option[Int] = None,
+    /** `isUnique` on a generator whose draw space may collide (faker
+      * expressions): uniquify by construction ([[graft.generator
+      * .UniqueizeSpec]]). */
+    unique: Option[Boolean] = None) {
   def isEmpty: Boolean = this == GenOptions()
 }
 
@@ -312,8 +316,12 @@ final case class FieldDef(
     case "uuid" => UuidField(name)
     case "regex" => RegexField(name,
       pattern.getOrElse(throw new IllegalArgumentException(s"$name: regex needs pattern")))
-    case "template" | "faker" => TemplateField(name,
-      template.getOrElse(throw new IllegalArgumentException(s"$name: template needs template")))
+    case "template" | "faker" =>
+      val t = TemplateField(name,
+        template.getOrElse(throw new IllegalArgumentException(s"$name: template needs template")))
+      // isUnique on a faker expression: the lexicon draw space is far
+      // smaller than big row counts — uniquify by construction
+      if (genOpts.unique.contains(true)) UniqueizeSpec(t) else t
     case "date" =>
       val (s0, d0) = (start.getOrElse("2022-01-01"), days.getOrElse(365))
       if (genOpts.dateExcludeWeekends.contains(true)) WeekdayDateField(name, s0, d0)

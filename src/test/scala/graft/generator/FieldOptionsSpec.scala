@@ -283,4 +283,33 @@ class FieldOptionsSpec extends SparkSuite {
     assert(math.abs(frac - 0.2) < 0.035, s"edge fraction $frac")
     df.unpersist()
   }
+
+  test("isUnique on a faker expression uniquifies by construction") {
+    val yaml =
+      """name: "u"
+        |steps:
+        |  - name: "t"
+        |    count: {records: 3000}
+        |    fields:
+        |      - name: "email"
+        |        options: {expression: "#{Internet.emailAddress}", isUnique: "true"}
+        |      - name: "nick"
+        |        options: {expression: "#{Name.firstName}", isUnique: "true"}
+        |""".stripMargin
+    val tasks = LegacyPlan.parseTaskFile(yaml)
+    val df = Generator.generate(spark, 3000L, tasks.head.fields.map(_.toSpec), seed = 41L)
+      .cache()
+    // 3000 rows over a ~2000-combination email lexicon WOULD collide; the
+    // reference dedups + regenerates (UniqueFieldsUtil), a projection
+    // splices the row index in instead — all distinct, still email-shaped
+    assert(df.select(count_distinct(col("email"))).head.getLong(0) == 3000L)
+    assert(df.where(!col("email")
+      .rlike("^[a-z]+\\.[a-z]+\\.[0-9]+@[a-z.]+$")).count() == 0,
+      df.select("email").head.getString(0))
+    // non-email values append a '-<idx>' disambiguator
+    assert(df.select(count_distinct(col("nick"))).head.getLong(0) == 3000L)
+    assert(df.where(!col("nick").rlike("^[A-Za-z]+-[0-9]+$")).count() == 0,
+      df.select("nick").head.getString(0))
+    df.unpersist()
+  }
 }

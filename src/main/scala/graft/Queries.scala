@@ -348,12 +348,14 @@ object Queries {
        |    THEN cast(power(2, b) AS int) ELSE 0 END)) AS int) END AS simhash
        |FROM h""".stripMargin
 
-  // ---- q13: blocked n-gram Jaccard pairs ----
+  // ---- q13: blocked n-gram Jaccard pairs. overlapOnly replaces the
+  //          post-hoc n_inter >= 1 filter: arrays_overlap short-circuits and
+  //          the intersection is built once per surviving pair instead of
+  //          twice (filter pushdown duplicated it); same pairs, same counts ----
   private def q13(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.jaccardPairs(
       t(s, dir, "documents"), "text", "doc_id",
-      floor(col("doc_id") / 40.0).cast("int"))
-      .where(col("n_inter") >= 1)
+      floor(col("doc_id") / 40.0).cast("int"), overlapOnly = true)
       .withColumn("n_inter", col("n_inter").cast("bigint"))
       .withColumn("n_union", col("n_union").cast("bigint"))
 
@@ -416,16 +418,19 @@ object Queries {
   // ---- q18: FK distributed-sampling join: broadcast indexed lookup,
   //          row-identity-keyed assignment (DistributedSamplingStrategy) ----
   private def q18(s: SparkSession, dir: String): DataFrame = {
-    val cust = t(s, dir, "customer").select(col("c_custkey")).distinct()
-    val n = cust.count()
     // contiguous ordered index on the SMALL (lookup) side only, bounded by
     // the assert; built with sorted-array + posexplode instead of a global
-    // row_number window — map-side partial collect_list, one tiny merged row,
-    // no single-partition sort of row data (and no WindowExec warning spam).
+    // row_number window — map-side partial collect_SET (dedup inside the
+    // aggregation), one tiny merged row, no single-partition sort of row
+    // data. ONE pass over customer: the earlier distinct().count() +
+    // distinct().agg(collect_list) shape scanned and shuffled customer
+    // twice; n now reads off the persisted one-row aggregate.
     // The big side gets its index from row identity, never a global window.
+    val keys = t(s, dir, "customer")
+      .agg(sort_array(collect_set(col("c_custkey"))).as("__ks")).persist()
+    val n = keys.select(size(col("__ks"))).head().getInt(0).toLong
     require(n <= 10000000L, s"q18 lookup side unexpectedly large: $n")
-    val lookup = cust
-      .agg(sort_array(collect_list(col("c_custkey"))).as("__ks"))
+    val lookup = keys
       .select(posexplode(col("__ks")).as(Seq("idx", "c_custkey")))
       .select(col("idx").cast("long").as("idx"), col("c_custkey"))
     t(s, dir, "orders")
@@ -451,10 +456,17 @@ object Queries {
     """SELECT o_orderkey, unnest(generate_series(1, 1 + o_orderkey % 3)) AS seq_idx
       |FROM orders""".stripMargin
 
-  // ---- q20: all-combinations cross join (DataGeneratorFactory:102-127) ----
+  // ---- q20: all-combinations cross join (DataGeneratorFactory:102-127).
+  //          Both lineitem value sets come out of ONE scan (collect_set =
+  //          distinct, map-side partial) instead of two separate
+  //          distinct-shuffled scans; exploding the two tiny sets rebuilds
+  //          the identical cross product ----
   private def q20(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem").select(col("l_returnflag")).distinct()
-      .crossJoin(t(s, dir, "lineitem").select(col("l_linestatus")).distinct())
+    t(s, dir, "lineitem")
+      .agg(collect_set(col("l_returnflag")).as("__rfs"),
+        collect_set(col("l_linestatus")).as("__lss"))
+      .select(explode(col("__rfs")).as("l_returnflag"), col("__lss"))
+      .select(col("l_returnflag"), explode(col("__lss")).as("l_linestatus"))
       .crossJoin(t(s, dir, "region").select(col("r_name")).distinct())
 
   private val q20Sql =
@@ -754,11 +766,12 @@ object Queries {
   //          md5 hex is identical in Spark and DuckDB, so the whole overlay
   //          is oracle-expressible. ----
   private def q33(s: SparkSession, dir: String): DataFrame = {
-    val reg = t(s, dir, "region").select(col("r_name")).distinct()
-    val n = reg.count()
+    // one-pass lookup build via collect_set — same shape as q18
+    val keys = t(s, dir, "region")
+      .agg(sort_array(collect_set(col("r_name"))).as("__ks")).persist()
+    val n = keys.select(size(col("__ks"))).head().getInt(0).toLong
     require(n <= 1000000L, s"q33 lookup side unexpectedly large: $n")
-    val lookup = reg
-      .agg(sort_array(collect_list(col("r_name"))).as("__ks"))
+    val lookup = keys
       .select(posexplode(col("__ks")).as(Seq("idx", "r_name")))
       .select(col("idx").cast("long").as("idx"), col("r_name"))
     val orders = t(s, dir, "orders")

@@ -97,53 +97,64 @@ object Dedup {
   private val mdLocal: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
-  private val hexChars = "0123456789abcdef".toCharArray
-
-  private def md5hex(s: String): String = {
-    val d = mdLocal.get()
-    d.reset()
-    val bytes = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val out = new Array[Char](32)
-    var i = 0
-    while (i < 16) {
-      out(i * 2) = hexChars((bytes(i) >> 4) & 0xf)
-      out(i * 2 + 1) = hexChars(bytes(i) & 0xf)
-      i += 1
-    }
-    new String(out)
-  }
+  /** java-regex `\s` (ASCII class, no UNICODE_CHARACTER_CLASS) — the
+    * tokenizer contract shared with [[TF.tokens]]. */
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == 11.toChar || c == '\f' || c == '\r'
 
   /** Pure-Scala twin of the shingle+minhash chain (normalization contract =
     * [[TF.normalized]] + [[TF.tokens]]). Null when < shingleN tokens.
+    *
+    * Hot loop (the q11 CPU floor is one md5 per shingle — a DuckDB-
+    * portability constraint): tokens are scanned out manually (the earlier
+    * `replaceAll("\\s+", " ")` recompiled its regex on EVERY call) and
+    * hashed as UTF-8 byte arrays fed incrementally to the digest — no
+    * StringBuilder shingle string, no 32-char hex string, no parseLong. The
+    * 32-bit base value reads the digest's first 4 bytes directly (identical
+    * to parsing the first 8 hex chars). Values are bit-identical to the
+    * previous formulation (q11 oracle hash unchanged).
     */
   def minhashScala(text: String, k: Int, shingleN: Int): Array[Long] = {
     require(k >= 1 && k <= 64, s"minhash k=$k out of range: 64 fixed permutation constants")
     if (text == null) return null
-    val toks = text.toLowerCase.replaceAll("\\s+", " ").trim
-      .split(" ").filter(_.nonEmpty)
+    val s = text.toLowerCase
+    val n = s.length
+    val toks = new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isWs(s.charAt(i))) i += 1
+      if (i > start)
+        toks += s.substring(start, i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    }
     if (toks.length < shingleN) return null
     val as = Array.tabulate(k)(minhashA)
     val bs = Array.tabulate(k)(minhashB)
     val minimums = Array.fill(k)(Long.MaxValue)
-    val sb = new java.lang.StringBuilder()
-    var i = 0
-    while (i <= toks.length - shingleN) {
-      sb.setLength(0)
+    val d = mdLocal.get()
+    val dig = new Array[Byte](16)
+    val space = Array(' '.toByte)
+    var p = 0
+    while (p <= toks.length - shingleN) {
+      d.reset()
       var t = 0
       while (t < shingleN) {
-        if (t > 0) sb.append(' ')
-        sb.append(toks(i + t))
+        if (t > 0) d.update(space)
+        d.update(toks(p + t))
         t += 1
       }
-      // one md5 per shingle; 8 hex chars = 32-bit base value, reduced mod P
-      val v = java.lang.Long.parseLong(md5hex(sb.toString).substring(0, 8), 16) % MinhashP
+      d.digest(dig, 0, 16)
+      // first 4 digest bytes big-endian = first 8 md5 hex chars, mod P
+      val v = (((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+        ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)) % MinhashP
       var j = 0
       while (j < k) {
         val h = (as(j) * v + bs(j)) % MinhashP // as(j) < 2^31, v < 2^31 → no overflow
         if (h < minimums(j)) minimums(j) = h
         j += 1
       }
-      i += 1
+      p += 1
     }
     minimums
   }
@@ -190,12 +201,17 @@ object Dedup {
     // degenerate-bucket guard: a band bucket with m members yields m² pairs;
     // buckets past maxBucket are boilerplate collisions (empty shingle-sets,
     // template pages) and are dropped — standard LSH practice, and the knob
-    // that bounds worst-case join fan-out at 10^12 rows
-    val wcnt = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bkey"))
-    val bandedCapped = banded
-      .withColumn("__bn", count(lit(1)).over(wcnt))
-      .where(col("__bn") <= maxBucket)
-      .drop("__bn")
+    // that bounds worst-case join fan-out at 10^12 rows.
+    // Implemented as over-cap keys (map-side partial count, tiny output —
+    // at most rows/maxBucket keys by construction) broadcast into an
+    // anti-join: the earlier window-count formulation shuffled AND sorted
+    // the full banded row set per consuming branch (both self-join sides
+    // re-derived the window); this shape never moves the banded rows at all
+    val overKeys = banded.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("__bn"))
+      .where(col("__bn") > maxBucket)
+      .select(col("band"), col("bkey"))
+    val bandedCapped = banded.join(broadcast(overKeys), Seq("band", "bkey"), "left_anti")
     val a = bandedCapped.select(col("band"), col("bkey"), col("id").as("a_id"))
     val b = bandedCapped.select(col("band"), col("bkey"), col("id").as("b_id"))
     val pairs = a.join(b, Seq("band", "bkey"))
@@ -305,10 +321,14 @@ object Dedup {
       .withColumn("band", explode(array((0 until bands).map(lit): _*)))
       .withColumn("seg",
         call_function("shiftrightunsigned", col("a_ph"), col("band") * width).bitwiseAND(lit(mask)))
-    val capped = banded
-      .withColumn("__bc", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("seg"))))
-      .where(col("__bc") <= maxBucket).drop("__bc")
+    // over-cap segments via partial-agg counts + broadcast anti-join (≤
+    // rows/maxBucket keys by construction) — same shape as
+    // [[minhashCandidates]]'s cap: no shuffle/sort of the banded rows
+    val overSegs = banded.groupBy(col("band"), col("seg"))
+      .agg(count(lit(1)).as("__bc"))
+      .where(col("__bc") > maxBucket)
+      .select(col("band"), col("seg"))
+    val capped = banded.join(broadcast(overSegs), Seq("band", "seg"), "left_anti")
     val right = capped.select(
       col("band"), col("seg"), col("a_id").as("b_id"), col("a_ph").as("b_ph"))
     capped.join(right, Seq("band", "seg"))
@@ -404,8 +424,6 @@ object Dedup {
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
 
     // ---- phase 1: fused min-propagation + pointer jump ----
-    var labels: DataFrame = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint(true)
     def propRound(l: DataFrame, withJump: Boolean): DataFrame = {
       val graphE = sym.select(col("src"), col("dst"), lit(false).as("self"))
       val selfE = l.select(col("id").as("src"), col("id").as("dst"), lit(true).as("self"))
@@ -417,22 +435,41 @@ object Dedup {
           min(when(col("self"), col("dlabel"))).as("__old"))
         .select(col("src").as("id"), col("label"), col("__old"))
     }
+    // Round 0 fused with label initialization: with identity labels the
+    // dst→label join IS the identity, so the first round reduces to ONE
+    // aggregate over the symmetric edges plus per-endpoint self edges — the
+    // distinct-ids initialization job, its checkpoint, and the first
+    // round's join all disappear (the id universe and __old come out of the
+    // same groupBy; duplicate self edges are harmless under min)
+    def round0: DataFrame =
+      sym.select(col("src"), col("dst"), lit(false).as("self"))
+        .union(sym.select(col("src"), col("src").as("dst"), lit(true).as("self")))
+        .groupBy(col("src"))
+        .agg(min(col("dst")).as("label"),
+          min(when(col("self"), col("dst"))).as("__old"))
+        .select(col("src").as("id"), col("label"), col("__old"))
     // two propagation rounds per job (between checkpoints); the budget is
-    // FIXED — deep graphs move on to phase 2 instead of burning maxIter
-    val budget = math.min(8, maxIter)
+    // FIXED — deep graphs move on to phase 2 instead of burning maxIter —
+    // and RESERVES rounds for phase 2 when maxIter is small (a budget of
+    // min(8, maxIter) left the star loop, guarded by rounds < maxIter,
+    // unreachable for maxIter <= 8: non-convergence threw without ever
+    // running the phase that guarantees convergence)
+    val budget = math.min(8, math.max(1, maxIter - 4))
+    var labels: DataFrame = null
     var rounds = 0
     var done = false
     while (!done && rounds < budget) {
       val block = math.min(2, budget - rounds)
       var cur = labels
-      for (k <- 0 until block - 1) cur = propRound(cur, rounds + k >= 2).drop("__old")
+      for (k <- 0 until block - 1)
+        cur = (if (cur == null) round0 else propRound(cur, rounds + k >= 2)).drop("__old")
       val obs = org.apache.spark.sql.Observation()
-      val updated = propRound(cur, rounds + block - 1 >= 2)
+      val updated = (if (cur == null) round0 else propRound(cur, rounds + block - 1 >= 2))
         .observe(obs, count_if(col("label") =!= col("__old")).as("changed"))
         .drop("__old")
         .localCheckpoint(true)
       val changed = obs.get("changed").asInstanceOf[Long]
-      freeCheckpoint(labels)
+      if (labels != null) freeCheckpoint(labels)
       labels = updated
       done = changed == 0
       rounds += block
@@ -539,18 +576,31 @@ object Dedup {
     * be chosen so |block|² stays bounded — at 10^12 rows that means LSH
     * ([[minhashCandidates]]) supersedes this exact variant).
     * Returns (a_id, b_id, n_inter, n_union).
+    *
+    * `overlapOnly = true` keeps only pairs sharing ≥1 token, filtered with
+    * `arrays_overlap` BEFORE the set sizes are computed: overlap
+    * short-circuits on the first common element, where a post-hoc
+    * `n_inter >= 1` filter pushes the full intersection build below the
+    * projection and evaluates it twice per surviving pair. Per-pair union
+    * size is arithmetic (|A| + |B| − |A∩B|, exact — the token arrays are
+    * distinct by construction) instead of a second hash-set build.
     */
-  def jaccardPairs(df: DataFrame, textCol: String, idCol: String, blockCol: Column): DataFrame = {
+  def jaccardPairs(df: DataFrame, textCol: String, idCol: String, blockCol: Column,
+      overlapOnly: Boolean = false): DataFrame = {
     val toks = array_distinct(TF.tokens(TF.normalized(col(textCol))))
     val base = df.select(blockCol.as("block"), col(idCol).as("id"), toks.as("toks"))
     val a = base.select(col("block"), col("id").as("a_id"), col("toks").as("a_toks"))
     val b = base.select(col("block"), col("id").as("b_id"), col("toks").as("b_toks"))
-    a.join(b, Seq("block"))
+    val joined = a.join(b, Seq("block"))
       .where(col("a_id") < col("b_id"))
-      .select(
-        col("a_id"), col("b_id"),
-        size(array_intersect(col("a_toks"), col("b_toks"))).as("n_inter"),
-        size(array_union(col("a_toks"), col("b_toks"))).as("n_union"))
+    val paired = if (overlapOnly)
+      joined.where(arrays_overlap(col("a_toks"), col("b_toks")))
+    else joined
+    val nInter = size(array_intersect(col("a_toks"), col("b_toks")))
+    paired.select(
+      col("a_id"), col("b_id"),
+      nInter.as("n_inter"),
+      (size(col("a_toks")) + size(col("b_toks")) - nInter).as("n_union"))
   }
 
   // ---------- Bloom-filter assisted (reference UniqueFieldsUtil pattern) ----------

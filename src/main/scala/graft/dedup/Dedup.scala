@@ -179,25 +179,34 @@ object Dedup {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     // The signature computation (k md5-min reductions over the shingle set)
-    // is the CPU-heavy stage and the plan below references its output from
-    // several branches (banding, both sides of the pair join, final
-    // scoring). Two deliberate physical choices:
-    //  - repartition first: a small parquet scan arrives in few partitions;
-    //    without spreading, 5k docs × ~1k md5/doc run on one core
-    //  - persist the signatures: Catalyst would otherwise re-evaluate the
-    //    expression per consuming branch
-    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    // is the CPU-heavy stage. Two deliberate physical choices:
+    //  - spread the scan only when it arrives under-parallel (a small
+    //    parquet scan is one partition; without spreading, all docs hash on
+    //    one core) — when the scan is already as wide as the cluster the
+    //    repartition would shuffle the full text column for nothing;
+    //  - persist the signatures: both sides of the band self-join below
+    //    re-derive them, and Catalyst would re-run the UDF per branch
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (df.rdd.getNumPartitions >= parallelism) df else df.repartition(parallelism)
     val sigs = spread
       .select(col(idCol).as("id"), minhashSignature(col(textCol), k, shingleN).as("sig"))
       .where(col("sig").isNotNull)
       .persist()
+    // the signature rides along through banding and the pair join (an extra
+    // ~8·k bytes per banded row) so the candidate pairs can be scored
+    // directly: the earlier ids-only shape re-joined `sigs` TWICE after a
+    // pair-level distinct — two more shuffles of the full signature set at
+    // scale (the joins are shuffles once sigs outgrow a broadcast) and two
+    // more broadcast-build jobs at small scale, for a byte saving the
+    // group-by's map-side partial collapse mostly recovers
     val banded = sigs.select(
-      col("id"),
+      col("id"), col("sig"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
           md5(concat_ws("|",
             transform(slice(col("sig"), b * r + 1, lit(r)), x => x.cast("string")))).as("bkey")))).as("bk"))
-      .select(col("id"), col("bk.band"), col("bk.bkey"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.bkey"))
     // degenerate-bucket guard: a band bucket with m members yields m² pairs;
     // buckets past maxBucket are boilerplate collisions (empty shingle-sets,
     // template pages) and are dropped — standard LSH practice, and the knob
@@ -212,16 +221,17 @@ object Dedup {
       .where(col("__bn") > maxBucket)
       .select(col("band"), col("bkey"))
     val bandedCapped = banded.join(broadcast(overKeys), Seq("band", "bkey"), "left_anti")
-    val a = bandedCapped.select(col("band"), col("bkey"), col("id").as("a_id"))
-    val b = bandedCapped.select(col("band"), col("bkey"), col("id").as("b_id"))
-    val pairs = a.join(b, Seq("band", "bkey"))
-      .where(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"))
-      .distinct() // a pair may collide in several bands; ids only — cheap
+    val a = bandedCapped.select(
+      col("band"), col("bkey"), col("id").as("a_id"), col("sig").as("a_sig"))
+    val b = bandedCapped.select(
+      col("band"), col("bkey"), col("id").as("b_id"), col("sig").as("b_sig"))
+    // multi-band collisions collapse in ONE aggregation (first() is exact
+    // here: a pair's signatures are functionally dependent on its ids)
     val nEqual = size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y), p => p))
-    pairs
-      .join(sigs.select(col("id").as("a_id"), col("sig").as("a_sig")), Seq("a_id"))
-      .join(sigs.select(col("id").as("b_id"), col("sig").as("b_sig")), Seq("b_id"))
+    a.join(b, Seq("band", "bkey"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(first(col("a_sig")).as("a_sig"), first(col("b_sig")).as("b_sig"))
       .select(col("a_id"), col("b_id"), nEqual.as("n_equal"))
       .where(col("n_equal") >= minEqual)
   }

@@ -772,12 +772,26 @@ object Generator {
     }
   }
 
+  /** Hard ceiling on the bounded unrolling: each element position is its own
+    * column expression, so a task declaring `arrayMaxLen: 10000` would build
+    * a 10k-expression tree — Janino/driver planning blows up long before the
+    * data does. Per-position uniform keys embed the LITERAL index in the
+    * draw key (values are part of the oracle contract), so a size-
+    * independent sequence+transform rewrite would change generated data;
+    * instead the limit is enforced loudly at plan-build time. */
+  final val MaxUnrollLen = 1000
+
   /** The bounded unrolling every variable-length collection uses: maxLen
     * element columns sliced to a drawn length — ONE implementation of the
     * len/slice formula. */
   private[generator] def boundedArray(uniform: (String, Long, Column) => Column,
       lenKey: String, seed: Long, idx: Column, minLen: Int, maxLen: Int)
       (elem: Int => Column): Column = {
+    require(maxLen <= MaxUnrollLen,
+      s"collection '$lenKey': maxLen=$maxLen exceeds the bounded-unroll limit " +
+        s"of $MaxUnrollLen elements (each position is one column expression; " +
+        s"larger trees break codegen/planning). Lower the collection's max " +
+        s"length or split the field.")
     val len = lit(minLen) + floor(uniform(lenKey, seed, idx) * (maxLen - minLen + 1)).cast("int")
     slice(array((0 until maxLen).map(elem): _*), lit(1), len)
   }

@@ -43,6 +43,18 @@ object LegacyPlan {
 
   private def toJson(text: String): JValue = graft.util.Jsons.parse(text)
 
+  /** Boolean option accepting the YAML 1.1 spellings reference corpora use
+    * (true/false, yes/no, on/off, any case); anything else fails with the
+    * field named instead of a bare 'For input string' parse abort. */
+  private[plan] def parseBool(s: String, field: String): Boolean =
+    s.trim.toLowerCase match {
+      case "true" | "yes" | "on" | "y" | "1" => true
+      case "false" | "no" | "off" | "n" | "0" => false
+      case other => throw new IllegalArgumentException(
+        s"option '$field': unrecognized boolean value '$other' " +
+          "(expected true/false, yes/no, or on/off)")
+    }
+
   /** Run `f` under the sql semantics the reference's files were authored
     * for: the reference engine is Spark 3.5 (ansi OFF by default), where
     * e.g. `element_at(empty, 1)` is NULL and lossy casts never throw.
@@ -459,7 +471,7 @@ object LegacyPlan {
               f.name.stripPrefix("queryParam"), rawCol(f.name),
               isArray = str(c \ "type").exists(_.toLowerCase.startsWith("array")),
               style = str(c \ "options" \ "style").getOrElse("form"),
-              explode = str(c \ "options" \ "explode").forall(_.toBoolean))
+              explode = str(c \ "options" \ "explode").forall(parseBool(_, "explode")))
           })
         val urlSql = org.apache.spark.sql.GraftSqlBridge.toSqlText(urlCol)
         Some(pathFields ++ queryFields ++ Seq(
@@ -709,12 +721,27 @@ object LegacyPlan {
       }
     }
     val seed = str(j \ "sinkOptions" \ "seed").flatMap(_.toLongOption).getOrElse(42L)
-    val synthByTask = fks.flatMap(_._2).toMap
-    val tasks = steps.map(_._3.task).map(t =>
+    val synthAll = fks.flatMap(_._2)
+    // a silent last-wins here would quietly drop a DECLARED cardinality:
+    // two FK relations fanning out the same child, or a child with its own
+    // perField, must at least warn so the degradation is visible
+    synthAll.groupBy(_._1).foreach { case (task, vs) =>
+      if (vs.size > 1)
+        System.err.println(s"[legacy-plan] WARN: ${vs.size} cardinality-bearing " +
+          s"FK relations target task '$task'; only the last synthesized " +
+          "perField fan-out is kept")
+    }
+    val synthByTask = synthAll.toMap
+    val tasks = steps.map(_._3.task).map { t =>
       synthByTask.get(t.name) match {
         case Some(pf) if t.perField.isEmpty => t.copy(perField = Some(pf))
-        case _ => t
-      })
+        case Some(_) =>
+          System.err.println(s"[legacy-plan] WARN: task '${t.name}' declares " +
+            "its own perField; the FK-synthesized fan-out is ignored")
+          t
+        case None => t
+      }
+    }
     MultiPlanSpec(planName, seed, tasks, fks.map(_._1))
   }
 
@@ -773,7 +800,11 @@ object LegacyPlan {
   def runFolder(spark: org.apache.spark.sql.SparkSession, planText: String,
       taskFolder: String, validationFolder: Option[String] = None,
       connections: Map[String, Map[String, String]] = Map.empty,
-      generate: Boolean = true): FolderOutcome = {
+      generate: Boolean = true): FolderOutcome = withSpark35Semantics(spark) {
+    // the whole generate+validate body runs under the Spark 3.5 semantics
+    // the reference's files were authored for — previously only CorpusSweep
+    // wrapped this, so the production folder entry point ran ANSI-on and
+    // could fail at runtime on the same files the sweep validated
     val plan = parsePlan(planText, namedTexts(taskFolder), connections)
     // flags.enableGenerateData=false (reference FlagsConfig): skip the
     // generation phase entirely — validations still run on existing data

@@ -216,4 +216,39 @@ class DedupSpec extends SparkSuite {
       .as[String].collect().toSet
     assert(viaBloom.subsetOf(viaJoin) && viaBloom.size >= 95)
   }
+
+  test("jaccardPairs overlapOnly: identical pairs and counts to post-filtering") {
+    // overlapOnly replaces a post-hoc n_inter >= 1 filter (which pushes the
+    // full intersection build below the projection) with a short-circuit
+    // arrays_overlap — the outputs must be identical
+    val docs = Seq(
+      (1L, "red apple pie"), (2L, "red apple tart"), (3L, "blue sky high"),
+      (4L, "green grass field"), (5L, "green grass lawn"), (6L, ""), (7L, "red apple pie")
+    ).toDF("doc_id", "text")
+    def block = floor(col("doc_id") / 4.0).cast("int")
+    val full = Dedup.jaccardPairs(docs, "text", "doc_id", block)
+      .where(col("n_inter") >= 1)
+      .as[(Long, Long, Int, Int)].collect().toSet
+    val fast = Dedup.jaccardPairs(docs, "text", "doc_id", block, overlapOnly = true)
+      .as[(Long, Long, Int, Int)].collect().toSet
+    assert(fast == full && fast.nonEmpty)
+  }
+
+  test("connectedComponents: star phase reachable within a small maxIter (budget reservation)") {
+    // regression: budget = min(8, maxIter) burned the entire round
+    // allowance in phase 1 when maxIter <= 8 — the star phase (which exists
+    // to guarantee convergence) was unreachable, so a deep permuted-id path
+    // threw despite enough total rounds to finish it
+    val n = 24L
+    val P = java.math.BigInteger.valueOf(n).nextProbablePrime().longValueExact()
+    val a = 6364136223846793005L % P
+    def perm(c: org.apache.spark.sql.Column) =
+      pmod(c % P * (a % P) + 1442695040888963407L % P, lit(P))
+    val ppath = graft.SharedSpark.spark.range(0, n - 1)
+      .select(perm(col("id")).as("a_id"), perm(col("id") + 1).as("b_id"))
+    val (labels, rounds, _) = Dedup.connectedComponentsStats(ppath, maxIter = 8)
+    assert(rounds <= 8)
+    assert(labels.count() == n)
+    assert(labels.select("label").distinct().count() == 1)
+  }
 }

@@ -366,4 +366,18 @@ class GeneratorSpec extends SparkSuite {
     // values vary per element at every depth (not row-constant)
     assert(flat.select("k.markup").distinct().count() > 20)
   }
+
+  test("bounded-unroll arrays reject maxLen beyond the limit loudly") {
+    // each unrolled position is one column expression: a 10k-element array
+    // would build a 10k-expression tree (Janino/driver blowup) — the plan
+    // build must fail with the limit named, not melt down downstream
+    val e = intercept[IllegalArgumentException] {
+      Generator.generate(spark, 10L,
+        Seq(ArraySpec("big", IntField("x", 1, 5), 0, 10000)), seed = 1L)
+    }
+    assert(e.getMessage.contains("bounded-unroll") && e.getMessage.contains("10000"))
+    val ok = Generator.generate(spark, 3L,
+      Seq(ArraySpec("ok", IntField("x", 1, 5), 0, 100)), seed = 1L)
+    assert(ok.count() == 3)
+  }
 }

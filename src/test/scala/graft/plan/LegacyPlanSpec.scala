@@ -683,4 +683,15 @@ class LegacyPlanSpec extends SparkSuite {
     }
     assert(e.getMessage != null)
   }
+
+  test("boolean options accept YAML 1.1 spellings and fail with the field named") {
+    assert(LegacyPlan.parseBool("yes", "explode"))
+    assert(LegacyPlan.parseBool("ON", "explode"))
+    assert(LegacyPlan.parseBool("TRUE", "explode"))
+    assert(!LegacyPlan.parseBool("No", "explode"))
+    assert(!LegacyPlan.parseBool("off", "explode"))
+    assert(!LegacyPlan.parseBool("false", "explode"))
+    val e = intercept[IllegalArgumentException](LegacyPlan.parseBool("maybe", "explode"))
+    assert(e.getMessage.contains("explode") && e.getMessage.contains("maybe"))
+  }
 }

@@ -458,9 +458,14 @@ object Dedup {
         .agg(min(col("dst")).as("label"),
           min(when(col("self"), col("dst"))).as("__old"))
         .select(col("src").as("id"), col("label"), col("__old"))
-    // two propagation rounds per job (between checkpoints); the budget is
-    // FIXED — deep graphs move on to phase 2 instead of burning maxIter —
-    // and RESERVES rounds for phase 2 when maxIter is small (a budget of
+    // ONE propagation round per checkpointed job: a round's output feeds the
+    // next round from THREE branches (self edges, jump edges, the dst→label
+    // join side), so chaining two rounds between checkpoints re-evaluated
+    // the first round's aggregate once per consumer — measured ~40% slower
+    // than materializing every round, and the per-round convergence check
+    // exits one round earlier on odd-round fixpoints. The budget is FIXED —
+    // deep graphs move on to phase 2 instead of burning maxIter — and
+    // RESERVES rounds for phase 2 when maxIter is small (a budget of
     // min(8, maxIter) left the star loop, guarded by rounds < maxIter,
     // unreachable for maxIter <= 8: non-convergence threw without ever
     // running the phase that guarantees convergence)
@@ -469,12 +474,8 @@ object Dedup {
     var rounds = 0
     var done = false
     while (!done && rounds < budget) {
-      val block = math.min(2, budget - rounds)
-      var cur = labels
-      for (k <- 0 until block - 1)
-        cur = (if (cur == null) round0 else propRound(cur, rounds + k >= 2)).drop("__old")
       val obs = org.apache.spark.sql.Observation()
-      val updated = (if (cur == null) round0 else propRound(cur, rounds + block - 1 >= 2))
+      val updated = (if (labels == null) round0 else propRound(labels, rounds >= 2))
         .observe(obs, count_if(col("label") =!= col("__old")).as("changed"))
         .drop("__old")
         .localCheckpoint(true)
@@ -482,7 +483,7 @@ object Dedup {
       if (labels != null) freeCheckpoint(labels)
       labels = updated
       done = changed == 0
-      rounds += block
+      rounds += 1
       if (debug) System.err.println(s"[cc] prop round=$rounds changed=$changed")
     }
 
@@ -523,12 +524,17 @@ object Dedup {
           .where(col("u") =!= col("v")).distinct()
       }
 
-      var work = star(cur, large = true) // next round's large half, lazy
       var prevSig = (-1L, -1L)
       var starDone = false
       while (!starDone && rounds < maxIter) {
+        // each star half is checkpointed before the next consumes it: a
+        // star op references its input from several branches (both union
+        // orientations, the min aggregate, the join) — feeding it the LAZY
+        // large-star output re-evaluated that half once per branch
+        val large = star(cur, large = true).localCheckpoint(true)
+        freeCheckpoint(cur)
         val obs = org.apache.spark.sql.Observation()
-        val stepped = star(work, large = false)
+        val stepped = star(large, large = false)
           .observe(obs,
             count(lit(1)).as("cnt"),
             // bit_xor: order-independent, overflow-free set signature (the
@@ -536,7 +542,7 @@ object Dedup {
             coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("sig"))
           .localCheckpoint(true)
         val sig = (obs.get("cnt").asInstanceOf[Long], obs.get("sig").asInstanceOf[Long])
-        freeCheckpoint(cur)
+        freeCheckpoint(large)
         cur = stepped
         rounds += 1
         if (debug) System.err.println(s"[cc] star round=$rounds edges=${sig._1}")
@@ -544,7 +550,6 @@ object Dedup {
         // fixpoint (the star ops are deterministic functions of the set)
         starDone = sig == prevSig
         prevSig = sig
-        work = star(stepped, large = true)
       }
       if (!starDone) {
         freeCheckpoint(labels); freeCheckpoint(cur)

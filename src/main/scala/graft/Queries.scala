@@ -183,12 +183,43 @@ object Queries {
   // ---- q7: token statistics (text analysis; integers only — no float
   //          hashing hazards) ----
   private def q7(s: SparkSession, dir: String): DataFrame = {
-    val toks = TF.tokens(col("text"))
-    t(s, dir, "documents").select(
-      col("doc_id"),
-      size(toks).cast("long").as("n_tokens"),
-      size(array_distinct(toks)).cast("long").as("n_distinct"),
-      aggregate(toks, lit(0L), (acc, x) => acc + length(x).cast("long")).as("sum_token_len"))
+    // one JIT'd tokenization pass for all three stats: the Column form ran
+    // three interpreted array pipelines (split ×3 via subexpr reuse limits,
+    // array_distinct, per-token aggregate fold). Same tokenizer contract
+    // (java-regex \s runs, empties dropped — NO lowercasing here, matching
+    // TF.tokens(col) on raw text); length() counts CODE POINTS like Spark's;
+    // null text → null struct → null stats, like size(null)/aggregate(null).
+    val statsUdf = udf { (text: String) =>
+      if (text == null) null
+      else {
+        @inline def isWs(c: Char): Boolean =
+          c == ' ' || c == '\t' || c == '\n' || c == 11.toChar || c == '\f' || c == '\r'
+        val n = text.length
+        var ntok = 0L
+        var sumLen = 0L
+        val distinct = new java.util.HashSet[String]()
+        var i = 0
+        while (i < n) {
+          while (i < n && isWs(text.charAt(i))) i += 1
+          val st = i
+          while (i < n && !isWs(text.charAt(i))) i += 1
+          if (i > st) {
+            val tok = text.substring(st, i)
+            ntok += 1
+            sumLen += tok.codePointCount(0, tok.length)
+            distinct.add(tok)
+          }
+        }
+        (ntok, distinct.size.toLong, sumLen)
+      }
+    }
+    t(s, dir, "documents")
+      .withColumn("__t", statsUdf(col("text")))
+      .select(
+        col("doc_id"),
+        col("__t._1").as("n_tokens"),
+        col("__t._2").as("n_distinct"),
+        col("__t._3").as("sum_token_len"))
   }
 
   private val q7Sql =
@@ -221,10 +252,42 @@ object Queries {
 
   private def q9(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "documents")
-    val hits = langMarkers.map { case (lang, ms) =>
-      TF.markerHits(col("text"), ms).cast("long").as(s"hits_$lang")
+    // all five marker counts in ONE tokenization pass (JIT'd UDF): the
+    // five per-language TF.markerHits columns each re-split and re-filtered
+    // the text through interpreted array lambdas — 5× the tokenization for
+    // the same counts. Tokenizer contract identical (lowercase, java-regex
+    // \s runs, empties dropped); null text → null struct → null hits,
+    // exactly like size(filter(split(null))). Counts unchanged.
+    val sets: Array[Set[String]] = langMarkers.map(_._2.toSet).toArray
+    val hitsUdf = udf { (text: String) =>
+      if (text == null) null
+      else {
+        val cs = new Array[Long](5)
+        val str = text.toLowerCase
+        val n = str.length
+        var i = 0
+        while (i < n) {
+          while (i < n && (str.charAt(i) == ' ' || str.charAt(i) == '\t' ||
+            str.charAt(i) == '\n' || str.charAt(i) == 11.toChar ||
+            str.charAt(i) == '\f' || str.charAt(i) == '\r')) i += 1
+          val st = i
+          while (i < n && !(str.charAt(i) == ' ' || str.charAt(i) == '\t' ||
+            str.charAt(i) == '\n' || str.charAt(i) == 11.toChar ||
+            str.charAt(i) == '\f' || str.charAt(i) == '\r')) i += 1
+          if (i > st) {
+            val tok = str.substring(st, i)
+            var l = 0
+            while (l < 5) { if (sets(l).contains(tok)) cs(l) += 1; l += 1 }
+          }
+        }
+        (cs(0), cs(1), cs(2), cs(3), cs(4))
+      }
     }
-    val df = base.select((col("doc_id") +: hits): _*)
+    val df = base
+      .withColumn("__h", hitsUdf(col("text")))
+      .select(col("doc_id") +: langMarkers.zipWithIndex.map { case ((lang, _), i) =>
+        col(s"__h._${i + 1}").as(s"hits_$lang")
+      }: _*)
     val h = langMarkers.map { case (l, _) => col(s"hits_$l") }
     val guess = when(h(0) >= h(1) && h(0) >= h(2) && h(0) >= h(3) && h(0) >= h(4), "en")
       .when(h(1) >= h(2) && h(1) >= h(3) && h(1) >= h(4), "es")

@@ -245,28 +245,50 @@ object Dedup {
     * [[simhash64]].
     */
   def simhash16(text: Column): Column = {
-    val toks = TF.tokens(TF.normalized(text))
-    // hex digit value from its ascii code ('0'..'9' → 0..9, 'a'..'f' → 10..15)
-    // — pure arithmetic, identical in DuckDB
-    val hexv = (c: Column) =>
-      when(ascii(c) <= 57, ascii(c) - 48).otherwise(ascii(c) - 87)
-    // token hash value in [0, 65535]
-    val tokHash = (t: Column) => {
-      val h = md5(t)
-      hexv(substring(h, 1, 1)) * 4096 + hexv(substring(h, 2, 1)) * 256 +
-        hexv(substring(h, 3, 1)) * 16 + hexv(substring(h, 4, 1))
+    val f = udf((s: String) => simhash16Scala(s))
+    f(text)
+  }
+
+  /** Pure-Scala twin of the 16-bit SimHash (tokenizer contract =
+    * [[TF.normalized]] + [[TF.tokens]]; per-token hash = first 4 md5 hex
+    * digits = first 2 digest bytes big-endian; vote per bit; sign → bit).
+    * Null for null text or zero tokens — exactly the Column formulation's
+    * `when(size(toks) > 0, …)` null. The earlier all-Column HOF version ran
+    * one interpreted aggregate per bit and each re-evaluated the md5-per-
+    * token array: the sf1 noop probe (count-based bench prunes the column)
+    * measured 177 s at 50k docs, 19 s after folding the 16 votes into one
+    * pass, ~1 s as this JIT'd UDF — same reasoning as [[minhashSignature]].
+    * Values are bit-identical (q12 oracle hash unchanged).
+    */
+  def simhash16Scala(text: String): java.lang.Integer = {
+    if (text == null) return null
+    val s = text.toLowerCase
+    val n = s.length
+    val votes = new Array[Int](16)
+    val d = mdLocal.get()
+    val dig = new Array[Byte](16)
+    var ntok = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isWs(s.charAt(i))) i += 1
+      if (i > start) {
+        ntok += 1
+        d.reset()
+        d.update(s.substring(start, i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        d.digest(dig, 0, 16)
+        // first 4 hex digits of md5 = first 2 digest bytes big-endian
+        val h = ((dig(0) & 0xff) << 8) | (dig(1) & 0xff)
+        var b = 0
+        while (b < 16) { votes(b) += (if (((h >> b) & 1) == 1) 1 else -1); b += 1 }
+      }
     }
-    val hashes = transform(toks, tokHash)
-    // bit extraction by division arithmetic (no engine-specific shift ops —
-    // identical in DuckDB: floor(v / 2^b) % 2); values are < 2^16 so double
-    // arithmetic is exact
-    val bits = transform(sequence(lit(0), lit(15)), b => {
-      val p = pow(lit(2.0), b.cast("double"))
-      val vote = aggregate(hashes, lit(0),
-        (acc, h) => acc + when(pmod(floor(h / p).cast("long"), lit(2)) === 1, 1).otherwise(-1))
-      when(vote > 0, p.cast("int")).otherwise(lit(0))
-    })
-    when(size(toks) > 0, aggregate(bits, lit(0), (acc, x) => acc + x))
+    if (ntok == 0) return null
+    var out = 0
+    var b = 0
+    while (b < 16) { if (votes(b) > 0) out |= 1 << b; b += 1 }
+    out
   }
 
   /** 64-bit SimHash via xxhash64 (Spark-native fast path; not portable to
@@ -276,11 +298,13 @@ object Dedup {
   def simhash64(text: Column): Column = {
     val toks = TF.tokens(TF.normalized(text))
     val hashes = transform(toks, t => xxhash64(t))
-    val bits = transform(sequence(lit(0), lit(63)), b => {
-      val vote = aggregate(hashes, lit(0),
-        (acc, h) => acc + when(call_function("getbit", h, b) === 1, 1).otherwise(-1))
-      when(vote > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))
-    })
+    // single fold accumulating all 64 bit votes (see simhash16: per-bit
+    // aggregates re-evaluate the hashes argument once per bit)
+    val votes = aggregate(hashes, array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)), (a, b) =>
+        a + when(call_function("getbit", h, b) === 1, 1).otherwise(-1)))
+    val bits = zip_with(votes, sequence(lit(0), lit(63)), (v, b) =>
+      when(v > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L)))
     when(size(toks) > 0, aggregate(bits, lit(0L), (acc, x) => acc.bitwiseOR(x)))
   }
 

@@ -86,10 +86,42 @@ object TextFunctions {
     * shift-tolerant chunk dedup.
     */
   def rollingHash(text: Column): Column = {
-    val codes = transform(
-      filter(split(normalized(text), ""), c => length(c) > 0),
-      c => ascii(c).cast("long"))
-    aggregate(codes, lit(0L), (a, c) => pmod(a * 31 + c, lit(2147483647L)))
+    val f = org.apache.spark.sql.functions.udf((s: String) => rollingHashScala(s))
+    f(text)
+  }
+
+  /** Pure-Scala twin of the rolling hash: the Column formulation
+    * (per-char split → interpreted aggregate fold) paid one interpreted
+    * lambda eval per CHARACTER — ~3.4 s per 50k docs in the sf1 noop probe
+    * (invisible to the count-based bench, which prunes the column) vs ~0.2 s
+    * JIT'd. Semantics identical: normalization = lower, `\s+`-runs → single
+    * space, trim; fold is over CODE POINTS (Spark's split("") + ascii()
+    * yield code points, not UTF-16 units); empty normalized text folds to
+    * 0, null in → null out.
+    */
+  def rollingHashScala(text: String): java.lang.Long = {
+    if (text == null) return null
+    val s = text.toLowerCase
+    val n = s.length
+    @inline def isWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == 11.toChar || c == '\f' || c == '\r'
+    val P = 2147483647L
+    var h = 0L
+    var i = 0
+    var pendingSpace = false
+    var started = false
+    while (i < n) {
+      val c = s.charAt(i)
+      if (isWs(c)) { pendingSpace = started; i += 1 }
+      else {
+        if (pendingSpace) { h = (h * 31 + ' '.toInt) % P; pendingSpace = false }
+        val cp = s.codePointAt(i)
+        h = (h * 31 + cp) % P
+        started = true
+        i += Character.charCount(cp)
+      }
+    }
+    h
   }
 
   /** Portable 63-bit positive hash from md5 (same value in Spark, DuckDB and

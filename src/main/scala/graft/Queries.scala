@@ -43,17 +43,71 @@ object Queries {
 
   // ---- q2: declarative quality rules → keep/drop_reason in one projection
   //          (the keep/drop kernel, SURVEY §2.4) ----
-  private def q2(s: SparkSession, dir: String): DataFrame = {
-    val text = col("text")
-    val rules = Seq(
-      Rule("text_missing", text.isNotNull && length(trim(text)) > 0),
-      Rule("text_length", length(text).between(50, 400)),
-      Rule("few_tokens", TF.tokenCount(text) >= 8),
-      Rule("repetitive", TF.distinctTokenRatio(text) >= 0.3),
-      Rule("symbolic", TF.symbolRatio(text) <= 0.2))
-    RuleEngine.annotate(t(s, dir, "documents"), rules)
-      .select(col("doc_id"), col("drop_reason"), col("keep"))
+  /** q2's five text features in ONE JIT'd scan (the Column rules re-split /
+    * re-regexed the text per rule — interpreted array lambdas + a regex
+    * pass, ~2.3 s per 50k docs under noop). Field semantics mirror the
+    * Column forms EXACTLY (fuzz-pinned by RulesSpec):
+    * _1 length(trim(text)) > 0  — trim strips 0x20 only, so true iff any
+    *    code point != ' ';
+    * _2 length(text) — CODE POINTS (Spark's numChars);
+    * _3/_4 token/distinct-token count — java-regex \s runs, empties dropped;
+    * _5 symbol count — code points outside [A-Za-z0-9 \t\n\r] (note \x0B
+    *    and \f ARE symbols), i.e. length(text) − length(regexp_replace).
+    * Null text → null struct → null fields (rules coalesce to false).
+    */
+  private[graft] val q2Features = udf { (text: String) =>
+    if (text == null) null
+    else {
+      var nchar = 0L; var nsym = 0L; var ntok = 0L
+      var trimNonEmpty = false
+      val distinct = new java.util.HashSet[String]()
+      val n = text.length
+      var i = 0
+      var tokStart = -1
+      while (i < n) {
+        val cp = text.codePointAt(i)
+        nchar += 1
+        if (cp != ' '.toInt) trimNonEmpty = true
+        val isWsC = cp == ' '.toInt || cp == '\t'.toInt || cp == '\n'.toInt ||
+          cp == 0x0B || cp == '\f'.toInt || cp == '\r'.toInt
+        val allowed = (cp >= 'A'.toInt && cp <= 'Z'.toInt) ||
+          (cp >= 'a'.toInt && cp <= 'z'.toInt) ||
+          (cp >= '0'.toInt && cp <= '9'.toInt) ||
+          cp == ' '.toInt || cp == '\t'.toInt || cp == '\n'.toInt || cp == '\r'.toInt
+        if (!allowed) nsym += 1
+        if (isWsC) {
+          if (tokStart >= 0) { ntok += 1; distinct.add(text.substring(tokStart, i)); tokStart = -1 }
+        } else if (tokStart < 0) tokStart = i
+        i += Character.charCount(cp)
+      }
+      if (tokStart >= 0) { ntok += 1; distinct.add(text.substring(tokStart, n)) }
+      (trimNonEmpty, nchar, ntok, distinct.size.toLong, nsym)
+    }
   }
+
+  /** The q2 rule set over the feature struct — predicates identical to the
+    * Column-expression forms they replace (same when() null semantics). */
+  private[graft] def q2Rules(textCol: Column, f: Column): Seq[Rule] = {
+    val tne = f.getField("_1")
+    val nchar = f.getField("_2")
+    val ntok = f.getField("_3")
+    val ndis = f.getField("_4")
+    val nsym = f.getField("_5")
+    Seq(
+      Rule("text_missing", textCol.isNotNull && tne),
+      Rule("text_length", nchar.between(50, 400)),
+      Rule("few_tokens", ntok >= 8),
+      Rule("repetitive",
+        when(ntok > 0, ndis.cast("double") / ntok.cast("double")) >= 0.3),
+      Rule("symbolic",
+        when(nchar > 0, nsym.cast("double") / nchar.cast("double")) <= 0.2))
+  }
+
+  private def q2(s: SparkSession, dir: String): DataFrame =
+    RuleEngine.annotate(
+      t(s, dir, "documents").withColumn("__f", q2Features(col("text"))),
+      q2Rules(col("text"), col("__f")))
+      .select(col("doc_id"), col("drop_reason"), col("keep"))
 
   private val q2Sql =
     """WITH toks AS (
@@ -92,15 +146,27 @@ object Queries {
 
   private def q3(s: SparkSession, dir: String): DataFrame = {
     val aug = plantedCol
+    // ONE fused matcher sweep per category (scrubWithCounts — fuzz-verified
+    // identical to the staged Column chain by ScrubberSpec/
+    // CaptionFeaturesSpec) instead of ~12 regexp passes per row across the
+    // scrub chain + four staged count chains; null text → null struct →
+    // null outputs, matching scrub(null)/element_at(scrubCounts(null))
+    val scrubUdf = udf { (text: String) =>
+      if (text == null) null
+      else {
+        val (t, c) = Scrubber.scrubWithCounts(text)
+        (t, c(0).toLong, c(1).toLong, c(2).toLong, c(3).toLong)
+      }
+    }
     t(s, dir, "documents")
-      .withColumn("aug", aug)
+      .withColumn("__sc", scrubUdf(aug))
       .select(
         col("doc_id"),
-        Scrubber.scrub(col("aug")).as("scrubbed"),
-        element_at(Scrubber.scrubCounts(col("aug")), "email").cast("bigint").as("n_email"),
-        element_at(Scrubber.scrubCounts(col("aug")), "ssn").cast("bigint").as("n_ssn"),
-        element_at(Scrubber.scrubCounts(col("aug")), "phone").cast("bigint").as("n_phone"),
-        element_at(Scrubber.scrubCounts(col("aug")), "lexicon").cast("bigint").as("n_lexicon"))
+        col("__sc._1").as("scrubbed"),
+        col("__sc._2").as("n_email"),
+        col("__sc._3").as("n_ssn"),
+        col("__sc._4").as("n_phone"),
+        col("__sc._5").as("n_lexicon"))
   }
 
   private val q3Sql = {

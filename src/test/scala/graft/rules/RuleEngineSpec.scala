@@ -233,4 +233,52 @@ class RuleEngineSpec extends SparkSuite {
     val unknown = validate(s, "bogus", Seq(EqualTo(0)))
     assert(!unknown.success && unknown.samples.head("unknown_metric") == "bogus")
   }
+
+  test("fuzz: q2 fused feature rules == the Column-expression rules they replaced") {
+    // the q2 oracle query now computes its five text features in one JIT'd
+    // UDF scan; this pins (keep, drop_reason) equality against the original
+    // TF Column formulation on adversarial inputs: null, empty, all-space,
+    // lone control whitespace (\t \x0B \f), unicode (CJK = symbols),
+    // boundary lengths, token-count and ratio edges
+    import graft.functions.{TextFunctions => TF}
+    val texts: Seq[String] = Seq(
+      null, "", " ", "   ", "\t", "\u000b", "\f", "\r\n", "a", " a ",
+      "word " * 10, "x" * 50, "x" * 49, "x" * 400, "x" * 401,
+      "one two three four five six seven eight",
+      "one two three four five six seven",
+      ("tok " * 8).trim, "dup dup dup dup dup dup dup dup",
+      "a b a b a b a b a b", "!@#$%^&*()" * 10, "abc!def?ghi." * 10,
+      "\u7684\u662f\u4e0d words here \u7684",
+      "mixed  \t spacing\n runs\u000bhere now ok yes",
+      "ALLCAPS lower 0123456789 ~`[]{}",
+    ) ++ (0 until 200).map { i =>
+      val rnd = new scala.util.Random(i)
+      (0 until rnd.nextInt(120)).map { _ =>
+        val r = rnd.nextInt(12)
+        if (r < 6) ('a' + rnd.nextInt(26)).toChar
+        else if (r < 8) ' '
+        else if (r == 8) Seq('\t', '\n', '\r', 11.toChar, '\f')(rnd.nextInt(5))
+        else if (r == 9) ('0' + rnd.nextInt(10)).toChar
+        else if (r == 10) Seq('!', '@', '.', '-', '\u00e9')(rnd.nextInt(5))
+        else '\u4e2d'
+      }.mkString
+    }
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val text = col("text")
+    val oldRules = Seq(
+      Rule("text_missing", text.isNotNull && length(trim(text)) > 0),
+      Rule("text_length", length(text).between(50, 400)),
+      Rule("few_tokens", TF.tokenCount(text) >= 8),
+      Rule("repetitive", TF.distinctTokenRatio(text) >= 0.3),
+      Rule("symbolic", TF.symbolRatio(text) <= 0.2))
+    val expected = RuleEngine.annotate(df, oldRules)
+      .select("doc_id", "drop_reason", "keep").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).sortBy(_._1)
+    val got = RuleEngine.annotate(
+        df.withColumn("__f", graft.Queries.q2Features(col("text"))),
+        graft.Queries.q2Rules(col("text"), col("__f")))
+      .select("doc_id", "drop_reason", "keep").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).sortBy(_._1)
+    assert(got.toSeq == expected.toSeq)
+  }
 }

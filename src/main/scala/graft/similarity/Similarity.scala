@@ -177,29 +177,88 @@ object Similarity {
     rankTopK(sims, k)
   }
 
-  /** Nearest-centroid id as a literal projection: least() over
-    * (distance, cell) structs — codegen'd, no join, no shuffle. Struct
-    * comparison (d asc, then cell asc) gives the same argmin + tiebreak as
-    * the min(struct(...)) aggregate it replaces.
+  /** Exact twin of the `vector_cosine` Catalyst expression's arithmetic
+    * (same left-to-right double accumulation, same null-on-zero-norm), so
+    * the UDF assignment paths below rank cells by IDENTICAL doubles.
+    * Returns NaN as the "null" marker (mapped by the comparator below).
     */
-  private[similarity] def argminCell(vec: Column, centroids: Array[(Int, Seq[Float])]): Column = {
-    val entries = centroids.map { case (cell, c) =>
-      struct((-cosine(vec, typedlit(c))).as("d"), lit(cell).as("cell"))
+  @inline private def cosineScalar(v: Seq[Float], c: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var j = 0
+    while (j < c.length) {
+      val xv = v(j).toDouble; val yv = c(j).toDouble
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      j += 1
     }
-    if (entries.length == 1) lit(centroids.head._1)
-    else least(entries.toIndexedSeq: _*).getField("cell")
+    if (na == 0.0 || nb == 0.0) Double.NaN else dot / math.sqrt(na * nb)
   }
 
-  /** The `nprobe` nearest cell ids as an array — array_sort over the same
-    * (distance, cell) structs, sliced and projected. Pure projection.
+  /** (isNull(d), d, cell) comparison replicating the struct ordering the
+    * Column formulation used: null d first, then nan-safe double (−0.0 ==
+    * 0.0, NaN largest — Spark's nanSafeCompareDoubles), then cell asc.
     */
-  private[similarity] def nearestCells(vec: Column, centroids: Array[(Int, Seq[Float])], nprobe: Int): Column = {
-    val entries = centroids.map { case (cell, c) =>
-      struct((-cosine(vec, typedlit(c))).as("d"), lit(cell).as("cell"))
+  @inline private def cellLt(aNull: Boolean, aD: Double, aCell: Int,
+      bNull: Boolean, bD: Double, bCell: Int): Boolean = {
+    if (aNull != bNull) aNull
+    else if (!aNull && aD != bD) {
+      if (java.lang.Double.isNaN(aD)) false
+      else if (java.lang.Double.isNaN(bD)) true
+      else aD < bD
+    } else aCell < bCell
+  }
+
+  /** Nearest-centroid id, JIT'd: one tight loop over the (bounded ≤ nCells)
+    * centroid matrix per row. The earlier Column formulation — least() over
+    * nCells (distance, cell) structs, each wrapping a vector_cosine against
+    * an array literal — exceeded codegen size limits at realistic nCells
+    * and fell back to interpreted struct building (the IVF adversarial
+    * probe measured the assignment stage dominating the whole query).
+    * Ordering semantics replicated exactly (see [[cellLt]]): argmin of
+    * −cosine with null-distance-first and cell-asc tiebreaks.
+    */
+  private[graft] def argminCell(vec: Column, centroids: Array[(Int, Seq[Float])]): Column = {
+    if (centroids.length == 1) return lit(centroids.head._1)
+    val cells = centroids.map(_._1)
+    val mat = centroids.map(_._2.toArray)
+    val f = udf { (v: Seq[Float]) =>
+      var bestNull = false; var bestD = 0.0; var bestCell = 0
+      var init = false
+      var i = 0
+      while (i < mat.length) {
+        val cos = if (v == null) Double.NaN else cosineScalar(v, mat(i))
+        val dN = java.lang.Double.isNaN(cos)
+        val d = if (dN) 0.0 else -cos
+        if (!init || cellLt(dN, d, cells(i), bestNull, bestD, bestCell)) {
+          bestNull = dN; bestD = d; bestCell = cells(i); init = true
+        }
+        i += 1
+      }
+      bestCell
     }
-    transform(
-      slice(array_sort(array(entries.toIndexedSeq: _*)), 1, nprobe),
-      x => x.getField("cell"))
+    f(vec)
+  }
+
+  /** The `nprobe` nearest cell ids in rank order — same comparator as
+    * [[argminCell]], selection over the bounded centroid matrix. */
+  private[similarity] def nearestCells(vec: Column, centroids: Array[(Int, Seq[Float])], nprobe: Int): Column = {
+    val cells = centroids.map(_._1)
+    val mat = centroids.map(_._2.toArray)
+    val f = udf { (v: Seq[Float]) =>
+      val nulls = new Array[Boolean](mat.length)
+      val ds = new Array[Double](mat.length)
+      var i = 0
+      while (i < mat.length) {
+        val cos = if (v == null) Double.NaN else cosineScalar(v, mat(i))
+        nulls(i) = java.lang.Double.isNaN(cos)
+        ds(i) = if (nulls(i)) 0.0 else -cos
+        i += 1
+      }
+      val order = (0 until mat.length).sortWith { (a, b) =>
+        cellLt(nulls(a), ds(a), cells(a), nulls(b), ds(b), cells(b))
+      }
+      order.take(math.min(nprobe, mat.length)).map(cells(_))
+    }
+    f(vec)
   }
 
   /** Embedding near-duplicate pairs WITHOUT a caller-provided blocking key:

@@ -81,8 +81,14 @@ object IvfProbe {
       val hit = top.select(col("query_id"), col("neighbor_id"))
         .intersect(exact).count()
       val recall = hit.toDouble / (nQueries * 10)
+      // sign-LSH ANN on the same layout (lshBucket path)
+      spark.sparkContext.setJobDescription(s"ivfprobe:ann:$name")
+      val ta = System.nanoTime()
+      val annRows = similarity.Similarity.annTopK(queries, cand, dims = dims,
+        k = 10, planes = 8, multiProbe = 2).count()
+      val annSec = (System.nanoTime() - ta) / 1e9
       out(name) =
-        f"""{"sec":$sec%.2f,"result_rows":$rows,"max_seed_cell_share":$share%.4f,"recall_at_10":$recall%.4f}"""
+        f"""{"sec":$sec%.2f,"result_rows":$rows,"max_seed_cell_share":$share%.4f,"recall_at_10":$recall%.4f,"ann_sec":$annSec%.2f,"ann_rows":$annRows}"""
       println(s"$name: ${out(name)}")
       top.unpersist(); cand.unpersist()
       spark.sparkContext.setJobDescription(null)

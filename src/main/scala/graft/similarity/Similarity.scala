@@ -74,16 +74,43 @@ object Similarity {
 
   /** Sign-LSH bucket id: `planes`-bit signature from random hyperplanes.
     * Vectors with high cosine land in the same bucket with high probability.
+    *
+    * JIT'd loop over the plane matrix (same class of fix as [[argminCell]]:
+    * the per-plane zip_with+aggregate Columns ran one interpreted lambda
+    * per vector element per plane). Arithmetic replicated exactly: per
+    * plane, left-to-right Σ vec(j)·hp(j) in double; `proj >= 0` sets the
+    * bit (NaN fails the test, like the Column's `when`); a null ELEMENT
+    * nulls the plane's fold and the old `otherwise(0)` made that plane
+    * contribute 0 — preserved; a null VECTOR yields a null bucket.
     */
   def lshBucket(vec: Column, dims: Int, planes: Int, seed: Long): Column = {
-    val bits = (0 until planes).map { p =>
-      val hp = hyperplane(seed, p, dims)
-      val proj = aggregate(
-        zip_with(vec, lit(hp), (x, h) => x.cast("double") * h),
-        lit(0.0), (acc, z) => acc + z)
-      when(proj >= 0, lit(1 << p)).otherwise(lit(0))
+    val hps: Array[Array[Double]] =
+      (0 until planes).map(p => hyperplane(seed, p, dims)).toArray
+    val f = udf { (v: Seq[java.lang.Float]) =>
+      if (v == null) null.asInstanceOf[java.lang.Integer]
+      else {
+        var hasNull = false
+        var j = 0
+        while (j < v.length && !hasNull) { if (v(j) == null) hasNull = true; j += 1 }
+        // zip_with pads a length mismatch with nulls → every plane's fold
+        // nulls out → bucket 0; preserved
+        if (hasNull || v.length != dims) Integer.valueOf(0)
+        else {
+          var bucket = 0
+          var p = 0
+          while (p < hps.length) {
+            val hp = hps(p)
+            var proj = 0.0
+            var i = 0
+            while (i < v.length) { proj += v(i).doubleValue() * hp(i); i += 1 }
+            if (proj >= 0) bucket |= 1 << p
+            p += 1
+          }
+          Integer.valueOf(bucket)
+        }
+      }
     }
-    bits.reduce(_ + _)
+    f(vec)
   }
 
   /** ANN top-k: bucket both sides with sign-LSH, join within bucket (plus

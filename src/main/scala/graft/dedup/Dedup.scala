@@ -220,20 +220,33 @@ object Dedup {
       .agg(count(lit(1)).as("__bn"))
       .where(col("__bn") > maxBucket)
       .select(col("band"), col("bkey"))
+      // persisted: BOTH self-join sides anti-join against these keys and
+      // Spark does not reuse the broadcast stage (probed: ReusedExchange=0
+      // in the executed plan), so without the cache the count aggregation —
+      // a full pass over the banded set — runs once per side. The cached
+      // frame itself is tiny (over-cap keys only; typically empty).
+      .persist()
     val bandedCapped = banded.join(broadcast(overKeys), Seq("band", "bkey"), "left_anti")
     val a = bandedCapped.select(
       col("band"), col("bkey"), col("id").as("a_id"), col("sig").as("a_sig"))
     val b = bandedCapped.select(
       col("band"), col("bkey"), col("id").as("b_id"), col("sig").as("b_sig"))
-    // multi-band collisions collapse in ONE aggregation (first() is exact
-    // here: a pair's signatures are functionally dependent on its ids)
+    // score each collision row, filter, THEN collapse multi-band collisions:
+    // n_equal is a function of the pair (signatures are functionally
+    // dependent on ids), so computing it per collision row (a 16-slot zip
+    // compare, ≤ bands duplicates per pair) and filtering first means only
+    // SURVIVING pairs reach the dedup aggregation — and they carry one int
+    // instead of two k-element signature arrays, so the aggregate is a
+    // HashAggregate on a narrow exchange (first(array) forced a
+    // SortAggregate: array buffers aren't hash-aggregable, which added two
+    // Sorts of the full collision set and shuffled ~2·8·k bytes per row)
     val nEqual = size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y), p => p))
     a.join(b, Seq("band", "bkey"))
       .where(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(first(col("a_sig")).as("a_sig"), first(col("b_sig")).as("b_sig"))
       .select(col("a_id"), col("b_id"), nEqual.as("n_equal"))
       .where(col("n_equal") >= minEqual)
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(min(col("n_equal")).as("n_equal"))
   }
 
   // ---------- SimHash ----------
@@ -362,16 +375,28 @@ object Dedup {
       .agg(count(lit(1)).as("__bc"))
       .where(col("__bc") > maxBucket)
       .select(col("band"), col("seg"))
+      // persisted for the same reason as [[minhashCandidates]]'s overKeys:
+      // both self-join sides consume it, the broadcast stage is NOT reused
+      // (probed), and the count agg is a full pass over the banded rows
+      .persist()
     val capped = banded.join(broadcast(overSegs), Seq("band", "seg"), "left_anti")
     val right = capped.select(
       col("band"), col("seg"), col("a_id").as("b_id"), col("a_ph").as("b_ph"))
+    // dist is computed and filtered BEFORE the multi-band dedup: bit_count
+    // is ~one instruction per collision row, while the old
+    // distinct-then-filter shape pushed EVERY band collision (with both
+    // 8-byte hashes) through the distinct's exchange and only then dropped
+    // the far-apart pairs — the vast majority at realistic thresholds. Now
+    // only qualifying rows (bounded by the true near-dup pair count × bands)
+    // reach the shuffle, and they are narrower. Equivalent set: dist is a
+    // function of the pair, so distinct(a_id, b_id, dist) == the old
+    // distinct-on-pair, and filter/distinct commute.
     capped.join(right, Seq("band", "seg"))
       .where(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_ph"), col("b_ph"))
-      .distinct() // a pair can collide on several bands
       .withColumn("dist", hamming64(col("a_ph"), col("b_ph")).cast("int"))
       .where(col("dist") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("dist"))
+      .distinct() // a pair can collide on several bands
   }
 
   /** Connected components over an undirected candidate-pair edge list

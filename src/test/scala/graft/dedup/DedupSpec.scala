@@ -32,6 +32,11 @@ class DedupSpec extends SparkSuite {
     assert(cands.exists { case (a, b, _) => a == 1L && b == 2L })
     // doc 4 shares nothing
     assert(!cands.exists { case (a, b, _) => a == 4L || b == 4L })
+    // multi-band collisions collapse to ONE row per pair (the exact dup
+    // pair (1,3) collides in all 4 bands; the score-filter-then-groupBy
+    // shape must still dedup)
+    val pairKeys = cands.map { case (a, b, _) => (a, b) }
+    assert(pairKeys.distinct.length == pairKeys.length)
   }
 
   test("simhash64 matches the Scala reference implementation (xxhash parity)") {
@@ -95,8 +100,12 @@ class DedupSpec extends SparkSuite {
       .withColumn("ph", col("ph0").bitwiseXOR(
         when(col("id") % 2 === 1, org.apache.spark.sql.functions.expr("shiftleft(1L, cast(id % 48 as int))")).otherwise(0L)))
       .select(col("id"), col("ph"))
-    val banded = Dedup.phashNearDup(corpus, "id", "ph", maxHamming = 3)
-      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val bandedRows = Dedup.phashNearDup(corpus, "id", "ph", maxHamming = 3)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    // identical hashes (dist 0, id % 37 groups) collide in EVERY band — the
+    // dist-filter-then-distinct shape must still collapse them to one row
+    assert(bandedRows.distinct.length == bandedRows.length)
+    val banded = bandedRows.toSet
     val brute = corpus.as[(Long, Long)].collect()
     val expected = (for {
       (i, pi) <- brute; (j, pj) <- brute if i < j

@@ -555,7 +555,16 @@ object Queries {
     // distinct().agg(collect_list) shape scanned and shuffled customer
     // twice; n now reads off the persisted one-row aggregate.
     // The big side gets its index from row identity, never a global window.
-    val keys = t(s, dir, "customer")
+    val cust = t(s, dir, "customer")
+    // loud pre-guard BEFORE the single-buffer collect_set materializes: a
+    // parquet row count is metadata-cheap and bounds the distinct count
+    // from above; only a table past the bound pays a distributed distinct
+    // count to fail (or pass) loudly — without this, an oversized lookup
+    // side would OOM inside the collect_set before the require could fire
+    if (cust.count() > 10000000L)
+      require(cust.select(count_distinct(col("c_custkey"))).head().getLong(0) <= 10000000L,
+        "q18 lookup side unexpectedly large")
+    val keys = cust
       .agg(sort_array(collect_set(col("c_custkey"))).as("__ks")).persist()
     val n = keys.select(size(col("__ks"))).head().getInt(0).toLong
     require(n <= 10000000L, s"q18 lookup side unexpectedly large: $n")
@@ -591,11 +600,22 @@ object Queries {
   //          distinct-shuffled scans; exploding the two tiny sets rebuilds
   //          the identical cross product ----
   private def q20(s: SparkSession, dir: String): DataFrame =
+    // collect_set DROPS nulls where SELECT DISTINCT keeps one — a null flag
+    // per column re-appends the null element so the one-scan shape stays
+    // byte-equivalent to the oracle's DISTINCT even on null-bearing data
+    // (max over zero rows is null → otherwise-branch → empty set, matching)
     t(s, dir, "lineitem")
       .agg(collect_set(col("l_returnflag")).as("__rfs"),
-        collect_set(col("l_linestatus")).as("__lss"))
-      .select(explode(col("__rfs")).as("l_returnflag"), col("__lss"))
-      .select(col("l_returnflag"), explode(col("__lss")).as("l_linestatus"))
+        max(col("l_returnflag").isNull).as("__rfn"),
+        collect_set(col("l_linestatus")).as("__lss"),
+        max(col("l_linestatus").isNull).as("__lsn"))
+      .select(
+        explode(when(col("__rfn"), array_append(col("__rfs"), lit(null).cast("string")))
+          .otherwise(col("__rfs"))).as("l_returnflag"),
+        col("__lss"), col("__lsn"))
+      .select(col("l_returnflag"),
+        explode(when(col("__lsn"), array_append(col("__lss"), lit(null).cast("string")))
+          .otherwise(col("__lss"))).as("l_linestatus"))
       .crossJoin(t(s, dir, "region").select(col("r_name")).distinct())
 
   private val q20Sql =
@@ -896,7 +916,13 @@ object Queries {
   //          is oracle-expressible. ----
   private def q33(s: SparkSession, dir: String): DataFrame = {
     // one-pass lookup build via collect_set — same shape as q18
-    val keys = t(s, dir, "region")
+    val reg = t(s, dir, "region")
+    // same pre-guard ordering as q18: metadata row count first, distinct
+    // count only on the dangerous path, collect_set only once bounded
+    if (reg.count() > 1000000L)
+      require(reg.select(count_distinct(col("r_name"))).head().getLong(0) <= 1000000L,
+        "q33 lookup side unexpectedly large")
+    val keys = reg
       .agg(sort_array(collect_set(col("r_name"))).as("__ks")).persist()
     val n = keys.select(size(col("__ks"))).head().getInt(0).toLong
     require(n <= 1000000L, s"q33 lookup side unexpectedly large: $n")

@@ -37,10 +37,23 @@ object Sf1Gen {
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")
       println(s"$t: copied")
     }
+    // an FK column's stride must come from the table that OWNS the key
+    // space: shifting o_custkey by orders' own max would drift out of
+    // customer's copy ranges whenever max(o_custkey) < max(c_custkey)
+    // (customers with no orders), silently breaking the FK joins the probe
+    // exists to stress. (The two maxima happen to coincide on sf0.1; this
+    // pins the alignment structurally.)
+    val keyOwner: Map[String, (String, String)] = Map(
+      "o_custkey" -> ("customer", "c_custkey"),
+      "l_orderkey" -> ("orders", "o_orderkey"))
     keyCols.foreach { case (t, keys) =>
       val df = spark.read.parquet(s"$src/$t.parquet")
       val strides = keys.map { k =>
-        k -> (df.agg(max(col(k))).head().getLong(0) + 1L)
+        k -> (keyOwner.get(k) match {
+          case Some((pt, pk)) =>
+            spark.read.parquet(s"$src/$pt.parquet").agg(max(col(pk))).head().getLong(0) + 1L
+          case None => df.agg(max(col(k))).head().getLong(0) + 1L
+        })
       }.toMap
       val scaled = keys.foldLeft(
         df.withColumn("__k", explode(sequence(lit(0L), lit(copies - 1L))))) {

@@ -187,8 +187,23 @@ object Dedup {
     //  - persist the signatures: both sides of the band self-join below
     //    re-derive them, and Catalyst would re-run the UDF per branch
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    // The partition-count probe is restricted to narrow scan-shaped inputs:
+    // under AQE, df.rdd finalizes the adaptive plan, which EXECUTES every
+    // shuffle stage below the result stage — for a join/aggregate input the
+    // probe would run the caller's whole pipeline once and the (uncached)
+    // signature pass would run it again. Complex inputs take the
+    // unconditional repartition instead: one possibly-redundant exchange
+    // beats a double-executed upstream.
+    val scanShaped = {
+      import org.apache.spark.sql.catalyst.plans.logical
+      df.queryExecution.analyzed.collect {
+        case p if !p.isInstanceOf[logical.Project] && !p.isInstanceOf[logical.Filter] &&
+          !p.isInstanceOf[logical.SubqueryAlias] && !p.isInstanceOf[logical.LeafNode] => p
+      }.isEmpty
+    }
     val spread =
-      if (df.rdd.getNumPartitions >= parallelism) df else df.repartition(parallelism)
+      if (scanShaped && df.rdd.getNumPartitions >= parallelism) df
+      else df.repartition(parallelism)
     val sigs = spread
       .select(col(idCol).as("id"), minhashSignature(col(textCol), k, shingleN).as("sig"))
       .where(col("sig").isNotNull)
@@ -226,7 +241,18 @@ object Dedup {
       // a full pass over the banded set — runs once per side. The cached
       // frame itself is tiny (over-cap keys only; typically empty).
       .persist()
-    val bandedCapped = banded.join(broadcast(overKeys), Seq("band", "bkey"), "left_anti")
+    // materialize the key list once; its SIZE picks the plan. Zero over-cap
+    // buckets — the common case — drops the anti-join entirely; a small
+    // list broadcasts; a pathological list falls back to a shuffle
+    // anti-join (the rows/maxBucket worst case can exceed driver/broadcast
+    // limits at 10^12 banded rows — a forced broadcast would be a driver
+    // cliff where the old window formulation degraded gracefully)
+    val nOver = overKeys.count()
+    val bandedCapped =
+      if (nOver == 0) { overKeys.unpersist(); banded }
+      else if (nOver <= 1000000L)
+        banded.join(broadcast(overKeys), Seq("band", "bkey"), "left_anti")
+      else banded.join(overKeys, Seq("band", "bkey"), "left_anti")
     val a = bandedCapped.select(
       col("band"), col("bkey"), col("id").as("a_id"), col("sig").as("a_sig"))
     val b = bandedCapped.select(
@@ -379,7 +405,15 @@ object Dedup {
       // both self-join sides consume it, the broadcast stage is NOT reused
       // (probed), and the count agg is a full pass over the banded rows
       .persist()
-    val capped = banded.join(broadcast(overSegs), Seq("band", "seg"), "left_anti")
+    // size-adaptive cap plan, exactly as in [[minhashCandidates]]: empty →
+    // no anti-join at all, small → broadcast, pathological → shuffle
+    // anti-join instead of a driver-limit broadcast failure
+    val nOver = overSegs.count()
+    val capped =
+      if (nOver == 0) { overSegs.unpersist(); banded }
+      else if (nOver <= 1000000L)
+        banded.join(broadcast(overSegs), Seq("band", "seg"), "left_anti")
+      else banded.join(overSegs, Seq("band", "seg"), "left_anti")
     val right = capped.select(
       col("band"), col("seg"), col("a_id").as("b_id"), col("a_ph").as("b_ph"))
     // dist is computed and filtered BEFORE the multi-band dedup: bit_count

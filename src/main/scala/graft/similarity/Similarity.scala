@@ -248,6 +248,12 @@ object Similarity {
     val cells = centroids.map(_._1)
     val mat = centroids.map(_._2.toArray)
     val f = udf { (v: Seq[Float]) =>
+      // the Column formulation's vector_cosine threw on a length mismatch;
+      // keep that loud (cosineScalar iterates the centroid's length and
+      // would otherwise silently truncate a longer vector)
+      if (v != null && v.length != mat(0).length)
+        throw new IllegalArgumentException(
+          s"vector length ${v.length} != centroid dims ${mat(0).length}")
       var bestNull = false; var bestD = 0.0; var bestCell = 0
       var init = false
       var i = 0
@@ -271,6 +277,10 @@ object Similarity {
     val cells = centroids.map(_._1)
     val mat = centroids.map(_._2.toArray)
     val f = udf { (v: Seq[Float]) =>
+      // same loud length guard as [[argminCell]]
+      if (v != null && mat.nonEmpty && v.length != mat(0).length)
+        throw new IllegalArgumentException(
+          s"vector length ${v.length} != centroid dims ${mat(0).length}")
       val nulls = new Array[Boolean](mat.length)
       val ds = new Array[Double](mat.length)
       var i = 0

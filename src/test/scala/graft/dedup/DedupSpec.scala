@@ -39,6 +39,21 @@ class DedupSpec extends SparkSuite {
     assert(pairKeys.distinct.length == pairKeys.length)
   }
 
+  test("minhash candidates: aggregated (non-scan) input matches the scan path") {
+    // a groupBy upstream is NOT scan-shaped, so the partition probe must
+    // not fire (under AQE, df.rdd would execute the aggregate once just to
+    // read a partition count) — the unconditional-repartition branch must
+    // produce the identical candidate set
+    val viaScan = Dedup.minhashCandidates(docs, "text", "doc_id",
+      k = 8, shingleN = 2, bands = 4, minEqual = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val agged = docs.groupBy(col("doc_id")).agg(first(col("text")).as("text"))
+    val viaAgg = Dedup.minhashCandidates(agged, "text", "doc_id",
+      k = 8, shingleN = 2, bands = 4, minEqual = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaAgg == viaScan)
+  }
+
   test("simhash64 matches the Scala reference implementation (xxhash parity)") {
     val got = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -546,31 +546,51 @@ object Queries {
 
   // ---- q18: FK distributed-sampling join: broadcast indexed lookup,
   //          row-identity-keyed assignment (DistributedSamplingStrategy) ----
-  private def q18(s: SparkSession, dir: String): DataFrame = {
-    // contiguous ordered index on the SMALL (lookup) side only, bounded by
-    // the assert; built with sorted-array + posexplode instead of a global
-    // row_number window — map-side partial collect_SET (dedup inside the
-    // aggregation), one tiny merged row, no single-partition sort of row
-    // data. ONE pass over customer: the earlier distinct().count() +
-    // distinct().agg(collect_list) shape scanned and shuffled customer
-    // twice; n now reads off the persisted one-row aggregate.
-    // The big side gets its index from row identity, never a global window.
-    val cust = t(s, dir, "customer")
-    // loud pre-guard BEFORE the single-buffer collect_set materializes: a
-    // parquet row count is metadata-cheap and bounds the distinct count
-    // from above; only a table past the bound pays a distributed distinct
-    // count to fail (or pass) loudly — without this, an oversized lookup
-    // side would OOM inside the collect_set before the require could fire
-    if (cust.count() > 10000000L)
-      require(cust.select(count_distinct(col("c_custkey"))).head().getLong(0) <= 10000000L,
-        "q18 lookup side unexpectedly large")
-    val keys = cust
-      .agg(sort_array(collect_set(col("c_custkey"))).as("__ks")).persist()
+  /** One-scan bounded lookup build shared by q18/q33: contiguous ordered
+    * index on the SMALL (lookup) side only, built with sorted-array +
+    * posexplode instead of a global row_number window — map-side partial
+    * collect_SET (dedup inside the aggregation), one tiny merged row, no
+    * single-partition sort of row data, and ONE pass over the table (the
+    * earlier distinct().count() + distinct().agg(collect_list) shape
+    * scanned and shuffled it twice).
+    *
+    * Null parity: collect_set DROPS a NULL key that the oracle's SELECT
+    * DISTINCT keeps, so a null flag from the same aggregation re-appends it
+    * — at the END, matching DuckDB's default NULLS LAST in the oracle's
+    * row_number(ORDER BY key) (Spark's sort_array puts nulls FIRST, which
+    * is why the null can't just ride through the sort).
+    *
+    * Guard ordering: a metadata-cheap row count bounds the distinct count
+    * from above BEFORE the single-buffer collect_set materializes; only a
+    * table past the bound pays a distributed distinct count to fail (or
+    * pass) loudly — without this, an oversized lookup side would OOM inside
+    * the collect_set before the require could fire.
+    *
+    * Returns (lookup frame of (idx, <keyCol>), n = lookup size).
+    */
+  private def boundedLookup(df: DataFrame, keyCol: String, keyType: String,
+      cap: Long, qname: String): (DataFrame, Long) = {
+    if (df.count() > cap)
+      require(df.select(count_distinct(col(keyCol))).head().getLong(0) <= cap,
+        s"$qname lookup side unexpectedly large")
+    val keys = df
+      .agg(sort_array(collect_set(col(keyCol))).as("__k0"),
+        max(col(keyCol).isNull).as("__kn"))
+      .select(when(col("__kn"), array_append(col("__k0"), lit(null).cast(keyType)))
+        .otherwise(col("__k0")).as("__ks"))
+      .persist()
     val n = keys.select(size(col("__ks"))).head().getInt(0).toLong
-    require(n <= 10000000L, s"q18 lookup side unexpectedly large: $n")
+    require(n <= cap, s"$qname lookup side unexpectedly large: $n")
     val lookup = keys
-      .select(posexplode(col("__ks")).as(Seq("idx", "c_custkey")))
-      .select(col("idx").cast("long").as("idx"), col("c_custkey"))
+      .select(posexplode(col("__ks")).as(Seq("idx", keyCol)))
+      .select(col("idx").cast("long").as("idx"), col(keyCol))
+    (lookup, n)
+  }
+
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    // the big side gets its index from row identity, never a global window
+    val (lookup, n) =
+      boundedLookup(t(s, dir, "customer"), "c_custkey", "bigint", 10000000L, "q18")
     t(s, dir, "orders")
       .withColumn("idx", pmod(col("o_orderkey"), lit(n)))
       .join(broadcast(lookup), Seq("idx"))
@@ -915,20 +935,9 @@ object Queries {
   //          md5 hex is identical in Spark and DuckDB, so the whole overlay
   //          is oracle-expressible. ----
   private def q33(s: SparkSession, dir: String): DataFrame = {
-    // one-pass lookup build via collect_set — same shape as q18
-    val reg = t(s, dir, "region")
-    // same pre-guard ordering as q18: metadata row count first, distinct
-    // count only on the dangerous path, collect_set only once bounded
-    if (reg.count() > 1000000L)
-      require(reg.select(count_distinct(col("r_name"))).head().getLong(0) <= 1000000L,
-        "q33 lookup side unexpectedly large")
-    val keys = reg
-      .agg(sort_array(collect_set(col("r_name"))).as("__ks")).persist()
-    val n = keys.select(size(col("__ks"))).head().getInt(0).toLong
-    require(n <= 1000000L, s"q33 lookup side unexpectedly large: $n")
-    val lookup = keys
-      .select(posexplode(col("__ks")).as(Seq("idx", "r_name")))
-      .select(col("idx").cast("long").as("idx"), col("r_name"))
+    // one-pass null-preserving lookup build — shared with q18
+    val (lookup, n) =
+      boundedLookup(t(s, dir, "region"), "r_name", "string", 1000000L, "q33")
     val orders = t(s, dir, "orders")
     val total = orders.count()
     val assigned = orders

@@ -196,9 +196,13 @@ object Dedup {
     // beats a double-executed upstream.
     val scanShaped = {
       import org.apache.spark.sql.catalyst.plans.logical
+      // p.subqueries: a Filter carrying an IN/scalar subquery hides an
+      // arbitrary pipeline inside its EXPRESSION tree, which collect does
+      // not traverse — such a plan is not scan-shaped either
       df.queryExecution.analyzed.collect {
-        case p if !p.isInstanceOf[logical.Project] && !p.isInstanceOf[logical.Filter] &&
-          !p.isInstanceOf[logical.SubqueryAlias] && !p.isInstanceOf[logical.LeafNode] => p
+        case p if p.subqueries.nonEmpty ||
+          (!p.isInstanceOf[logical.Project] && !p.isInstanceOf[logical.Filter] &&
+            !p.isInstanceOf[logical.SubqueryAlias] && !p.isInstanceOf[logical.LeafNode]) => p
       }.isEmpty
     }
     val spread =
@@ -241,18 +245,7 @@ object Dedup {
       // a full pass over the banded set — runs once per side. The cached
       // frame itself is tiny (over-cap keys only; typically empty).
       .persist()
-    // materialize the key list once; its SIZE picks the plan. Zero over-cap
-    // buckets — the common case — drops the anti-join entirely; a small
-    // list broadcasts; a pathological list falls back to a shuffle
-    // anti-join (the rows/maxBucket worst case can exceed driver/broadcast
-    // limits at 10^12 banded rows — a forced broadcast would be a driver
-    // cliff where the old window formulation degraded gracefully)
-    val nOver = overKeys.count()
-    val bandedCapped =
-      if (nOver == 0) { overKeys.unpersist(); banded }
-      else if (nOver <= 1000000L)
-        banded.join(broadcast(overKeys), Seq("band", "bkey"), "left_anti")
-      else banded.join(overKeys, Seq("band", "bkey"), "left_anti")
+    val bandedCapped = applyBucketCap(banded, overKeys, Seq("band", "bkey"))
     val a = bandedCapped.select(
       col("band"), col("bkey"), col("id").as("a_id"), col("sig").as("a_sig"))
     val b = bandedCapped.select(
@@ -367,6 +360,24 @@ object Dedup {
   /** Hamming distance between two 64-bit simhashes as a Column. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Size-adaptive bucket-cap anti-join shared by [[minhashCandidates]] and
+    * [[phashNearDup]]: `overKeys` (the persisted over-cap bucket key list)
+    * is materialized once and its SIZE picks the plan — zero keys (the
+    * common case) drops the anti-join entirely; a small list broadcasts; a
+    * pathological list falls back to a shuffle anti-join (the
+    * rows/maxBucket worst case can exceed driver/broadcast limits at 10^12
+    * banded rows — a forced broadcast would be a driver cliff where the
+    * pre-r6 window formulation degraded gracefully).
+    */
+  private def applyBucketCap(banded: DataFrame, overKeys: DataFrame,
+      joinCols: Seq[String]): DataFrame = {
+    val nOver = overKeys.count()
+    if (nOver == 0) { overKeys.unpersist(); banded }
+    else if (nOver <= 1000000L)
+      banded.join(broadcast(overKeys), joinCols, "left_anti")
+    else banded.join(overKeys, joinCols, "left_anti")
+  }
+
   // ---------- perceptual-hash (phash) near-dup ----------
 
   /** Near-duplicate pairs by hamming distance over a perceptual hash — the
@@ -405,15 +416,7 @@ object Dedup {
       // both self-join sides consume it, the broadcast stage is NOT reused
       // (probed), and the count agg is a full pass over the banded rows
       .persist()
-    // size-adaptive cap plan, exactly as in [[minhashCandidates]]: empty →
-    // no anti-join at all, small → broadcast, pathological → shuffle
-    // anti-join instead of a driver-limit broadcast failure
-    val nOver = overSegs.count()
-    val capped =
-      if (nOver == 0) { overSegs.unpersist(); banded }
-      else if (nOver <= 1000000L)
-        banded.join(broadcast(overSegs), Seq("band", "seg"), "left_anti")
-      else banded.join(overSegs, Seq("band", "seg"), "left_anti")
+    val capped = applyBucketCap(banded, overSegs, Seq("band", "seg"))
     val right = capped.select(
       col("band"), col("seg"), col("a_id").as("b_id"), col("a_ph").as("b_ph"))
     // dist is computed and filtered BEFORE the multi-band dedup: bit_count

@@ -250,8 +250,10 @@ object Similarity {
     val f = udf { (v: Seq[Float]) =>
       // the Column formulation's vector_cosine threw on a length mismatch;
       // keep that loud (cosineScalar iterates the centroid's length and
-      // would otherwise silently truncate a longer vector)
-      if (v != null && v.length != mat(0).length)
+      // would otherwise silently truncate a longer vector). mat.nonEmpty:
+      // an empty centroid list must keep its graceful pre-guard behavior
+      // (cell 0), not die on mat(0)
+      if (v != null && mat.nonEmpty && v.length != mat(0).length)
         throw new IllegalArgumentException(
           s"vector length ${v.length} != centroid dims ${mat(0).length}")
       var bestNull = false; var bestD = 0.0; var bestCell = 0

@@ -568,11 +568,15 @@ object Queries {
     *
     * Returns (lookup frame of (idx, <keyCol>), n = lookup size).
     */
-  private def boundedLookup(df: DataFrame, keyCol: String, keyType: String,
+  private def boundedLookup(df: DataFrame, keyCol: String,
       cap: Long, qname: String): (DataFrame, Long) = {
     if (df.count() > cap)
       require(df.select(count_distinct(col(keyCol))).head().getLong(0) <= cap,
         s"$qname lookup side unexpectedly large")
+    // the appended null carries the key column's OWN type (from the schema,
+    // not a hand-written string that could drift from the parquet and
+    // silently coerce the whole key array)
+    val keyType = df.schema(keyCol).dataType
     val keys = df
       .agg(sort_array(collect_set(col(keyCol))).as("__k0"),
         max(col(keyCol).isNull).as("__kn"))
@@ -590,7 +594,7 @@ object Queries {
   private def q18(s: SparkSession, dir: String): DataFrame = {
     // the big side gets its index from row identity, never a global window
     val (lookup, n) =
-      boundedLookup(t(s, dir, "customer"), "c_custkey", "bigint", 10000000L, "q18")
+      boundedLookup(t(s, dir, "customer"), "c_custkey", 10000000L, "q18")
     t(s, dir, "orders")
       .withColumn("idx", pmod(col("o_orderkey"), lit(n)))
       .join(broadcast(lookup), Seq("idx"))
@@ -937,7 +941,7 @@ object Queries {
   private def q33(s: SparkSession, dir: String): DataFrame = {
     // one-pass null-preserving lookup build — shared with q18
     val (lookup, n) =
-      boundedLookup(t(s, dir, "region"), "r_name", "string", 1000000L, "q33")
+      boundedLookup(t(s, dir, "region"), "r_name", 1000000L, "q33")
     val orders = t(s, dir, "orders")
     val total = orders.count()
     val assigned = orders

@@ -52,6 +52,18 @@ class DedupSpec extends SparkSuite {
       k = 8, shingleN = 2, bands = 4, minEqual = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(viaAgg == viaScan)
+    // an IN-subquery hides a pipeline inside the Filter's EXPRESSION tree
+    // (not its children) — the probe must classify it non-scan-shaped and
+    // still produce the identical candidate set
+    docs.createOrReplaceTempView("dedup_probe_docs")
+    docs.select(col("doc_id")).createOrReplaceTempView("dedup_probe_ids")
+    val sub = graft.SharedSpark.spark.sql(
+      "SELECT doc_id, text FROM dedup_probe_docs " +
+        "WHERE doc_id IN (SELECT doc_id FROM dedup_probe_ids)")
+    val viaSub = Dedup.minhashCandidates(sub, "text", "doc_id",
+      k = 8, shingleN = 2, bands = 4, minEqual = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaSub == viaScan)
   }
 
   test("simhash64 matches the Scala reference implementation (xxhash parity)") {
